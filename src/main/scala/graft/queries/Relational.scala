@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.8: categories the reference has
+  * no implementation for — joins, aggregates, windows, rollup, set ops,
+  * semi/anti joins, top-k). All declared through the DataFrame API so
+  * Catalyst keeps predicate pushdown, column pruning, broadcast selection and
+  * AQE in play; only genuinely dimensional tables are broadcast explicitly.
+  *
+  * Float discipline for the DuckDB oracle: every SUM over doubles goes
+  * through an exact DECIMAL accumulator and is cast back to double, so the
+  * result is independent of partial-aggregation order on both engines.
+  */
+object Relational {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Order-insensitive exact sum of a 2-decimal money column. */
+  private def exactSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Order-insensitive exact sum of price*(1-discount) (double product is
+    * deterministic per-row; the sum is made exact via decimal). The final
+    * rescale to 2 decimals keeps the unscaled value < 2^53 so the
+    * decimal→double conversion is exact on both Spark and DuckDB. */
+  private def revenue(price: Column, disc: Column): Column =
+    sum((price * (lit(1.0) - disc)).cast("decimal(28,10)"))
+      .cast("decimal(38,2)").cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 flavor: scan-heavy group-aggregate; filter pushed to parquet.
+    "q1_agg" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3 flavor: 3-way join + agg + top-k by computed measure.
+    "q3_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 flavor: 6-way join; region/nation are broadcast dims.
+    "q5_join" -> { (s, dir) =>
+      val region = broadcast(Tables(s, dir, "region"))
+      val nation = broadcast(Tables(s, dir, "nation"))
+      val supplier = Tables(s, dir, "supplier")
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = Tables(s, dir, "lineitem")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // Top-k: TakeOrderedAndProject — no global sort at scale.
+    "q_topk" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(15)
+    },
+
+    // Window functions: rank + running sum per customer (single shuffle).
+    "q_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_spend"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Grouping sets via ROLLUP (partial aggregates stay map-side).
+    "q_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(exactSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Exact distinct aggregation (expand + two-phase agg).
+    "q_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Left-semi join (EXISTS).
+    "q_semi_join" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      Tables(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Left-anti join (NOT EXISTS): customers with no in-progress order.
+    "q_anti_join" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      Tables(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Set operation: INTERSECT (customers with both F and O orders).
+    "q_setop" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      f.intersect(op).orderBy("custkey")
+    },
+
+    // Set operation: EXCEPT (customers with no in-progress order).
+    "q_except" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("custkey"))
+      c.except(o).orderBy("custkey")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_quantity <= 45
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setop" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+    python3 tools/check.py <sfDir> <outDir>
+Compares each <outDir>/<name> parquet result against the DuckDB oracle in
+<outDir>/oracle_sql.json (columns sorted by name, rows sorted, exact values).
+"""
+import duckdb, glob, json, sys
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); fail += 1; continue
+        spark_df = pd.concat([pq.read_table(p).to_pandas() for p in files],
+                             ignore_index=True)
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
+        a = spark_df[sorted(spark_df.columns)]
+        b = duck_df[sorted(duck_df.columns)]
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: cols {list(a.columns)} vs {list(b.columns)}")
+            fail += 1; continue
+        cols = list(a.columns)
+        a = a.sort_values(by=cols).reset_index(drop=True)
+        b = b.sort_values(by=cols).reset_index(drop=True)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=True)
+            print(f"OK   {name} ({len(a)} rows)")
+        except AssertionError as e:
+            print(f"FAIL {name}: {str(e)[:400]}"); fail += 1
+    print("FAILURES:", fail)
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main()
