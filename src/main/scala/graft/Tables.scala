@@ -15,6 +15,13 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) which Spark 4 refuses to read as a
+      // timestamp; read it as a Long (nanoseconds since epoch) instead.
+      // Queries derive milliseconds via integer division (`ts div 1000000`),
+      // matching DuckDB's epoch_ms() truncation of the same nanos.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

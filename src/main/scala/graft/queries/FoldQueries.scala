@@ -1,0 +1,307 @@
+package graft.queries
+
+import graft.Tables
+import graft.batch.{FoldAggregator, OrderedFold}
+import graft.fold.{FoldOption, SnapshotFold}
+import graft.model.Snapshot
+import graft.operators.{AsOfJoin, Sessionize}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-parity queries for the fold algebra (SURVEY.md §2.1 O1–O12 and
+  * §2.3 P9) over the `events` table playing the role of the Kafka log:
+  * `user_id` = key, `event_id` = offset, `ts` = event time, payload =
+  * (event_type, value, props).
+  *
+  * Order-insensitive folds run through [[FoldAggregator]] (map-side partial
+  * agg); order-sensitive folds run through [[OrderedFold]] (single shuffle +
+  * secondary sort). Money sums use exact decimal accumulators so results are
+  * independent of merge order — see Relational for the rationale.
+  */
+object FoldQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Snapshot payload for q_fold_last. */
+  final case class Last(value: Double, event_type: String)
+
+  /** State for q_fold_flatmap: counts + parity-split exact sums. */
+  final case class PState(n: Long, nOdd: Long, nEven: Long, odd: BigDecimal, even: BigDecimal)
+
+  /** `events` row; ts is nanoseconds-since-epoch (see Tables). */
+  final case class Event(
+      event_id: Long,
+      ts: Long,
+      user_id: Long,
+      event_type: String,
+      value: Double,
+      props: String)
+
+  private def events(s: SparkSession, dir: String): Dataset[Event] = {
+    import s.implicits._
+    Tables(s, dir, "events").as[Event]
+  }
+
+  /** Double → exact 2-decimal BigDecimal, same rounding as the oracle's
+    * CAST(x AS DECIMAL(18,2)). */
+  private def dec(v: Double): BigDecimal =
+    BigDecimal(java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP))
+
+  /** props are tiny JSON objects like {"k": 87}; this is the "user codec"
+    * of the fold (reference JournalParser.scala:16-90 decodes payloads the
+    * same way — inside the fold, not the engine). */
+  private val kPattern = """"k"\s*:\s*(-?\d+)""".r
+  private def parseK(props: String): Long =
+    kPattern.findFirstMatchIn(props).map(_.group(1).toLong).getOrElse(0L)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // O1/O9 via Aggregator: per-key running count (the reference's golden
+    // e2e fold, StatefulProcessingWithKafkaSpec.scala:308-327).
+    "q_fold_count" -> { (s, dir) =>
+      val fold = FoldOption.of[Long, Event](_ => 1L)((n, _) => n + 1)
+      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+        .agg(FoldAggregator(fold)(_ + _).toColumn.name("n_events"))
+        .toDF("user_id", "n_events")
+        .orderBy("user_id")
+    },
+
+    // O1: counter fold over a money value (exact decimal accumulator).
+    "q_fold_sum" -> { (s, dir) =>
+      val fold = FoldOption.of[BigDecimal, Event](e => dec(e.value))((st, e) => st + dec(e.value))
+      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+        .agg(FoldAggregator(fold)(_ + _).toColumn.name("total"))
+        .toDF("user_id", "total")
+        .select(col("user_id"), col("total").cast("decimal(38,2)").cast("double").as("total"))
+        .orderBy("user_id")
+    },
+
+    // O5: filter combinator — fold only purchase events.
+    "q_fold_filter" -> { (s, dir) =>
+      val fold = FoldOption.of[Long, Event](_ => 1L)((n, _) => n + 1).filter(_.event_type == "purchase")
+      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+        .agg(FoldAggregator(fold)(_ + _).toColumn.name("n_purchases"))
+        .toDF("user_id", "n_purchases")
+        .filter(col("n_purchases").isNotNull)
+        .orderBy("user_id")
+    },
+
+    // O6: contraCollect — partial-function filter+map (clicks, doubled value).
+    "q_fold_collect" -> { (s, dir) =>
+      val base = FoldOption.of[BigDecimal, BigDecimal](identity)((st, d) => st + d)
+      val fold = base.contraCollect[Event] { case e if e.event_type == "click" => dec(e.value * 2) }
+      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+        .agg(FoldAggregator(fold)(_ + _).toColumn.name("click_sum"))
+        .toDF("user_id", "click_sum")
+        .filter(col("click_sum").isNotNull)
+        .select(col("user_id"), col("click_sum").cast("decimal(38,2)").cast("double").as("click_sum"))
+        .orderBy("user_id")
+    },
+
+    // O2: contramap — decode the JSON payload before folding (J1 parity).
+    "q_fold_contramap" -> { (s, dir) =>
+      val fold = FoldOption.of[Long, Long](identity)(_ + _).contramap[Event](e => parseK(e.props))
+      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+        .agg(FoldAggregator(fold)(_ + _).toColumn.name("k_sum"))
+        .toDF("user_id", "k_sum")
+        .orderBy("user_id")
+    },
+
+    // O7: handleErrorWith — failing step recovers into an error counter.
+    "q_fold_error" -> { (s, dir) =>
+      val risky = FoldOption.of[(Long, Long), Event] { e =>
+        if (e.event_type == "error") throw new IllegalStateException("boom") else (1L, 0L)
+      } { (st, e) =>
+        if (e.event_type == "error") throw new IllegalStateException("boom")
+        else (st._1 + 1, st._2)
+      }
+      val fold = risky.handleErrorWith((st, _) => Some(st.map(t => (t._1, t._2 + 1)).getOrElse((0L, 1L))))
+      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+        .agg(FoldAggregator(fold)((a, b) => (a._1 + b._1, a._2 + b._2)).toColumn.name("st"))
+        .toDF("user_id", "st")
+        .select(col("user_id"), col("st._1").as("n_ok"), col("st._2").as("n_error"))
+        .orderBy("user_id")
+    },
+
+    // O3+P9: ordered replay with SnapshotFold — last state per key by offset.
+    "q_fold_last" -> { (s, dir) =>
+      import s.implicits._
+      val inner = FoldOption[Last, Event]((_, e) => Some(Last(e.value, e.event_type)))
+      val fold = SnapshotFold[Last, Event](_.event_id)(inner)
+      OrderedFold.run(events(s, dir))(_.user_id, _.event_id)(fold)
+        .map { case (k, sn) => (k, sn.offset, sn.value.value, sn.value.event_type) }
+        .toDF("user_id", "last_offset", "last_value", "last_type")
+        .orderBy("user_id")
+    },
+
+    // O12 journal replay: order-sensitive concat fold proves offset order.
+    "q_fold_ordered" -> { (s, dir) =>
+      import s.implicits._
+      val fold = FoldOption.of[String, Event](_.event_type)((st, e) => st + "," + e.event_type)
+      OrderedFold.run(events(s, dir))(_.user_id, _.event_id)(fold)
+        .toDF("user_id", "type_seq")
+        .orderBy("user_id")
+    },
+
+    // O4: flatMap — second fold chosen from the state (parity of position).
+    "q_fold_flatmap" -> { (s, dir) =>
+      import s.implicits._
+      val incr = FoldOption.of[PState, Event](_ => PState(1L, 0L, 0L, BigDecimal(0), BigDecimal(0)))(
+        (st, _) => st.copy(n = st.n + 1))
+      val addOdd = FoldOption[PState, Event]((st, e) =>
+        st.map(p => p.copy(nOdd = p.nOdd + 1, odd = p.odd + dec(e.value))))
+      val addEven = FoldOption[PState, Event]((st, e) =>
+        st.map(p => p.copy(nEven = p.nEven + 1, even = p.even + dec(e.value))))
+      val fold = incr.flatMap {
+        case Some(p) if p.n % 2 == 1 => addOdd
+        case _ => addEven
+      }
+      OrderedFold.run(events(s, dir))(_.user_id, _.event_id)(fold)
+        .map { case (k, p) =>
+          (k,
+            if (p.nOdd > 0) Some(p.odd) else None,
+            if (p.nEven > 0) Some(p.even) else None)
+        }
+        .toDF("user_id", "odd_sum", "even_sum")
+        .select(
+          col("user_id"),
+          col("odd_sum").cast("decimal(38,2)").cast("double").as("odd_sum"),
+          col("even_sum").cast("decimal(38,2)").cast("double").as("even_sum"))
+        .orderBy("user_id")
+    },
+
+    // P9 end-to-end: replayed (duplicated) log deduped by the offset guard.
+    "q_offset_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+      val replayed = ds.union(ds.filter(_.event_id % 2 == 0))
+      val inner = FoldOption.of[Long, Event](_ => 1L)((n, _) => n + 1)
+      val fold = SnapshotFold[Long, Event](_.event_id)(inner)
+      OrderedFold.run(replayed)(_.user_id, _.event_id)(fold)
+        .map { case (k, sn) => (k, sn.value, sn.offset) }
+        .toDF("user_id", "n_events", "max_offset")
+        .orderBy("user_id")
+    },
+
+    // T5 analogue: gap-based sessionization (idle timeout = 6h).
+    "q_session_agg" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"))
+      Sessionize.byGap(e, "user_id", "ms", "event_id", 6L * 3600 * 1000)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ms").as("start_ms"), max("ms").as("end_ms"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // As-of join: each purchase picks up the latest strictly-prior click.
+    "q_asof_join" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ms"), col("event_id"), col("event_id").as("click_id"))
+      AsOfJoin.backward(purchases, clicks,
+        on = Seq("user_id"), orderCols = Seq("ms", "event_id"),
+        payload = Seq("click_id"), strict = true)
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    },
+
+    // T5/T6 analogue: unload idle keys — snapshot only keys active in the
+    // last 2 days relative to the max event time.
+    "q_unload_idle" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("user_id"), expr("ts div 1000000").as("ms"))
+      val mx = e.agg(max("ms").as("max_ms"))
+      e.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max("ms").as("last_ms"), max("max_ms").as("gmax"))
+        .filter(col("last_ms") >= col("gmax") - lit(2L * 24 * 3600 * 1000))
+        .drop("gmax")
+        .orderBy("user_id")
+    },
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q_fold_count" ->
+      "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_fold_sum" ->
+      """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fold_filter" ->
+      """SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fold_collect" ->
+      """SELECT user_id, CAST(SUM(CAST(value*2 AS DECIMAL(18,2))) AS DOUBLE) AS click_sum
+        |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fold_contramap" ->
+      """SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fold_error" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS n_ok,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fold_last" ->
+      """SELECT user_id, MAX(event_id) AS last_offset,
+        | max_by(value, event_id) AS last_value, max_by(event_type, event_id) AS last_type
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fold_ordered" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS type_seq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fold_flatmap" ->
+      """WITH r AS (
+        |  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        | CAST(SUM(CASE WHEN rn % 2 = 1 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS odd_sum,
+        | CAST(SUM(CASE WHEN rn % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS even_sum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_offset_dedup" ->
+      """SELECT user_id, COUNT(DISTINCT event_id) AS n_events, MAX(event_id) AS max_offset
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_agg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |g AS (
+        |  SELECT user_id, ms, SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events
+        |  WHERE event_type IN ('click','purchase')),
+        |f AS (
+        |  SELECT user_id, event_id, ms, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ms, event_id, CASE WHEN event_type='purchase' THEN 0 ELSE 1 END
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+        |  FROM e)
+        |SELECT event_id, user_id, click_id FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_unload_idle" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |mx AS (SELECT MAX(ms) AS gmax FROM e)
+        |SELECT user_id, COUNT(*) AS n_events, MAX(ms) AS last_ms
+        |FROM e, mx GROUP BY user_id, gmax
+        |HAVING MAX(ms) >= gmax - 172800000 ORDER BY user_id""".stripMargin,
+  )
+}
