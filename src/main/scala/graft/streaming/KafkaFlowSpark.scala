@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.fold.{FoldOption, TickOption}
+import graft.model.Record
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import scala.concurrent.duration._
+
+/** Top-level entry points ≅ reference `KafkaFlow` (core/.../KafkaFlow.scala:
+  * 17-88) re-expressed on Structured Streaming:
+  *
+  *  - the poll loop, rebalance listener, commit staging and retry machinery
+  *    (reference O19–O25) are Spark's microbatch scheduler + Kafka source +
+  *    checkpoint — not user code;
+  *  - `retryOnError`'s exponential backoff maps to task retries plus query
+  *    restart-from-checkpoint;
+  *  - offsets can never run ahead of durable state because Spark commits
+  *    state and offsets atomically per microbatch (reference
+  *    docs/persistence.md:7-27's invariant, guaranteed structurally).
+  */
+object KafkaFlowSpark {
+
+  /** Kafka source → Record envelope. The source schema matches Record 1:1
+    * except headers (array<struct<key,value>> → map<string,string>). */
+  def fromKafka(spark: SparkSession, bootstrapServers: String, topics: String,
+                startingOffsets: String = "earliest"): Dataset[Record] = {
+    import spark.implicits._
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .option("includeHeaders", "true")
+      .load()
+      .select(
+        col("topic"),
+        col("partition"),
+        col("offset"),
+        col("timestamp"),
+        col("timestampType"),
+        col("key").cast("string").as("key"),
+        col("value"),
+        map_from_entries(
+          transform(coalesce(col("headers"), array()),
+            h => struct(h.getField("key"), h.getField("value").cast("string"))))
+          .as("headers"))
+      .as[Record]
+  }
+
+  /** records → keyed fold changelog (see [[KeyFlow.flow]]). */
+  def flow[S](
+      records: Dataset[Record],
+      fold: FoldOption[S, Record],
+      tick: TickOption[S] = TickOption.id[S],
+      config: KeyFlowConfig = KeyFlowConfig())(
+      implicit stateEnc: Encoder[FlowState[S]],
+      outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] =
+    KeyFlow.flow(records, fold, tick, config)
+
+  /** Start the flow against a sink, checkpointed. The trigger interval is
+    * the analogue of the reference's timer-scan cadence (1 s default,
+    * PartitionFlowConfig.scala:52-58): timeouts fire even on empty batches.
+    */
+  def start[S](
+      out: Dataset[KeyOutput[S]],
+      checkpointDir: String,
+      sink: DataStreamWriter[KeyOutput[S]] => DataStreamWriter[KeyOutput[S]],
+      trigger: Trigger = Trigger.ProcessingTime(1.second)): StreamingQuery =
+    sink(
+      out.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger))
+      .start()
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.fold.{FoldOption, TickOption}
+import graft.model.{Record, Snapshot}
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import scala.concurrent.duration.Duration
+
+/** Per-key streaming engine configuration (reference timer/TimerFlowOf.scala
+  * defaults: persistEvery 1 min, maxIdle 10 min, maxOffsetDifference
+  * 100 000).
+  *
+  * Semantics mapping, deliberate and documented:
+  *  - `persistEvery` is SUBSUMED: Spark commits state + offsets atomically
+  *    every microbatch — a stronger guarantee than the reference's periodic
+  *    flush + commit gating (reference PartitionFlow.scala:232-267), so
+  *    there is nothing to configure.
+  *  - `maxIdle` maps to a processing-time timeout. In the reference, unload
+  *    evicts a key from memory while Cassandra keeps the state; in Spark the
+  *    state store IS the durable store, so on timeout we run the user tick
+  *    and, if `removeOnIdle`, delete the key (state TTL).
+  *  - `maxOffsetDifference` (offset-domain timers) has no Spark clock; the
+  *    processor tracks the max offset it has seen per key's partition and
+  *    unloads keys whose held offset lags more than this (advances only for
+  *    partitions receiving data — see SURVEY.md §7.4).
+  */
+final case class KeyFlowConfig(
+    maxIdle: Option[Duration] = None,
+    removeOnIdle: Boolean = true,
+    maxOffsetDifference: Option[Long] = None)
+
+/** Durable per-key state: the user state wrapped in a [[Snapshot]] carrying
+  * the offset up to which it is current (replay dedup, reference
+  * snapshot/SnapshotFold.scala:10-24) plus bookkeeping mirroring
+  * `Timestamps` (reference timer/Timestamps.scala:13-76). */
+final case class FlowState[S](
+    snapshot: Snapshot[S],
+    processedAtMs: Long,
+    maxPartitionOffset: Long)
+
+/** Changelog output of the flow: one row per touched key per microbatch;
+  * `state = None` is a tombstone (key deleted). */
+final case class KeyOutput[S](
+    key: String,
+    offset: Long,
+    state: Option[S],
+    tombstone: Boolean)
+
+/** The per-key unit of computation (reference core/.../KeyFlow.scala:15-89,
+  * FoldToState.scala:39-91, TickToState.scala:32-49) re-expressed as a
+  * `flatMapGroupsWithState` update function:
+  *
+  *  - records fold in offset order with the snapshot-offset dedup guard, so
+  *    replaying a microbatch after failure is idempotent;
+  *  - a fold returning None mid-batch deletes-then-may-revive; only the
+  *    END-of-batch None removes durable state (reference
+  *    FoldToState.scala:62-88 defers deletion to batch end);
+  *  - on processing-time timeout the tick runs (reference Tick, O11);
+  *    None — or `removeOnIdle` — removes the key.
+  */
+object KeyFlow {
+
+  def update[S](
+      fold: FoldOption[S, Record],
+      tick: TickOption[S],
+      config: KeyFlowConfig)(
+      key: String,
+      records: Iterator[Record],
+      state: GroupState[FlowState[S]]): Iterator[KeyOutput[S]] = {
+
+    def setTimeout(): Unit =
+      config.maxIdle.foreach(d => state.setTimeoutDuration(d.toMillis))
+
+    if (state.hasTimedOut) {
+      val prev = state.getOption
+      val ticked = tick.run(prev.map(_.snapshot.value))
+      val remove = config.removeOnIdle || ticked.isEmpty
+      if (remove) {
+        state.remove()
+        Iterator.single(KeyOutput[S](key, prev.map(_.snapshot.offset).getOrElse(-1L), None, tombstone = true))
+      } else {
+        val st = prev.get
+        state.update(st.copy(snapshot = st.snapshot.copy(value = ticked.get)))
+        setTimeout()
+        Iterator.single(KeyOutput[S](key, st.snapshot.offset, ticked, tombstone = false))
+      }
+    } else {
+      // Offset order within the batch: the shuffle does not preserve Kafka
+      // partition order, so sort the key's batch (bounded by per-key batch
+      // volume — the reference materializes the same NonEmptyList per poll,
+      // PartitionFlow.scala:160-176).
+      val sorted = records.toArray.sortBy(_.offset)
+      if (sorted.isEmpty) {
+        setTimeout()
+        Iterator.empty
+      } else {
+        val prev = state.getOption
+        var snapOffset = prev.map(_.snapshot.offset).getOrElse(Long.MinValue)
+        var current: Option[S] = prev.map(_.snapshot.value)
+        var maxSeen = math.max(prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue), sorted.last.offset)
+        sorted.foreach { r =>
+          if (r.offset > snapOffset) { // replay dedup guard (P9)
+            current = fold.run(current, r)
+            snapOffset = r.offset
+          }
+        }
+        val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
+        current match {
+          case Some(s) if !lagged =>
+            state.update(FlowState(Snapshot(snapOffset, "", s),
+              state.getCurrentProcessingTimeMs(), maxSeen))
+            setTimeout()
+            Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
+          case _ =>
+            if (state.exists) state.remove()
+            Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
+        }
+      }
+    }
+  }
+
+  /** Declarative entry: keyed stateful fold over a (possibly streaming)
+    * Dataset[Record]. Null-key records are dropped (reference
+    * PartitionFlow.scala:160-164). */
+  def flow[S](
+      records: Dataset[Record],
+      fold: FoldOption[S, Record],
+      tick: TickOption[S] = TickOption.id[S],
+      config: KeyFlowConfig = KeyFlowConfig())(
+      implicit stateEnc: Encoder[FlowState[S]],
+      outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
+    import records.sparkSession.implicits._
+    val timeout =
+      if (config.maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    records
+      .filter((r: Record) => r.key != null)
+      .groupByKey((r: Record) => r.key)
+      .flatMapGroupsWithState[FlowState[S], KeyOutput[S]](
+        OutputMode.Update(), timeout)(update(fold, tick, config))
+  }
+}

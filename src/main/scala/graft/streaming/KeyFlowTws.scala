@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.fold.{FoldOption, TickOption}
+import graft.model.{Record, Snapshot}
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming._
+
+/** The per-key engine on `transformWithState` (Spark 4.x arbitrary stateful
+  * processing v2) — the preferred runtime (SURVEY.md §7.1 step 4): named
+  * timers match the reference's per-key `Set[Instant]` wakeups
+  * (reference timer/Timers.scala:12-66), state lives in the RocksDB state
+  * store with changelog checkpointing (the 100 TB path), and the processor
+  * carries the same fold/tick/offset-dedup semantics as [[KeyFlow]].
+  *
+  * Requires `spark.sql.streaming.stateStore.providerClass =
+  * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+  */
+class KeyFlowProcessor[S](
+    fold: FoldOption[S, Record],
+    tick: TickOption[S],
+    config: KeyFlowConfig,
+    stateEnc: Encoder[FlowState[S]])
+  extends StatefulProcessor[String, Record, KeyOutput[S]] {
+
+  @transient private var state: ValueState[FlowState[S]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[FlowState[S]]("flowState", stateEnc, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[Record],
+      timerValues: TimerValues): Iterator[KeyOutput[S]] = {
+    val sorted = rows.toArray.sortBy(_.offset)
+    if (sorted.isEmpty) return Iterator.empty
+    val prev = if (state.exists) Option(state.get()) else None
+    var snapOffset = prev.map(_.snapshot.offset).getOrElse(Long.MinValue)
+    var current: Option[S] = prev.map(_.snapshot.value)
+    val maxSeen = math.max(prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue), sorted.last.offset)
+    sorted.foreach { r =>
+      if (r.offset > snapOffset) { // replay dedup guard (P9)
+        current = fold.run(current, r)
+        snapOffset = r.offset
+      }
+    }
+    val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
+    current match {
+      case Some(s) if !lagged =>
+        val now = timerValues.getCurrentProcessingTimeInMs()
+        state.update(FlowState(Snapshot(snapOffset, "", s), now, maxSeen))
+        config.maxIdle.foreach(d => getHandle.registerTimer(now + d.toMillis))
+        Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
+      case _ =>
+        state.clear()
+        Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
+    }
+  }
+
+  override def handleExpiredTimer(
+      key: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[KeyOutput[S]] = {
+    if (!state.exists) return Iterator.empty
+    val st = state.get()
+    val idleSince = st.processedAtMs
+    val freshEnough = config.maxIdle.exists(d =>
+      expiredTimerInfo.getExpiryTimeInMs() < idleSince + d.toMillis)
+    if (freshEnough) {
+      // stale timer from an earlier batch; the key has been active since
+      Iterator.empty
+    } else {
+      val ticked = tick.run(Some(st.snapshot.value))
+      val remove = config.removeOnIdle || ticked.isEmpty
+      if (remove) {
+        state.clear()
+        Iterator.single(KeyOutput[S](key, st.snapshot.offset, None, tombstone = true))
+      } else {
+        state.update(st.copy(snapshot = st.snapshot.copy(value = ticked.get)))
+        config.maxIdle.foreach(d =>
+          getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + d.toMillis))
+        Iterator.single(KeyOutput(key, st.snapshot.offset, ticked, tombstone = false))
+      }
+    }
+  }
+}
+
+object KeyFlowTws {
+
+  /** Keyed stateful fold with processing-time timers via transformWithState.
+    * Null-key records are dropped (reference PartitionFlow.scala:160-164). */
+  def flow[S](
+      records: Dataset[Record],
+      fold: FoldOption[S, Record],
+      tick: TickOption[S] = TickOption.id[S],
+      config: KeyFlowConfig = KeyFlowConfig())(
+      implicit stateEnc: Encoder[FlowState[S]],
+      outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
+    import records.sparkSession.implicits._
+    val timeMode =
+      if (config.maxIdle.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    records
+      .filter((r: Record) => r.key != null)
+      .groupByKey((r: Record) => r.key)
+      .transformWithState(
+        new KeyFlowProcessor[S](fold, tick, config, stateEnc),
+        timeMode,
+        OutputMode.Update())
+  }
+}
