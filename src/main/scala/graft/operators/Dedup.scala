@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed so every
+  * variant scales: candidate generation is always a bucket equi-join (hash
+  * shuffle on a small key), never an all-pairs cross join; verification
+  * runs only inside buckets.
+  *
+  *  - exact:      group by content hash (one shuffle on a 128-bit key)
+  *  - ngram:      exact Jaccard over k-shingle sets, blocked
+  *  - minhashLsh: MinHash signatures banded into LSH buckets
+  *  - simhash:    64-bit SimHash, chunk-banded (pigeonhole on Hamming dist)
+  */
+object Dedup {
+
+  /** Exact duplicate groups by md5(text): (digest, n_dups, keep_id). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Exact k-shingle Jaccard pairs above `minPpm`, blocked by (lang,
+    * length band) to bound the candidate set. Returns (doc1, doc2,
+    * jacc_ppm) with doc1 < doc2. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      k: Int,
+      minPpm: Long): DataFrame = {
+    val withShingles = docs.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        TextAnalysis.shingles(col(textCol), k).as("__sh"): _*)
+    val a = withShingles.select(
+      col(idCol).as("doc1") +: col("__sh").as("sh1") +: blockCols.map(col): _*)
+    val b = withShingles.select(
+      col(idCol).as("doc2") +: col("__sh").as("sh2") +:
+        blockCols.map(c => col(c).as(s"${c}_r")): _*)
+    val joinCond = blockCols.map(c => col(c) === col(s"${c}_r"))
+      .foldLeft(col("doc1") < col("doc2"))(_ && _)
+    a.join(b, joinCond)
+      .select(col("doc1"), col("doc2"),
+        TextAnalysis.jaccardPpm(col("sh1"), col("sh2")).as("jacc_ppm"))
+      .filter(col("jacc_ppm") >= minPpm)
+  }
+
+  /** MinHash signature: `perms` minimums of seeded xxhash64 over the
+    * shingle set (codegen'd; no UDF). */
+  def minHashSignature(shinglesCol: Column, perms: Int): Column =
+    array((0 until perms).map { p =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(p), s)))
+    }: _*)
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
+    * matching signature slots, in ppm). `bands` × `rowsPerBand` = perms.
+    * Shape: explode to one row per (doc, band), shuffle on the band hash,
+    * pair within buckets, dedup pairs, estimate once per pair. */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minEstPpm: Long = 500000L): DataFrame = {
+    val perms = bands * rowsPerBand
+    val sigs = docs.select(col(idCol).as("doc"),
+      minHashSignature(TextAnalysis.shingles(col(textCol), k), perms).as("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("sig"), col("bb.band"), col("bb.bh"))
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"),
+        col("l.sig").as("sig1"), col("r.sig").as("sig2"))
+      .dropDuplicates("doc1", "doc2")
+    pairs.select(col("doc1"), col("doc2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          .cast("long") * lit(1000000L) / lit(perms.toLong)).cast("long").as("est_jacc_ppm"))
+      .filter(col("est_jacc_ppm") >= minEstPpm)
+  }
+
+  /** 64-bit SimHash from a column of token hashes: bit j is 1 iff the sum
+    * of ±1 votes (bit j of each hash) is positive. Bit masks are unrolled
+    * at plan-build time (static literals — stays codegen'd). */
+  def simHashFromHashes(hashesCol: Column): Column =
+    (0 until 64).map { j =>
+      val mask = lit(1L << j)
+      val vote = aggregate(hashesCol, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= lit(0L), lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simHash(textCol: Column): Column =
+    simHashFromHashes(transform(split(textCol, " "), t => xxhash64(t)))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16),
+    * banded by the four 16-bit chunks: pairs within maxHamming ≤ 3 share
+    * at least one identical chunk (pigeonhole), so candidates come from
+    * four equi-joins, never a cross join. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc"),
+        transform(split(col(textCol), " "), t => xxhash64(t)).as("__hs"))
+      .select(col("doc"), simHashFromHashes(col("__hs")).as("sh"))
+    val chunked = hashed.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+      }: _*)).as("cc"))
+      .select(col("doc"), col("sh"), col("cc.chunk"), col("cc.cv"))
+    chunked.as("l").join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("int").as("hamming"))
+      .dropDuplicates("doc1", "doc2")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

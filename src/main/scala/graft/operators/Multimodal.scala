@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` payloads with typed
+  * metadata, plus a decode/feature-extract stage with the real Spark-side
+  * plumbing (schema, partition-preserving batched iteration) and a STUBBED
+  * codec — the actual image/audio libraries are not in this environment, so
+  * `decodeStub` derives deterministic fake features from the bytes. Swap
+  * `decodeStub` for a real decoder (JNI/FFI) without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Typed metadata of a decoded media payload. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      digest: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Attach an opaque binary payload column (here: utf-8 bytes standing in
+    * for encoded media) plus cheap columnar metadata that never requires
+    * decoding: size, digest, deterministic shape fields. */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = col(textCol).cast("binary")
+    docs.select(
+      col(idCol),
+      payload.as("payload"),
+      octet_length(payload).cast("long").as("n_bytes"),
+      md5(payload).as("digest"))
+  }
+
+  /** ======= STUB ======= deterministic fake decode: real systems replace
+    * this body with an image/audio codec call; everything around it (batch
+    * iteration, output schema, partitioning) is production-shaped. */
+  private def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length.toLong
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    MediaFeatures(
+      doc_id = docId,
+      n_bytes = n,
+      digest = digest,
+      width = (64 + n % 960).toInt,
+      height = (64 + (n * 7919) % 704).toInt,
+      n_frames = (1 + n / 256).toInt)
+  }
+
+  /** Decode/feature-extract over partition-local batches (the Scala
+    * analogue of a vectorized decode: one iterator pass per partition, no
+    * shuffle, bounded memory). */
+  def decodeFeatures(payloads: DataFrame, idCol: String)(
+      implicit enc: Encoder[MediaFeatures]): Dataset[MediaFeatures] = {
+    val idIdx = payloads.schema.fieldIndex(idCol)
+    val payloadIdx = payloads.schema.fieldIndex("payload")
+    payloads.mapPartitions { rows =>
+      rows.map { r => decodeStub(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx)) }
+    }
+  }
+
+  /** Frame sampling plan for video-like payloads: every `stride`-th frame,
+    * computed columnar from metadata only (no decode). */
+  def sampleFramePlan(features: DataFrame, stride: Int): DataFrame =
+    features.select(
+      col("doc_id"),
+      sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride)).as("frame_ids"))
+      .withColumn("n_sampled", size(col("frame_ids")).cast("long"))
+}

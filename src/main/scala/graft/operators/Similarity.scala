@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - `bruteForceTopK`: exact cosine top-k. The query set is broadcast, so
+  *    the scan is map-side (no shuffle of the corpus); per-query top-k via
+  *    a bounded window. The right baseline, and the right plan when the
+  *    query set is small.
+  *  - `lshTopK`: random-hyperplane LSH — sign-bit signatures from
+  *    deterministic pseudo-random planes (seeded xxhash64, so executors
+  *    need no shared RNG state), candidates from Hamming-banded buckets,
+  *    exact cosine re-rank inside buckets. The 100 TB path: touches only
+  *    bucket collisions instead of the full corpus per query.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * (sequential left-to-right aggregate — deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact top-k neighbors for each row of `queries` within `corpus`
+    * (self-matches excluded by id). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val scored = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .join(q, col("cand_id") =!= col("qid"))
+      .select(col("qid"), col("cand_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** `planes`-bit random-hyperplane signature. Plane p's component for
+    * dimension d is ±1 by the parity of xxhash64(p, d) — deterministic
+    * across executors with no materialized plane matrix. Planes are
+    * unrolled at plan-build time (static bit masks, stays codegen'd). */
+  def rhpSignature(vecCol: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (v, d) => v.cast("double") *
+            when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === lit(0L), lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Approximate top-k: candidates share at least one of four signature
+    * chunks (planes/4 bits each — tune to the corpus's similarity scale:
+    * fewer bits = coarser buckets = higher recall, more candidates),
+    * re-ranked by exact cosine within buckets. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int = 16): DataFrame = {
+    val chunkBits = planes / 4
+    val chunkMask = (1L << chunkBits) - 1
+    def signed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        rhpSignature(col(vecCol), planes).as(s"${id}_sig"))
+    def chunked(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col(s"${id}_sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("cv"))
+        }: _*)).as("cc"))
+        .select(col(id), col(vec), col("cc.chunk"), col("cc.cv"))
+    val cq = chunked(signed(queries, "qid", "qvec"), "qid", "qvec")
+    val cc = chunked(signed(corpus, "cand_id", "cvec"), "cand_id", "cvec")
+    val cands = cq.join(cc,
+        cq("chunk") === cc("chunk") && cq("cv") === cc("cv") &&
+          col("cand_id") =!= col("qid"))
+      .select(col("qid"), col("cand_id"), col("qvec"), col("cvec"))
+      .dropDuplicates("qid", "cand_id")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
+    cands.select(col("qid"), col("cand_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure Column
+  * expressions (whole-stage codegen, no UDFs) so a 100 TB documents scan
+  * stays in one codegen'd stage with column pruning intact.
+  *
+  * Determinism contract: every function here is reproducible in ANSI SQL
+  * (the DuckDB oracle mirrors the exact expression tree); ratios are
+  * emitted as floor-scaled integers (`*_ppm`) rather than rounded doubles
+  * so engine rounding modes cannot diverge.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count without regex: separators + 1. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + lit(1)).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token (regexp shared verbatim with the
+    * oracle — same semantics in Java regex and RE2). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Characters that are not lowercase letters, digits or spaces. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("long")
+
+  /** Non-overlapping occurrences of `word` with space padding. */
+  def occurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) / lit(needle.length)).cast("long")
+  }
+
+  /** Stopword-profile language ID over {en, de, fr, es}; ties break in that
+    * order; all-zero → "und". A real system would use char-n-gram profiles —
+    * the declared query keeps the heuristic SQL-mirrorable. */
+  def langId(text: Column): Column = {
+    def score(words: String*): Column =
+      words.map(occurrences(text, _)).reduce(_ + _)
+    val en = score("the", "and", "of")
+    val de = score("der", "und", "die")
+    val fr = score("le", "et", "la")
+    val es = score("el", "y", "los")
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Quality score in parts-per-million: length component + stopword
+    * density + punctuation penalty. Same expression tree as the oracle. */
+  def qualityScorePpm(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val tokens = tokenCount(text).cast("double")
+    val stops = (occurrences(text, "the") + occurrences(text, "and") +
+      occurrences(text, "of") + occurrences(text, "a")).cast("double")
+    val punct = punctCount(text).cast("double")
+    val lenScore = least(lit(1.0), chars / lit(500.0))
+    val stopScore = least(lit(1.0), stops * lit(10.0) / tokens)
+    val punctPenalty = lit(1.0) - least(lit(1.0), punct / (chars * lit(0.1) + lit(1.0)))
+    floor((lenScore * lit(0.3) + stopScore * lit(0.4) + punctPenalty * lit(0.3)) * lit(1000000)).cast("long")
+  }
+
+  /** Content fingerprint: first 16 hex chars of md5. */
+  def fingerprint(text: Column): Column = substring(md5(text.cast("binary")), 1, 16)
+
+  /** Winnowing-style shingle fingerprint: the minimum md5 over all k-char
+    * shingles — robust to local edits, cheap to compare. */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => md5(text.substr(i, lit(k)).cast("binary"))))
+
+  /** k-char shingle set (distinct) of a text column. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** Exact Jaccard similarity of two shingle arrays, in ppm (integer —
+    * exact on both engines). */
+  def jaccardPpm(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = size(a).cast("long") + size(b).cast("long") - inter
+    (inter * lit(1000000L) / union).cast("long")
+  }
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup / multimodal queries over the `documents` table
+  * (north-star pipeline operators). Hash-based candidates (MinHash, SimHash)
+  * are rows-only checked (xxhash64 is not reproducible in DuckDB); their
+  * correctness is covered by scalatest specs against exact Jaccard /
+  * Hamming truth.
+  */
+object TextQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Per-doc structural stats — stays in one codegen'd projection.
+    "q_doc_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.bpeTokenCount(col("text")).as("n_tokens_bpe"),
+        TA.punctCount(col("text")).as("n_punct"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring (floor-scaled ppm for engine-exact compare).
+    "q_quality" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), TA.qualityScorePpm(col("text")).as("quality_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // Stopword-profile language ID.
+    "q_langid" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"), TA.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus token accounting per source (pre-training data budgeting).
+    "q_token_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TA.bpeTokenCount(col("text"))).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("source")
+    },
+
+    // Content + winnowing fingerprints.
+    "q_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        TA.minShingleFingerprint(col("text"), 8).as("shingle_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup by content hash.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest")
+    },
+
+    // Exact 3-gram Jaccard near-dup pairs, blocked by (lang, length/100).
+    "q_dedup_ngram" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("len_band", floor(col("n_chars") / 100))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang", "len_band"), k = 3, minPpm = 800000L)
+        .orderBy("doc1", "doc2")
+    },
+
+    // MinHash-LSH candidates (rows-only: bucket join + estimate).
+    "q_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 5, bands = 16, rowsPerBand = 4, minEstPpm = 400000L)
+        .orderBy("doc1", "doc2")
+    },
+
+    // SimHash near-dup candidates (rows-only).
+    "q_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12)
+        .orderBy("doc1", "doc2")
+    },
+
+    // Multimodal metadata over binary payloads (columnar path; decode stub
+    // exercised in MultimodalSpec).
+    "q_multimodal_meta" -> { (s, dir) =>
+      Multimodal.withPayload(Tables(s, dir, "documents"), "doc_id", "text")
+        .select(
+          col("doc_id"), col("n_bytes"), col("digest"),
+          (lit(64) + pmod(col("n_bytes"), lit(960))).cast("int").as("width"),
+          (lit(64) + pmod(col("n_bytes") * 7919, lit(704))).cast("int").as("height"),
+          (lit(1) + floor(col("n_bytes") / 256)).cast("int").as("n_frames"))
+        .orderBy("doc_id")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """SELECT doc_id,
+        | CAST(len(text) AS BIGINT) AS n_chars_calc,
+        | CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
+        | CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' a ', ''))) // 3 AS DOUBLE) AS stops,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(floor((least(1.0, chars/500.0)*0.3
+        |   + least(1.0, stops*10.0/tokens)*0.4
+        |   + (1.0 - least(1.0, punct/(chars*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS quality_ppm
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, ' '||text||' ' AS p FROM documents),
+        |s AS (
+        | SELECT doc_id, lang,
+        |  (len(p)-len(replace(p,' the ','')))//5 + (len(p)-len(replace(p,' and ','')))//5 + (len(p)-len(replace(p,' of ','')))//4 AS s_en,
+        |  (len(p)-len(replace(p,' der ','')))//5 + (len(p)-len(replace(p,' und ','')))//5 + (len(p)-len(replace(p,' die ','')))//5 AS s_de,
+        |  (len(p)-len(replace(p,' le ','')))//4 + (len(p)-len(replace(p,' et ','')))//4 + (len(p)-len(replace(p,' la ','')))//4 AS s_fr,
+        |  (len(p)-len(replace(p,' el ','')))//4 + (len(p)-len(replace(p,' y ','')))//3 + (len(p)-len(replace(p,' los ','')))//5 AS s_es
+        | FROM t)
+        |SELECT doc_id, lang,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |      WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |      WHEN s_es > 0 THEN 'es'
+        |      ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS total_tokens,
+        | SUM(CAST(len(text) AS BIGINT)) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
+        | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH s AS (
+        | SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS len_band,
+        |  list_distinct(list_transform(range(1, greatest(len(text)-2,1)+1), i -> text[i:i+2])) AS sh
+        | FROM documents)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        | CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+        |   // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jacc_ppm
+        |FROM s a JOIN s b
+        | ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+        |   // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) >= 800000
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
+        | CAST(64 + octet_length(encode(text)) % 960 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 7919) % 704 AS INT) AS height,
+        | CAST(1 + octet_length(encode(text)) // 256 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

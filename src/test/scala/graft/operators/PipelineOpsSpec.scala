@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Truth-table specs for the pipeline operators whose declared queries are
+  * rows-only checked (hash functions not reproducible in the SQL oracle).
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("Dedup.exact groups identical texts and keeps the min id") {
+    val out = Dedup.exact(
+      docsDf(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc"), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 1L), (1L, 3L))) // (n_docs, keep_id)
+  }
+
+  test("MinHash estimate tracks exact Jaccard for near-dup vs unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val nearDup = base + " tonight"
+    val unrelated = "completely different words describing an unrelated subject entirely"
+    val docs = docsDf(1L -> base, 2L -> nearDup, 3L -> unrelated)
+      .withColumn("band", lit(0))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 5, bands = 16, rowsPerBand = 4, minEstPpm = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // near-dup pair must be found with a high estimate
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > 600000L)
+    // unrelated pair either not a candidate or estimated low
+    assert(pairs.getOrElse((1L, 3L), 0L) < 400000L)
+  }
+
+  test("SimHash: identical texts at distance 0; near-dups within threshold") {
+    // many distinct tokens -> stable bit margins -> replacing one token
+    // flips only the few bits whose vote margin was exactly ±1
+    val words = (0 until 400).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val nearDup = (words.dropRight(1) :+ "zzz").mkString(" ")
+    val out = Dedup.simhashPairs(
+      docsDf(1L -> base, 2L -> base, 3L -> nearDup),
+      "doc_id", "text", maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((1L, 2L)) == 0)
+    assert(out.get((1L, 3L)).exists(_ <= 16))
+  }
+
+  test("Similarity.cosine matches hand computation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val sim = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(sim - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("LSH top-k achieves full recall on clustered vectors") {
+    import spark.implicits._
+    // two tight clusters: ids 0-4 near (1,0,...), ids 10-14 near (0,1,...)
+    def v(base: Array[Float], eps: Float, d: Int) = {
+      val a = base.clone(); a(d) = a(d) + eps; a
+    }
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, v(e1, 0.01f * i, 3))) ++
+        (10 until 15).map(i => (i.toLong, v(e2, 0.01f * i, 4)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0 || col("vec_id") === 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("qid", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3, planes = 16)
+      .select("qid", "cand_id").as[(Long, Long)].collect().toSet
+    assert(brute == lsh) // clusters are far apart -> LSH must find all
+  }
+
+  test("Multimodal decode stub: plumbing produces typed features") {
+    import spark.implicits._
+    val payloads = Multimodal.withPayload(docsDf(7L -> "hello world"), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(payloads, "doc_id").collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.doc_id == 7L && f.n_bytes == 11L)
+    assert(f.width == 64 + 11 % 960 && f.n_frames == 1)
+    val plan = Multimodal.sampleFramePlan(
+      payloads.withColumn("n_frames", lit(10)).select(col("doc_id"), col("n_frames")), 3)
+      .head()
+    assert(plan.getAs[scala.collection.Seq[Int]]("frame_ids").toList == List(0, 3, 6, 9))
+  }
+
+  test("TextAnalysis: token counts and jaccard on known strings") {
+    import spark.implicits._
+    val df = Seq(("one two three", "one two four")).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("a")),
+      TextAnalysis.jaccardPpm(
+        TextAnalysis.shingles(col("a"), 3), TextAnalysis.shingles(col("a"), 3))).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1000000L) // self-jaccard is exactly 1
+  }
+}
