@@ -29,34 +29,56 @@ object Dedup {
       textCol: String,
       blockCols: Seq[String],
       k: Int,
-      minPpm: Long): DataFrame = {
+      minPpm: Long,
+      packedAscii: Boolean = true): DataFrame = {
+    // packed + sorted shingles unlock the merge-pass intersect expression
+    val shingleExpr =
+      if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
+      else TextAnalysis.shingles(col(textCol), k)
     val withShingles = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        TextAnalysis.shingles(col(textCol), k).as("__sh"): _*)
+      (col(idCol) +: blockCols.map(col)) :+ shingleExpr.as("__sh"): _*)
     val a = withShingles.select(
       col(idCol).as("doc1") +: col("__sh").as("sh1") +: blockCols.map(col): _*)
     val b = withShingles.select(
       col(idCol).as("doc2") +: col("__sh").as("sh2") +:
         blockCols.map(c => col(c).as(s"${c}_r")): _*)
+    // size-ratio prefilter: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // pairs failing the ratio can never reach minPpm — provably
+    // result-equivalent, and it skips the expensive intersect for most
+    // candidate pairs.
+    val sizeGuard =
+      size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
+        size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
     val joinCond = blockCols.map(c => col(c) === col(s"${c}_r"))
-      .foldLeft(col("doc1") < col("doc2"))(_ && _)
+      .foldLeft(col("doc1") < col("doc2") && sizeGuard)(_ && _)
+    // Intersection cardinality: a codegen'd merge pass over the sorted
+    // packed arrays (graft.functions.SortedIntersectCount) instead of
+    // size(array_intersect(...)) — the latter builds a hash set per pair.
+    val inter =
+      if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+      else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+    val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
+    // The rand()*0 term is a no-op value-wise but makes the predicate
+    // non-deterministic, which pins the expensive jaccard filter ABOVE the
+    // join — otherwise the optimizer pushes it into the join condition
+    // ahead of the cheap guards and the intersect runs for every
+    // candidate pair (measured 2x slower at sf0.1).
     a.join(b, joinCond)
       .select(col("doc1"), col("doc2"),
-        TextAnalysis.jaccardPpm(col("sh1"), col("sh2")).as("jacc_ppm"))
-      .filter(col("jacc_ppm") >= minPpm)
+        floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+      .filter(col("jacc_ppm") + (rand(7) * lit(0.0)).cast("long") >= minPpm)
   }
-
-  /** MinHash signature: `perms` minimums of seeded xxhash64 over the
-    * shingle set (codegen'd; no UDF). */
-  def minHashSignature(shinglesCol: Column, perms: Int): Column =
-    array((0 until perms).map { p =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(p), s)))
-    }: _*)
 
   /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
     * matching signature slots, in ppm). `bands` × `rowsPerBand` = perms.
-    * Shape: explode to one row per (doc, band), shuffle on the band hash,
-    * pair within buckets, dedup pairs, estimate once per pair. */
+    *
+    * Signature shape built for scale: explode shingles to rows, hash each
+    * shingle ONCE (xxhash64 of the string), then take `perms` minimums of
+    * cheap long re-hashes under a partial (map-side) aggregate — the
+    * shuffle carries only `perms` longs per doc, and the string is never
+    * hashed more than once. (A naive per-permutation pass over the shingle
+    * array recomputes the array `perms` times — O(perms·n²) per doc.)
+    */
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -66,8 +88,18 @@ object Dedup {
       rowsPerBand: Int = 4,
       minEstPpm: Long = 500000L): DataFrame = {
     val perms = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("doc"),
-      minHashSignature(TextAnalysis.shingles(col(textCol), k), perms).as("sig"))
+    // non-distinct shingles: the min over a multiset equals the min over
+    // the set, so array_distinct is unnecessary work
+    val rawShingles = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - lit(k - 1), lit(1))),
+      i => col(textCol).substr(i, lit(k)))
+    val exploded = docs
+      .select(col(idCol).as("doc"), explode(rawShingles).as("s"))
+      .select(col("doc"), xxhash64(col("s")).as("h"))
+    val minAggs = (0 until perms).map(p => min(xxhash64(lit(p), col("h"))).as(s"m$p"))
+    val sigs = exploded.groupBy("doc")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
     val banded = sigs.select(col("doc"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

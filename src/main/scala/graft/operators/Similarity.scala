@@ -19,11 +19,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double
-    * (sequential left-to-right aggregate — deterministic). */
+    * (sequential left-to-right accumulation — deterministic; see
+    * [[graft.functions.FloatDotProduct]]). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.FloatDotProduct
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
@@ -63,25 +62,30 @@ object Similarity {
       k: Int, planes: Int = 16): DataFrame = {
     val chunkBits = planes / 4
     val chunkMask = (1L << chunkBits) - 1
-    def signed(df: DataFrame, id: String, vec: String) =
+    def signed(df: DataFrame, id: String, vec: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
+        sqrt(graft.functions.FloatDotProduct(col(vecCol), col(vecCol))).as(n),
         rhpSignature(col(vecCol), planes).as(s"${id}_sig"))
-    def chunked(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), col(vec),
+    def chunked(df: DataFrame, id: String, vec: String, n: String) =
+      df.select(col(id), col(vec), col(n),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
             shiftright(col(s"${id}_sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("cv"))
         }: _*)).as("cc"))
-        .select(col(id), col(vec), col("cc.chunk"), col("cc.cv"))
-    val cq = chunked(signed(queries, "qid", "qvec"), "qid", "qvec")
-    val cc = chunked(signed(corpus, "cand_id", "cvec"), "cand_id", "cvec")
+        .select(col(id), col(vec), col(n), col("cc.chunk"), col("cc.cv"))
+    // Norms are precomputed once per row — cosine per candidate pair then
+    // needs a single codegen'd dot product, not three.
+    val dot = graft.functions.FloatDotProduct
+    val cq = chunked(signed(queries, "qid", "qvec", "qn"), "qid", "qvec", "qn")
+    val cc = chunked(signed(corpus, "cand_id", "cvec", "cn"), "cand_id", "cvec", "cn")
     val cands = cq.join(cc,
         cq("chunk") === cc("chunk") && cq("cv") === cc("cv") &&
           col("cand_id") =!= col("qid"))
-      .select(col("qid"), col("cand_id"), col("qvec"), col("cvec"))
+      .select(col("qid"), col("cand_id"), col("qvec"), col("cvec"), col("qn"), col("cn"))
       .dropDuplicates("qid", "cand_id")
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
-    cands.select(col("qid"), col("cand_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+    cands.select(col("qid"), col("cand_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 }

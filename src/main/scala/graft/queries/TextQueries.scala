@@ -164,7 +164,10 @@ object TextQueries {
     "q_dedup_ngram" ->
       """WITH s AS (
         | SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS len_band,
-        |  list_distinct(list_transform(range(1, greatest(len(text)-2,1)+1), i -> text[i:i+2])) AS sh
+        |  list_distinct(list_transform(range(1, greatest(len(text)-2,1)+1),
+        |    i -> CAST(ascii(text[i:i]) AS BIGINT)*65536
+        |       + CAST(ascii(text[i+1:i+1]) AS BIGINT)*256
+        |       + CAST(ascii(text[i+2:i+2]) AS BIGINT))) AS sh
         | FROM documents)
         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
         | CAST(len(list_intersect(a.sh, b.sh)) * 1000000
