@@ -1,0 +1,64 @@
+package graft.state
+
+import graft.SparkTestBase
+import graft.model.KafkaKey
+import java.nio.file.Files
+
+class CompressorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val c = new Compressor(thresholdBytes = 64)
+
+  test("small payloads pass through with marker 0") {
+    val payload = "tiny".getBytes("UTF-8")
+    val framed = c.compress(payload)
+    assert(framed(0) == 0 && framed.length == payload.length + 1)
+    assert(c.decompress(framed).sameElements(payload))
+  }
+
+  test("large payloads compress above threshold and round-trip") {
+    val payload = ("abcdefgh" * 100).getBytes("UTF-8") // compressible, > 64
+    val framed = c.compress(payload)
+    assert(framed(0) == 1)
+    assert(framed.length < payload.length)
+    assert(c.decompress(framed).sameElements(payload))
+  }
+
+  test("unknown marker is rejected") {
+    intercept[IllegalArgumentException](c.decompress(Array[Byte](9, 1, 2)))
+  }
+}
+
+class ExternalSnapshotsSpec extends SparkTestBase {
+
+  test("append-only upsert resolves last-write-wins; tombstone deletes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snapstore").toString
+    val k = (key: String) => KafkaKey("app", "g", "t", 0, key)
+    // batch 1: k1@5, k2@6
+    ExternalSnapshots.upsert(Seq(
+      ExternalSnapshots.rowFor(k("k1"), 5L, "", "v1".getBytes),
+      ExternalSnapshots.rowFor(k("k2"), 6L, "", "v2".getBytes)).toDS(), dir)
+    // batch 2: k1@9 overwrites, k2@10 tombstone
+    ExternalSnapshots.upsert(Seq(
+      ExternalSnapshots.rowFor(k("k1"), 9L, "", "v1b".getBytes),
+      ExternalSnapshots.rowFor(k("k2"), 10L, "", null)).toDS(), dir)
+
+    val latest = ExternalSnapshots.readLatest(spark, dir, "app", "g")
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("offset"), new String(r.getAs[Array[Byte]]("value")))).toMap
+    assert(latest == Map("k1" -> ((9L, "v1b"))))
+
+    // stale write arriving late must NOT win (offset ordering, not arrival)
+    ExternalSnapshots.upsert(Seq(
+      ExternalSnapshots.rowFor(k("k1"), 7L, "", "stale".getBytes)).toDS(), dir)
+    val latest2 = ExternalSnapshots.readLatest(spark, dir, "app", "g")
+      .collect().map(r => r.getAs[String]("key") -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(latest2 == Map("k1" -> "v1b"))
+
+    // compaction preserves the resolved view
+    val compacted = Files.createTempDirectory("snapcompact").toString
+    ExternalSnapshots.compact(spark, dir, compacted)
+    val afterCompact = ExternalSnapshots.readLatest(spark, compacted, "app", "g")
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(afterCompact == Set("k1"))
+  }
+}
