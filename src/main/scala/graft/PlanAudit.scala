@@ -1,0 +1,48 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Prints plan-shape assertions for the declared queries — the evidence
+  * that filters reach the scan, projections prune, dims broadcast, and
+  * top-k avoids global sorts. Run: sbt "runMain graft.PlanAudit <sfDir>". */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+    def check(name: String, what: String)(cond: String => Boolean): Unit = {
+      val p = plan(name)
+      println(f"AUDIT ${if (cond(p)) "PASS" else "FAIL"}%-4s $name%-18s $what")
+    }
+
+    check("q1_agg", "quantity filter pushed to parquet scan")(
+      _.contains("PushedFilters: [IsNotNull(l_quantity), LessThanOrEqual(l_quantity,45"))
+    check("q1_agg", "scan reads only needed columns (pruning)")(p =>
+      p.contains("FileScan parquet [l_quantity#") && !p.contains("l_orderkey"))
+    check("q3_join", "segment filter pushed")(
+      _.contains("EqualTo(c_mktsegment,BUILDING)"))
+    check("q3_join", "top-10 by revenue = TakeOrderedAndProject, no global sort")(
+      _.contains("TakeOrderedAndProject"))
+    check("q5_join", "region+nation broadcast")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    check("q5_join", "date range pushed to orders scan")(
+      _.contains("GreaterThanOrEqual(o_orderdate"))
+    check("q_topk", "TakeOrderedAndProject (bounded top-k)")(
+      _.contains("TakeOrderedAndProject"))
+    check("q_window", "single shuffle for both window functions")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    check("q_session_agg", "sessionize = one hash shuffle")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    check("q_doc_stats", "scan prunes to (doc_id, text) only")(p =>
+      p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    check("q_knn_brute", "query set broadcast (map-side scan)")(
+      _.contains("BroadcastNestedLoopJoin"))
+    check("q_fold_count", "partial aggregation before shuffle")(p =>
+      p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+    spark.stop()
+  }
+}

@@ -138,6 +138,27 @@ object Relational {
       f.intersect(op).orderBy("custkey")
     },
 
+    // CUBE grouping sets over events (exact counts, decimal-exact sums).
+    "q_cube" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("bucket", pmod(col("user_id"), lit(10)))
+        .cube("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("bucket"))
+    },
+
+    // HLL sketches / approximate distinct (rows-only: estimates are
+    // engine-specific by design; exact-distinct parity is q_distinct).
+    "q_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("approx_supps"))
+        .orderBy("l_returnflag")
+    },
+
     // Set operation: EXCEPT (customers with no in-progress order).
     "q_except" -> { (s, dir) =>
       val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
@@ -210,6 +231,12 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY custkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     "q_except" ->
       """SELECT c_custkey AS custkey FROM customer

@@ -22,32 +22,37 @@ import scala.concurrent.duration._
   */
 object KafkaFlowSpark {
 
-  /** Kafka source → Record envelope. The source schema matches Record 1:1
-    * except headers (array<struct<key,value>> → map<string,string>). */
-  def fromKafka(spark: SparkSession, bootstrapServers: String, topics: String,
-                startingOffsets: String = "earliest"): Dataset[Record] = {
-    import spark.implicits._
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topics)
-      .option("startingOffsets", startingOffsets)
-      .option("includeHeaders", "true")
-      .load()
-      .select(
-        col("topic"),
-        col("partition"),
-        col("offset"),
-        col("timestamp"),
-        col("timestampType"),
-        col("key").cast("string").as("key"),
-        col("value"),
-        map_from_entries(
-          transform(coalesce(col("headers"), array()),
-            h => struct(h.getField("key"), h.getField("value").cast("string"))))
-          .as("headers"))
+  /** Kafka-source rows → Record envelope. The source schema matches Record
+    * 1:1 except headers (array<struct<key,value>> → map<string,string>).
+    * Factored out of [[fromKafka]] so the decode is testable without a
+    * broker (any DataFrame with the Kafka source schema works). */
+  def decodeKafka(df: DataFrame): Dataset[Record] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("topic"),
+      col("partition"),
+      col("offset"),
+      col("timestamp"),
+      col("timestampType"),
+      col("key").cast("string").as("key"),
+      col("value"),
+      map_from_entries(
+        transform(coalesce(col("headers"), array()),
+          h => struct(h.getField("key"), h.getField("value").cast("string"))))
+        .as("headers"))
       .as[Record]
   }
+
+  def fromKafka(spark: SparkSession, bootstrapServers: String, topics: String,
+                startingOffsets: String = "earliest"): Dataset[Record] =
+    decodeKafka(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topics)
+        .option("startingOffsets", startingOffsets)
+        .option("includeHeaders", "true")
+        .load())
 
   /** records → keyed fold changelog (see [[KeyFlow.flow]]). */
   def flow[S](
