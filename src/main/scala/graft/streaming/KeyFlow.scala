@@ -21,9 +21,13 @@ import scala.concurrent.duration.Duration
   *    state store IS the durable store, so on timeout we run the user tick
   *    and, if `removeOnIdle`, delete the key (state TTL).
   *  - `maxOffsetDifference` (offset-domain timers) has no Spark clock; the
-  *    processor tracks the max offset it has seen per key's partition and
-  *    unloads keys whose held offset lags more than this (advances only for
-  *    partitions receiving data — see SURVEY.md §7.4).
+  *    engine attaches a per-input-partition max-offset "clock" to each
+  *    batch (KeyFlow.withPartitionClock) and evicts keys whose held offset
+  *    lags more than this. NOTE: in the reference, unload evicts from
+  *    memory while Cassandra keeps the state; here eviction DELETES durable
+  *    state (tombstone) — pair with ExternalSnapshots if the reference's
+  *    persist-then-evict pattern is needed. The clock advances only for
+  *    partitions receiving data (SURVEY.md §7.4).
   */
 final case class KeyFlowConfig(
     maxIdle: Option[Duration] = None,
@@ -61,12 +65,34 @@ final case class KeyOutput[S](
   */
 object KeyFlow {
 
+  /** Record plus the max offset observed in its input partition this batch
+    * — the emulated partition-wide offset clock (SURVEY §7.4): it advances
+    * only for partitions receiving data, unlike the reference's clock which
+    * advances on every poll. */
+  final case class RecordEnv(record: Record, partitionMaxOffset: Long)
+
+  /** Attach the per-input-partition max offset to every record (one
+    * materialized pass per partition per batch — the same bound as the
+    * reference's poll batch, PartitionFlow.scala:160-176). */
+  def withPartitionClock(records: Dataset[Record])(
+      implicit env: Encoder[RecordEnv]): Dataset[RecordEnv] =
+    records.mapPartitions { it =>
+      val buf = it.toArray
+      if (buf.isEmpty) Iterator.empty
+      else {
+        var mx = Long.MinValue
+        var i = 0
+        while (i < buf.length) { if (buf(i).offset > mx) mx = buf(i).offset; i += 1 }
+        buf.iterator.map(r => RecordEnv(r, mx))
+      }
+    }
+
   def update[S](
       fold: FoldOption[S, Record],
       tick: TickOption[S],
       config: KeyFlowConfig)(
       key: String,
-      records: Iterator[Record],
+      records: Iterator[RecordEnv],
       state: GroupState[FlowState[S]]): Iterator[KeyOutput[S]] = {
 
     def setTimeout(): Unit =
@@ -90,7 +116,7 @@ object KeyFlow {
       // partition order, so sort the key's batch (bounded by per-key batch
       // volume — the reference materializes the same NonEmptyList per poll,
       // PartitionFlow.scala:160-176).
-      val sorted = records.toArray.sortBy(_.offset)
+      val sorted = records.toArray.sortBy(_.record.offset)
       if (sorted.isEmpty) {
         setTimeout()
         Iterator.empty
@@ -98,11 +124,13 @@ object KeyFlow {
         val prev = state.getOption
         var snapOffset = prev.map(_.snapshot.offset).getOrElse(Long.MinValue)
         var current: Option[S] = prev.map(_.snapshot.value)
-        var maxSeen = math.max(prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue), sorted.last.offset)
-        sorted.foreach { r =>
-          if (r.offset > snapOffset) { // replay dedup guard (P9)
-            current = fold.run(current, r)
-            snapOffset = r.offset
+        val maxSeen = math.max(
+          prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue),
+          sorted.iterator.map(_.partitionMaxOffset).max)
+        sorted.foreach { e =>
+          if (e.record.offset > snapOffset) { // replay dedup guard (P9)
+            current = fold.run(current, e.record)
+            snapOffset = e.record.offset
           }
         }
         val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
@@ -134,9 +162,13 @@ object KeyFlow {
     val timeout =
       if (config.maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    records
-      .filter((r: Record) => r.key != null)
-      .groupByKey((r: Record) => r.key)
+    val keyed = records.filter((r: Record) => r.key != null)
+    // the partition-clock pass is only paid when offset-lag unload is on
+    val enriched =
+      if (config.maxOffsetDifference.isDefined) withPartitionClock(keyed)
+      else keyed.map(r => RecordEnv(r, Long.MinValue))
+    enriched
+      .groupByKey((e: RecordEnv) => e.record.key)
       .flatMapGroupsWithState[FlowState[S], KeyOutput[S]](
         OutputMode.Update(), timeout)(update(fold, tick, config))
   }

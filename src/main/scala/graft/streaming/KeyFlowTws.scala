@@ -20,7 +20,7 @@ class KeyFlowProcessor[S](
     tick: TickOption[S],
     config: KeyFlowConfig,
     stateEnc: Encoder[FlowState[S]])
-  extends StatefulProcessor[String, Record, KeyOutput[S]] {
+  extends StatefulProcessor[String, KeyFlow.RecordEnv, KeyOutput[S]] {
 
   @transient private var state: ValueState[FlowState[S]] = _
 
@@ -29,18 +29,20 @@ class KeyFlowProcessor[S](
 
   override def handleInputRows(
       key: String,
-      rows: Iterator[Record],
+      rows: Iterator[KeyFlow.RecordEnv],
       timerValues: TimerValues): Iterator[KeyOutput[S]] = {
-    val sorted = rows.toArray.sortBy(_.offset)
+    val sorted = rows.toArray.sortBy(_.record.offset)
     if (sorted.isEmpty) return Iterator.empty
     val prev = if (state.exists) Option(state.get()) else None
     var snapOffset = prev.map(_.snapshot.offset).getOrElse(Long.MinValue)
     var current: Option[S] = prev.map(_.snapshot.value)
-    val maxSeen = math.max(prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue), sorted.last.offset)
-    sorted.foreach { r =>
-      if (r.offset > snapOffset) { // replay dedup guard (P9)
-        current = fold.run(current, r)
-        snapOffset = r.offset
+    val maxSeen = math.max(
+      prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue),
+      sorted.iterator.map(_.partitionMaxOffset).max)
+    sorted.foreach { e =>
+      if (e.record.offset > snapOffset) { // replay dedup guard (P9)
+        current = fold.run(current, e.record)
+        snapOffset = e.record.offset
       }
     }
     val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
@@ -98,9 +100,12 @@ object KeyFlowTws {
     import records.sparkSession.implicits._
     val timeMode =
       if (config.maxIdle.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-    records
-      .filter((r: Record) => r.key != null)
-      .groupByKey((r: Record) => r.key)
+    val keyed = records.filter((r: Record) => r.key != null)
+    val enriched =
+      if (config.maxOffsetDifference.isDefined) KeyFlow.withPartitionClock(keyed)
+      else keyed.map(r => KeyFlow.RecordEnv(r, Long.MinValue))
+    enriched
+      .groupByKey((e: KeyFlow.RecordEnv) => e.record.key)
       .transformWithState(
         new KeyFlowProcessor[S](fold, tick, config, stateEnc),
         timeMode,

@@ -143,6 +143,27 @@ class KeyFlowSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("maxOffsetDifference evicts keys lagging the partition offset clock") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Record]
+    val config = KeyFlowConfig(maxOffsetDifference = Some(10L))
+    // single input partition so the emulated partition clock is shared
+    val out = KeyFlow.flow(input.toDS().repartition(1), countFold,
+      graft.fold.TickOption.id[Long], config)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("offlag")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    // same batch: k1 at offset 0, k2 at offset 100 -> k1 lags by 100 > 10
+    input.addData(rec("k1", 0), rec("k2", 100))
+    q.processAllAvailable()
+    val latest1 = latest("offlag")
+    assert(latest1("k2") == Some(1L))
+    assert(latest1("k1") == None) // evicted: lag beyond maxOffsetDifference
+    q.stop()
+  }
+
   test("maxIdle timer ticks and unloads the key (T5, transformWithState)") {
     // Spark 4.1's stateful exec nodes NPE (PythonSQLMetrics / null session)
     // when constructed under the sbt test harness's thread context; the

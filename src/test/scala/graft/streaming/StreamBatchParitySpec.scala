@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import graft.fold.FoldOption
+import graft.model.Record
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** SURVEY §7.5: the stateful queries must agree between their batch
+  * (DataFrame) form and their streaming (MemoryStream replay) form. This
+  * replays the real sf0.001 `events` table through KeyFlow in several
+  * microbatches — with a partial replay overlap to exercise the
+  * at-least-once dedup guard — and asserts the final per-key states equal
+  * the batch aggregation exactly.
+  */
+class StreamBatchParitySpec extends SparkTestBase {
+
+  test("streaming fold over replayed events equals batch groupBy") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .collect()
+      .map(r => Record("events", 0, r.getLong(0), new Timestamp(0L), 0,
+        r.getLong(1).toString, r.getDouble(2).toString.getBytes("UTF-8"), Map.empty))
+      .sortBy(_.offset)
+
+    // count + exact decimal sum of the payload
+    val fold = FoldOption.of[(Long, BigDecimal), Record] { r =>
+      (1L, BigDecimal(new String(r.value, "UTF-8")))
+    } { (st, r) => (st._1 + 1, st._2 + BigDecimal(new String(r.value, "UTF-8"))) }
+
+    val input = MemoryStream[Record]
+    val out = KeyFlow.flow(input.toDS(), fold)
+    val ckpt = Files.createTempDirectory("parity-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("parity")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    // 3 microbatches; batch 2 re-sends the tail of batch 1 (replay overlap)
+    val (b1, rest) = events.splitAt(events.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b1.takeRight(50).toSeq ++ b2.toSeq); q.processAllAvailable()
+    input.addData(b3.toSeq); q.processAllAvailable()
+
+    val streamed = spark.table("parity").as[KeyOutput[(Long, BigDecimal)]]
+      .collect().groupBy(_.key)
+      .map { case (k, rows) => k -> rows.maxBy(_.offset).state.get }
+
+    val batch = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .collect()
+      .map(r => r.getLong(0).toString -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (n, total)) =>
+      assert(n == batch(k)._1, s"count mismatch for $k")
+      assert(total.compare(batch(k)._2) == 0, s"sum mismatch for $k")
+    }
+    q.stop()
+  }
+}
