@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{FloatDotProduct, SortedIntersectCount}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * as SQL functions so `spark.sql(...)` users get them too.
+  *
+  * Activate with `spark.sql.extensions=graft.GraftExtensions` (config must
+  * be set when the session is created).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "sorted_intersect_count(arrayA, arrayB)")
+        SortedIntersectCount(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("float_dot_product"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "float_dot_product(vecA, vecB)")
+        FloatDotProduct(exprs(0), exprs(1))
+      }))
+  }
+}
+
+/** Forked-JVM smoke for the extension registration (same pattern as
+  * TimerSmoke — fresh session required because extensions bind at session
+  * construction). Exits 0 iff both SQL functions evaluate correctly. */
+object ExtensionsSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val row = spark.sql(
+      """SELECT
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
+        |  float_dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                    array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp
+        |""".stripMargin).head()
+    val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12
+    spark.stop()
+    println(s"EXTENSIONS_SMOKE_OK=$ok")
+    sys.exit(if (ok) 0 else 1)
+  }
+}
