@@ -138,6 +138,29 @@ object Relational {
       f.intersect(op).orderBy("custkey")
     },
 
+    // Scalar function breadth: date/string/math over a deterministic
+    // subset, every expression mirrored 1:1 in the oracle.
+    "q_scalar_funcs" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          replace(col("o_orderpriority"), lit("-"), lit("_")).as("prio_snake"),
+          abs(col("o_custkey") - lit(750)).cast("long").as("dist"),
+          floor(sqrt(col("o_totalprice")) * 100).cast("long").as("sqrt_cents"),
+          pmod(col("o_orderkey"), lit(7)).as("bucket7"),
+          greatest(col("o_custkey"), col("o_orderkey")).as("gk"),
+          least(col("o_custkey"), col("o_orderkey")).as("lk"))
+        .orderBy("o_orderkey")
+    },
+
     // CUBE grouping sets over events (exact counts, decimal-exact sums).
     "q_cube" -> { (s, dir) =>
       Tables(s, dir, "events")
@@ -231,6 +254,21 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY custkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        | upper(o_orderpriority) AS prio_upper,
+        | substr(o_orderpriority, 1, 1) AS prio_code,
+        | CAST(len(o_orderpriority) AS BIGINT) AS prio_len,
+        | concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        | replace(o_orderpriority, '-', '_') AS prio_snake,
+        | CAST(abs(o_custkey - 750) AS BIGINT) AS dist,
+        | CAST(floor(sqrt(o_totalprice) * 100) AS BIGINT) AS sqrt_cents,
+        | o_orderkey % 7 AS bucket7,
+        | greatest(o_custkey, o_orderkey) AS gk,
+        | least(o_custkey, o_orderkey) AS lk
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
 
     "q_cube" ->
       """SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,

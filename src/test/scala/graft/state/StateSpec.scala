@@ -27,6 +27,27 @@ class CompressorSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class ExternalJournalSpec extends SparkTestBase {
+  import graft.fold.FoldOption
+  import graft.model.Record
+  import java.sql.Timestamp
+
+  private def rec(key: String, offset: Long, v: Long): Record =
+    Record("t", 0, offset, new Timestamp(0L), 0, key, v.toString.getBytes, Map.empty)
+
+  test("journal replay rebuilds state, dedups at-least-once appends") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("journal").toString
+    ExternalJournal.append(Seq(rec("k1", 0, 10), rec("k1", 1, 20), rec("k2", 0, 5)).toDS(), dir)
+    // at-least-once: offset 1 re-appended plus a new offset 2
+    ExternalJournal.append(Seq(rec("k1", 1, 20), rec("k1", 2, 30)).toDS(), dir)
+    val sum = FoldOption.of[Long, Record](r => new String(r.value).toLong)(
+      (s, r) => s + new String(r.value).toLong)
+    val states = ExternalJournal.replay(spark, dir, "t")(sum).collect().toMap
+    assert(states == Map("k1" -> 60L, "k2" -> 5L)) // 20 folded once
+  }
+}
+
 class ExternalSnapshotsSpec extends SparkTestBase {
 
   test("append-only upsert resolves last-write-wins; tombstone deletes") {
