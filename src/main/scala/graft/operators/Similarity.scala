@@ -53,6 +53,36 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** Near-duplicate PAIRS above a cosine threshold via the same chunk-LSH
+    * buckets — for self-dedup: ordered pairs (id1 < id2) so the symmetric
+    * candidate space is halved, and no per-query ranking window. */
+  def lshNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, planes: Int = 16): DataFrame = {
+    val chunkBits = planes / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val dot = graft.functions.FloatDotProduct
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("n"),
+      rhpSignature(col(vecCol), planes).as("sig"))
+    val chunked = base.select(col("id"), col("vec"), col("n"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("cv"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("vec"), col("n"), col("cc.chunk"), col("cc.cv"))
+    val l = chunked.select(col("id").as("qid"), col("vec").as("qvec"),
+      col("n").as("qn"), col("chunk"), col("cv"))
+    val r = chunked.select(col("id").as("cand_id"), col("vec").as("cvec"),
+      col("n").as("cn"), col("chunk").as("chunk_r"), col("cv").as("cv_r"))
+    l.join(r, col("chunk") === col("chunk_r") && col("cv") === col("cv_r") &&
+        col("qid") < col("cand_id"))
+      .dropDuplicates("qid", "cand_id")
+      .select(col("qid"), col("cand_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+      .filter(col("sim") + (rand(7) * lit(0.0)) >= minCosine)
+  }
+
   /** Approximate top-k: candidates share at least one of four signature
     * chunks (planes/4 bits each — tune to the corpus's similarity scale:
     * fewer bits = coarser buckets = higher recall, more candidates),

@@ -41,6 +41,18 @@ object FoldQueries {
     Tables(s, dir, "events").as[Event]
   }
 
+  /** Slim projections: typed aggregation deserializes the WHOLE object per
+    * row (no column pruning through lambdas), so each fold query projects
+    * to exactly the fields its fold reads before going typed. */
+  final case class KV(user_id: Long, value: Double)
+  final case class KT(user_id: Long, event_type: String)
+  final case class KTV(user_id: Long, event_type: String, value: Double)
+  final case class KP(user_id: Long, props: String)
+
+  private def slim[T](s: SparkSession, dir: String, cols: Seq[String])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    Tables(s, dir, "events").select(cols.map(col): _*).as[T]
+
   /** Double → exact 2-decimal BigDecimal, same rounding as the oracle's
     * CAST(x AS DECIMAL(18,2)). */
   private def dec(v: Double): BigDecimal =
@@ -59,8 +71,9 @@ object FoldQueries {
     // O1/O9 via Aggregator: per-key running count (the reference's golden
     // e2e fold, StatefulProcessingWithKafkaSpec.scala:308-327).
     "q_fold_count" -> { (s, dir) =>
-      val fold = FoldOption.of[Long, Event](_ => 1L)((n, _) => n + 1)
-      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      import s.implicits._
+      val fold = FoldOption.of[Long, Long](_ => 1L)((n, _) => n + 1)
+      slim[Long](s, dir, Seq("user_id")).groupByKey(identity)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)(_ + _).toColumn.name("n_events"))
         .toDF("user_id", "n_events")
         .orderBy("user_id")
@@ -68,8 +81,9 @@ object FoldQueries {
 
     // O1: counter fold over a money value (exact decimal accumulator).
     "q_fold_sum" -> { (s, dir) =>
-      val fold = FoldOption.of[BigDecimal, Event](e => dec(e.value))((st, e) => st + dec(e.value))
-      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      import s.implicits._
+      val fold = FoldOption.of[BigDecimal, KV](e => dec(e.value))((st, e) => st + dec(e.value))
+      slim[KV](s, dir, Seq("user_id", "value")).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)(_ + _).toColumn.name("total"))
         .toDF("user_id", "total")
         .select(col("user_id"), col("total").cast("decimal(38,2)").cast("double").as("total"))
@@ -78,8 +92,9 @@ object FoldQueries {
 
     // O5: filter combinator — fold only purchase events.
     "q_fold_filter" -> { (s, dir) =>
-      val fold = FoldOption.of[Long, Event](_ => 1L)((n, _) => n + 1).filter(_.event_type == "purchase")
-      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      import s.implicits._
+      val fold = FoldOption.of[Long, KT](_ => 1L)((n, _) => n + 1).filter(_.event_type == "purchase")
+      slim[KT](s, dir, Seq("user_id", "event_type")).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)(_ + _).toColumn.name("n_purchases"))
         .toDF("user_id", "n_purchases")
         .filter(col("n_purchases").isNotNull)
@@ -88,9 +103,10 @@ object FoldQueries {
 
     // O6: contraCollect — partial-function filter+map (clicks, doubled value).
     "q_fold_collect" -> { (s, dir) =>
+      import s.implicits._
       val base = FoldOption.of[BigDecimal, BigDecimal](identity)((st, d) => st + d)
-      val fold = base.contraCollect[Event] { case e if e.event_type == "click" => dec(e.value * 2) }
-      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      val fold = base.contraCollect[KTV] { case e if e.event_type == "click" => dec(e.value * 2) }
+      slim[KTV](s, dir, Seq("user_id", "event_type", "value")).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)(_ + _).toColumn.name("click_sum"))
         .toDF("user_id", "click_sum")
         .filter(col("click_sum").isNotNull)
@@ -100,8 +116,9 @@ object FoldQueries {
 
     // O2: contramap — decode the JSON payload before folding (J1 parity).
     "q_fold_contramap" -> { (s, dir) =>
-      val fold = FoldOption.of[Long, Long](identity)(_ + _).contramap[Event](e => parseK(e.props))
-      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      import s.implicits._
+      val fold = FoldOption.of[Long, Long](identity)(_ + _).contramap[KP](e => parseK(e.props))
+      slim[KP](s, dir, Seq("user_id", "props")).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)(_ + _).toColumn.name("k_sum"))
         .toDF("user_id", "k_sum")
         .orderBy("user_id")
@@ -109,14 +126,15 @@ object FoldQueries {
 
     // O7: handleErrorWith — failing step recovers into an error counter.
     "q_fold_error" -> { (s, dir) =>
-      val risky = FoldOption.of[(Long, Long), Event] { e =>
+      import s.implicits._
+      val risky = FoldOption.of[(Long, Long), KT] { e =>
         if (e.event_type == "error") throw new IllegalStateException("boom") else (1L, 0L)
       } { (st, e) =>
         if (e.event_type == "error") throw new IllegalStateException("boom")
         else (st._1 + 1, st._2)
       }
       val fold = risky.handleErrorWith((st, _) => Some(st.map(t => (t._1, t._2 + 1)).getOrElse((0L, 1L))))
-      events(s, dir).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      slim[KT](s, dir, Seq("user_id", "event_type")).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)((a, b) => (a._1 + b._1, a._2 + b._2)).toColumn.name("st"))
         .toDF("user_id", "st")
         .select(col("user_id"), col("st._1").as("n_ok"), col("st._2").as("n_error"))

@@ -41,8 +41,7 @@ object VectorQueries {
     // buckets (rows-only; threshold set to this corpus's similarity scale).
     "q_embedding_dedup" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 3)
-        .filter(col("sim") > 0.3)
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.3)
         .select(col("qid"), col("cand_id"),
           floor(col("sim") * 1000000).cast("long").as("sim_ppm"))
         .orderBy("qid", "cand_id")
