@@ -142,9 +142,11 @@ object TickOption {
   * stronger guarantee, so the shim records the request for observability
   * only.
   */
-final class KeyFlowExtras private[graft] () {
+final class KeyFlowExtras private[graft] () extends Serializable {
   @volatile private[graft] var persistRequests: Long = 0L
   def requestAdditionalPersist(): Unit = { persistRequests += 1 }
+  /** Task-local count of persist requests (observability only). */
+  def persistRequestCount: Long = persistRequests
 }
 
 /** Fold that also receives framework callbacks (reference

@@ -54,6 +54,21 @@ object KafkaFlowSpark {
         .option("includeHeaders", "true")
         .load())
 
+  /** Bounded batch read of a topic range — for backfills and journal
+    * replays over Kafka itself (same decode as the stream). */
+  def fromKafkaBatch(spark: SparkSession, bootstrapServers: String, topics: String,
+                     startingOffsets: String = "earliest",
+                     endingOffsets: String = "latest"): Dataset[Record] =
+    decodeKafka(
+      spark.read
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topics)
+        .option("startingOffsets", startingOffsets)
+        .option("endingOffsets", endingOffsets)
+        .option("includeHeaders", "true")
+        .load())
+
   /** records → keyed fold changelog (see [[KeyFlow.flow]]). */
   def flow[S](
       records: Dataset[Record],

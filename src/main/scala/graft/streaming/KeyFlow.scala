@@ -148,6 +148,23 @@ object KeyFlow {
     }
   }
 
+  /** Run an [[graft.fold.EnhancedFold]]: the fold receives framework
+    * callbacks (reference EnhancedFold.scala:20-48). The extras instance is
+    * task-local; its persist-request counter is observability only —
+    * persistence itself is per-microbatch and atomic (stronger than the
+    * reference's additional-persist, which exists to shrink the replay
+    * window between periodic flushes). */
+  def flowEnhanced[S](
+      records: Dataset[Record],
+      efold: graft.fold.EnhancedFold[S, Record],
+      tick: TickOption[S] = TickOption.id[S],
+      config: KeyFlowConfig = KeyFlowConfig())(
+      implicit stateEnc: Encoder[FlowState[S]],
+      outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
+    val extras = new graft.fold.KeyFlowExtras
+    flow(records, FoldOption[S, Record]((s, a) => efold.run(extras, s, a)), tick, config)
+  }
+
   /** Declarative entry: keyed stateful fold over a (possibly streaming)
     * Dataset[Record]. Null-key records are dropped (reference
     * PartitionFlow.scala:160-164). */

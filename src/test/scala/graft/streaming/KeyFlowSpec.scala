@@ -143,6 +143,27 @@ class KeyFlowSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("flowEnhanced runs an EnhancedFold with framework extras (O10)") {
+    import graft.fold.EnhancedFold
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Record]
+    // counts records and requests an additional persist every 2nd record
+    val efold = EnhancedFold[Long, Record] { (extras, s, _) =>
+      val n = s.getOrElse(0L) + 1
+      if (n % 2 == 0) extras.requestAdditionalPersist()
+      Some(n)
+    }
+    val out = KeyFlow.flowEnhanced(input.toDS(), efold)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("enh")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    input.addData(rec("k1", 0), rec("k1", 1), rec("k1", 2))
+    q.processAllAvailable()
+    assert(latest("enh") == Map("k1" -> Some(3L)))
+    q.stop()
+  }
+
   test("maxOffsetDifference evicts keys lagging the partition offset clock") {
     import spark.implicits._
     import scala.concurrent.duration._
