@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectOptimizerRule(_ => graft.functions.IntersectCountRewrite)
     extensions.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
@@ -48,9 +49,20 @@ object ExtensionsSmoke {
         |  float_dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |                    array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp
         |""".stripMargin).head()
-    val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12
+
+    // optimizer rule: the naive formulation must be rewritten to the
+    // native kernel (visible in the optimized plan) and agree on the value
+    val df = spark.range(3).selectExpr(
+      """size(array_intersect(
+        |  array_sort(array_distinct(array(id, id + 1, 5L))),
+        |  array_sort(array_distinct(array(id + 1, 7L))))) AS n""".stripMargin)
+    val rewritten = df.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count")
+    val n = df.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+
+    val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
+      rewritten && n == 3
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n)")
     sys.exit(if (ok) 0 else 1)
   }
 }
