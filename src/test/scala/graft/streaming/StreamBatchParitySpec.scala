@@ -67,4 +67,37 @@ class StreamBatchParitySpec extends SparkTestBase {
     }
     q.stop()
   }
+
+  test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => Record("events", 0, r.getLong(0), new java.sql.Timestamp(0L), 0,
+        r.getLong(1).toString, r.getString(2).getBytes("UTF-8"), Map.empty))
+
+    // keep-last fold; the engine's offset guard makes it max_by(event_id)
+    val last = FoldOption[String, Record]((_, r) => Some(new String(r.value, "UTF-8")))
+    val input = MemoryStream[Record]
+    val out = KeyFlow.flow(input.toDS(), last)
+    val q = out.writeStream.format("memory").queryName("paritylast")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("parity2").toString)
+      .start()
+    // deliberately out-of-order batches: old offsets replayed after new ones
+    val (hi, lo) = events.partition(_.offset % 3 == 0)
+    input.addData(hi.toSeq); q.processAllAvailable()
+    input.addData(lo.toSeq ++ hi.take(100).toSeq); q.processAllAvailable()
+
+    val streamed = spark.table("paritylast").as[KeyOutput[String]]
+      .collect().groupBy(_.key)
+      .map { case (k, rows) => k -> rows.maxBy(_.offset).state.get }
+    val batch = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(expr("max_by(event_type, event_id)").as("t"))
+      .collect().map(r => r.getLong(0).toString -> r.getString(1)).toMap
+    assert(streamed == batch)
+    q.stop()
+  }
 }
