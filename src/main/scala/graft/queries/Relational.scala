@@ -138,6 +138,17 @@ object Relational {
       f.intersect(op).orderBy("custkey")
     },
 
+    // Correlated scalar subquery (decorrelated by Catalyst into a join).
+    "q_scalar_subquery" -> { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS max_price
+          |FROM customer_v c ORDER BY c_custkey""".stripMargin)
+    },
+
     // Scalar function breadth: date/string/math over a deterministic
     // subset, every expression mirrored 1:1 in the oracle.
     "q_scalar_funcs" -> { (s, dir) =>
@@ -254,6 +265,12 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY custkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
