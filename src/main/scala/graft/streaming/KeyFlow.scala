@@ -32,7 +32,14 @@ import scala.concurrent.duration.Duration
 final case class KeyFlowConfig(
     maxIdle: Option[Duration] = None,
     removeOnIdle: Boolean = true,
-    maxOffsetDifference: Option[Long] = None)
+    maxOffsetDifference: Option[Long] = None,
+    namespaceByTopic: Boolean = false) {
+  /** Grouping key: the reference namespaces state by (topic, key) so equal
+    * keys on different topics never share state (KafkaKey.scala:6-11);
+    * opt in when subscribing to multiple topics. */
+  private[streaming] def keyOf(r: graft.model.Record): String =
+    if (namespaceByTopic) r.topic + "\u0001" + r.key else r.key
+}
 
 /** Durable per-key state: the user state wrapped in a [[Snapshot]] carrying
   * the offset up to which it is current (replay dedup, reference
@@ -185,7 +192,7 @@ object KeyFlow {
       if (config.maxOffsetDifference.isDefined) withPartitionClock(keyed)
       else keyed.map(r => RecordEnv(r, Long.MinValue))
     enriched
-      .groupByKey((e: RecordEnv) => e.record.key)
+      .groupByKey((e: RecordEnv) => config.keyOf(e.record))
       .flatMapGroupsWithState[FlowState[S], KeyOutput[S]](
         OutputMode.Update(), timeout)(update(fold, tick, config))
   }

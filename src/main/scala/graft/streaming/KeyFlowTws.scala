@@ -105,7 +105,7 @@ object KeyFlowTws {
       if (config.maxOffsetDifference.isDefined) KeyFlow.withPartitionClock(keyed)
       else keyed.map(r => KeyFlow.RecordEnv(r, Long.MinValue))
     enriched
-      .groupByKey((e: KeyFlow.RecordEnv) => e.record.key)
+      .groupByKey((e: KeyFlow.RecordEnv) => config.keyOf(e.record))
       .transformWithState(
         new KeyFlowProcessor[S](fold, tick, config, stateEnc),
         timeMode,

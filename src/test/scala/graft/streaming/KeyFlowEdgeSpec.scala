@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.fold.FoldOption
+import graft.model.Record
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Edge semantics: topic-namespaced state, poison-record resilience via
+  * handleErrorWith, and built-in streaming dedup within watermark. */
+class KeyFlowEdgeSpec extends SparkTestBase {
+
+  private def rec(topic: String, key: String, offset: Long, value: String = ""): Record =
+    Record(topic, 0, offset, new Timestamp(offset * 1000), 0, key,
+      value.getBytes("UTF-8"), Map.empty)
+
+  private val countFold: FoldOption[Long, Record] =
+    FoldOption.of[Long, Record](_ => 1L)((n, _) => n + 1)
+
+  test("namespaceByTopic keeps equal keys on different topics separate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Record]
+    val out = KeyFlow.flow(input.toDS(), countFold,
+      config = KeyFlowConfig(namespaceByTopic = true))
+    val q = out.writeStream.format("memory").queryName("ns")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ns").toString)
+      .start()
+    input.addData(rec("t1", "k", 0), rec("t1", "k", 1), rec("t2", "k", 0))
+    q.processAllAvailable()
+    val latest = spark.table("ns").as[KeyOutput[Long]].collect()
+      .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.offset).state }
+    assert(latest == Map("t1k" -> Some(2L), "t2k" -> Some(1L)))
+    q.stop()
+  }
+
+  test("poison records recover through handleErrorWith without killing the query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Record]
+    val risky = FoldOption.of[Long, Record] { r =>
+      if (new String(r.value, "UTF-8") == "poison") throw new IllegalStateException("boom")
+      1L
+    } { (n, r) =>
+      if (new String(r.value, "UTF-8") == "poison") throw new IllegalStateException("boom")
+      n + 1
+    }
+    val fold = risky.handleErrorWith((st, _) => st) // skip the poison record
+    val out = KeyFlow.flow(input.toDS(), fold)
+    val q = out.writeStream.format("memory").queryName("poison")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("poison").toString)
+      .start()
+    input.addData(rec("t", "k1", 0), rec("t", "k1", 1, "poison"), rec("t", "k1", 2))
+    q.processAllAvailable()
+    val latest = spark.table("poison").as[KeyOutput[Long]].collect().maxBy(_.offset)
+    assert(latest.state == Some(2L)) // poison skipped, stream alive
+    assert(latest.offset == 2L)      // offset still advanced past the poison
+    q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups an at-least-once stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val deduped = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("ddw")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ddw").toString)
+      .start()
+    val t0 = new Timestamp(1000L)
+    input.addData(("a", t0), ("a", t0), ("b", t0))
+    q.processAllAvailable()
+    input.addData(("a", new Timestamp(2000L))) // duplicate within watermark
+    q.processAllAvailable()
+    assert(spark.table("ddw").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    q.stop()
+  }
+}
