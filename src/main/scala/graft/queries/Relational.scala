@@ -138,6 +138,37 @@ object Relational {
       f.intersect(op).orderBy("custkey")
     },
 
+    // Pivot: event-type counts per user as columns (conditional agg).
+    "q_pivot" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // Per-group top-k: top-3 highest-value events per type (rank window,
+    // partial TakeOrdered per group at scale).
+    "q_topk_grouped" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    },
+
+    // Percentiles: interpolated median/p90 per event type (floor-scaled).
+    "q_percentiles" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          floor(expr("percentile(value, 0.5)") * 100).cast("long").as("med"),
+          floor(expr("percentile(value, 0.9)") * 100).cast("long").as("p90"))
+        .orderBy("event_type")
+    },
+
     // Correlated scalar subquery (decorrelated by Catalyst into a join).
     "q_scalar_subquery" -> { (s, dir) =>
       Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
@@ -265,6 +296,29 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY custkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_grouped" ->
+      """WITH r AS (
+        | SELECT event_type, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+        | FROM events)
+        |SELECT event_type, event_id, value, rnk FROM r WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        | CAST(floor(quantile_cont(value, 0.5) * 100) AS BIGINT) AS med,
+        | CAST(floor(quantile_cont(value, 0.9) * 100) AS BIGINT) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT c_custkey,
