@@ -53,6 +53,58 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** IVF (inverted-file) approximate top-k: KMeans centroids partition the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and re-ranks exactly inside them. The scale path when the
+    * corpus clusters: the index assignment is one MLlib fit + one
+    * projection, the search joins on a small cell id (hash shuffle on
+    * `nlist` keys), and the broadcast centroid table is tiny.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val spark = corpus.sparkSession
+    val dot = graft.functions.FloatDotProduct
+    val asVec = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(asVec)
+
+    // centroid table: (cell, centroid float array) — broadcast everywhere
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "centroid")
+
+    // index: each corpus vector in its nearest cell
+    val indexed = model.transform(asVec)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+        col("prediction").as("cell"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
+
+    // each query probes its nprobe nearest centroids
+    val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("qn"), col("cell"),
+        (dot(col("qvec"), col("centroid")) /
+          (col("qn") * sqrt(dot(col("centroid"), col("centroid"))))).as("csim"))
+    val wq = Window.partitionBy("qid").orderBy(desc("csim"), asc("cell"))
+    val probes = qScored.withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= nprobe)
+      .select("qid", "qvec", "qn", "cell")
+
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
+    probes.join(indexed, Seq("cell"))
+      .filter(col("cand_id") =!= col("qid"))
+      .select(col("qid"), col("cand_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Near-duplicate PAIRS above a cosine threshold via the same chunk-LSH
     * buckets — for self-dedup: ordered pairs (id1 < id2) so the symmetric
     * candidate space is halved, and no per-query ranking window. */

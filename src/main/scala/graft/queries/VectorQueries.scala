@@ -37,6 +37,18 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     },
 
+    // IVF (KMeans cells + probe-and-rerank) approximate neighbors
+    // (rows-only; recall vs brute force checked in PipelineOpsSpec).
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4)
+        .select(col("qid"), col("cand_id"), col("rnk"),
+          floor(col("sim") * 1000000).cast("long").as("sim_ppm"))
+        .orderBy("qid", "rnk")
+    },
+
     // Embedding near-duplicate pairs above a cosine threshold via LSH
     // buckets (rows-only; threshold set to this corpus's similarity scale).
     "q_embedding_dedup" -> { (s, dir) =>

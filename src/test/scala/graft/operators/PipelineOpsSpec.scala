@@ -77,6 +77,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(brute == lsh) // clusters are far apart -> LSH must find all
   }
 
+  test("IVF top-k achieves full recall on clustered vectors") {
+    import spark.implicits._
+    def v(base: Array[Float], eps: Float, d: Int) = {
+      val a = base.clone(); a(d) = a(d) + eps; a
+    }
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, v(e1, 0.01f * i, 3))) ++
+        (10 until 15).map(i => (i.toLong, v(e2, 0.01f * i, 4)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0 || col("vec_id") === 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("qid", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      nlist = 2, nprobe = 1)
+      .select("qid", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivf == brute) // clusters are far apart: 1 probe finds everything
+  }
+
   test("Multimodal decode stub: plumbing produces typed features") {
     import spark.implicits._
     val payloads = Multimodal.withPayload(docsDf(7L -> "hello world"), "doc_id", "text")
