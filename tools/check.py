@@ -22,6 +22,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     fail = 0
+    # rows-only queries (no oracle): non-empty output is the driver's check
+    import os
+    for d in sorted(os.listdir(out)):
+        if d in oracle or not os.path.isdir(f"{out}/{d}"):
+            continue
+        files = sorted(glob.glob(f"{out}/{d}/*.parquet"))
+        n = sum(pq.read_metadata(f).num_rows for f in files) if files else 0
+        status = "OK  " if n > 0 else "WARN"
+        if n == 0:
+            fail += 1
+        print(f"{status} {d} (rows-only, {n} rows)")
     for name, sql in sorted(oracle.items()):
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
