@@ -133,23 +133,38 @@ object Dedup {
   def simHash(textCol: Column): Column =
     simHashFromHashes(transform(split(textCol, " "), t => xxhash64(t)))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16),
-    * banded by the four 16-bit chunks: pairs within maxHamming ≤ 3 share
-    * at least one identical chunk (pigeonhole), so candidates come from
-    * four equi-joins, never a cross join. */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, banded
+    * into `maxHamming + 1` disjoint bit chunks: two 64-bit hashes within
+    * Hamming distance d agree on at least one of d+1 chunks (pigeonhole),
+    * so the equi-join candidate set is COMPLETE at the declared threshold
+    * and never a cross join. (A fixed 4-chunk banding is only complete for
+    * d ≤ 3 — round 1's silent recall hole.)
+    *
+    * Scale note: chunk width is 64/(d+1) bits, so bucket selectivity
+    * degrades as d grows (d=12 → 13 chunks of ~5 bits → 32-value buckets).
+    * On a large corpus declare the smallest radius you mean. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    // first `rem` chunks are one bit wider; offsets partition all 64 bits
+    val widths = Seq.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val hashed = docs
       .select(col(idCol).as("doc"),
         transform(split(col(textCol), " "), t => xxhash64(t)).as("__hs"))
       .select(col("doc"), simHashFromHashes(col("__hs")).as("sh"))
     val chunked = hashed.select(col("doc"), col("sh"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until nChunks).map { c =>
+        val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+          shiftright(col("sh"), offsets(c)).bitwiseAND(lit(mask)).as("cv"))
       }: _*)).as("cc"))
       .select(col("doc"), col("sh"), col("cc.chunk"), col("cc.cv"))
     chunked.as("l").join(chunked.as("r"),

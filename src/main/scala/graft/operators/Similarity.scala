@@ -55,50 +55,54 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k: KMeans centroids partition the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
-    * cells and re-ranks exactly inside them. The scale path when the
-    * corpus clusters: the index assignment is one MLlib fit + one
-    * projection, the search joins on a small cell id (hash shuffle on
-    * `nlist` keys), and the broadcast centroid table is tiny.
+    * cells and re-ranks exactly inside them.
+    *
+    * Split into build/search: [[IvfIndex.build]] fits centroids ONCE on a
+    * bounded sample (an index-build step, cached per `cacheKey`);
+    * [[ivfSearch]] then runs with zero ML stages. Round 1 refit KMeans on
+    * the full corpus inside every invocation — at 100 TB the fit dominates
+    * and reruns per call.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      cacheKey: Option[String] = None): DataFrame = {
+    val index = cacheKey match {
+      case Some(key) => IvfIndex.getOrBuild(key, corpus, vecCol, nlist, seed)
+      case None      => IvfIndex.build(corpus, vecCol, nlist, seed)
+    }
+    ivfSearch(corpus, queries, idCol, vecCol, k, index, nprobe)
+  }
 
-    val spark = corpus.sparkSession
+  /** IVF search against a prebuilt [[IvfIndex]]. Centroids are embedded as
+    * plan LITERALS (nlist × dim floats — tiny), so cell assignment and
+    * probe selection are map-side codegen'd expressions: no ML stage, no
+    * per-row UDF, no assignment shuffle. The only shuffles left are the
+    * candidate equi-join on `cell` and the final per-query top-k window.
+    *
+    * Squared L2 to centroid c is |v|² − 2·v·c + |c|²; |v|² is constant per
+    * row, so the argmin/ranking uses only (−2·v·c + |c|²). */
+  def ivfSearch(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, index: IvfIndex, nprobe: Int): DataFrame = {
     val dot = graft.functions.FloatDotProduct
-    val asVec = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(asVec)
-
-    // centroid table: (cell, centroid float array) — broadcast everywhere
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "centroid")
-
-    // index: each corpus vector in its nearest cell
-    val indexed = model.transform(asVec)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
-        col("prediction").as("cell"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
-
-    // each query probes its nprobe nearest centroids
-    val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
-      .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qvec"), col("qn"), col("cell"),
-        (dot(col("qvec"), col("centroid")) /
-          (col("qn") * sqrt(dot(col("centroid"), col("centroid"))))).as("csim"))
-    val wq = Window.partitionBy("qid").orderBy(desc("csim"), asc("cell"))
-    val probes = qScored.withColumn("prnk", row_number().over(wq))
-      .filter(col("prnk") <= nprobe)
-      .select("qid", "qvec", "qn", "cell")
-
+    def cellStructs(vec: Column) = index.centroids.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(-2.0) * dot(vec, typedlit(c)) + lit(cNormSq)).as("d"),
+        lit(i).as("cell"))
+    }
+    // nearest cell = least struct (d, cell) — deterministic tie-break
+    val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"),
+      least(cellStructs(col(vecCol)): _*).getField("cell").as("cell"))
+    // nprobe nearest cells per query: sort the static struct array, slice —
+    // map-side, no ranking window
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+        explode(slice(array_sort(array(cellStructs(col(vecCol)): _*)), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn"), col("p.cell").as("cell"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
-    probes.join(indexed, Seq("cell"))
+    probed.join(assigned, Seq("cell"))
       .filter(col("cand_id") =!= col("qid"))
       .select(col("qid"), col("cand_id"),
         (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))

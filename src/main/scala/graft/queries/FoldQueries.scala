@@ -258,7 +258,7 @@ object FoldQueries {
         |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_fold_contramap" ->
-      """SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+      """SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_fold_error" ->
@@ -296,8 +296,8 @@ object FoldQueries {
         |    CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
         |g AS (
-        |  SELECT user_id, ms, SUM(new_s) OVER
-        |    (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT user_id, ms, CAST(SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

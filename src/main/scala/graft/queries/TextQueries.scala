@@ -148,8 +148,8 @@ object TextQueries {
 
     "q_token_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
-        | SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS total_tokens,
-        | SUM(CAST(len(text) AS BIGINT)) AS total_chars
+        | CAST(SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS total_tokens,
+        | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_fingerprint" ->

@@ -38,12 +38,14 @@ object VectorQueries {
     },
 
     // IVF (KMeans cells + probe-and-rerank) approximate neighbors
-    // (rows-only; recall vs brute force checked in PipelineOpsSpec).
+    // (rows-only; recall vs brute force checked in PipelineOpsSpec). The
+    // index is built once per corpus dir and reused — the search plan
+    // itself has no ML stage (asserted in PipelineOpsSpec).
     "q_ann_ivf" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 4, cacheKey = Some(dir))
         .select(col("qid"), col("cand_id"), col("rnk"),
           floor(col("sim") * 1000000).cast("long").as("sim_ppm"))
         .orderBy("qid", "rnk")

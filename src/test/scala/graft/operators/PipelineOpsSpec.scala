@@ -50,6 +50,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.get((1L, 3L)).exists(_ <= 16))
   }
 
+  test("SimHash banding is exhaustive: pairs equal brute-force Hamming at the declared radius") {
+    import spark.implicits._
+    // doc i replaces the first 3i tokens of a 300-token base — a spread of
+    // Hamming distances, including several in (3, 12] that the round-1
+    // fixed-4-chunk banding could silently miss
+    val docs = (0 until 25).map { i =>
+      (i.toLong,
+        (0 until 300).map(j => if (j < i * 3) s"rep${i}_$j" else s"tok$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val maxH = 12
+    val hashed = df.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+    val bruteAll = hashed.as("l").join(hashed.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("int").as("h"))
+      .filter(col("h") <= maxH)
+      .as[(Long, Long, Int)].collect()
+    val brute = bruteAll.map(t => (t._1, t._2)).toSet
+    // the truth set must exercise the region the old banding couldn't see
+    assert(bruteAll.exists(_._3 > 3), "test data has no pair with distance in (3, 12]")
+    val banded = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = maxH)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(banded == brute) // complete recall AND exact precision
+  }
+
   test("Similarity.cosine matches hand computation") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
@@ -95,6 +120,20 @@ class PipelineOpsSpec extends SparkTestBase {
       nlist = 2, nprobe = 1)
       .select("qid", "cand_id").as[(Long, Long)].collect().toSet
     assert(ivf == brute) // clusters are far apart: 1 probe finds everything
+  }
+
+  test("IVF search plan has no ML fit or UDF stage (build is a separate step)") {
+    import spark.implicits._
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 2) 1.0f + 0.01f * i else 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val index = IvfIndex.build(emb, "embedding", nlist = 2, seed = 42L)
+    val out = Similarity.ivfSearch(emb, queries, "vec_id", "embedding", 3, index, nprobe = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "search plan must not contain a UDF stage")
+    assert(!plan.toLowerCase.contains("kmeans"), "search plan must not contain an ML stage")
+    assert(out.count() > 0)
   }
 
   test("Multimodal decode stub: plumbing produces typed features") {

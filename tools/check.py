@@ -40,7 +40,17 @@ def main():
         spark_df = pd.concat([pq.read_table(p).to_pandas() for p in files],
                              ignore_index=True)
         try:
-            duck_df = con.sql(sql).df()
+            rel = con.sql(sql)
+            # The driver's hash is type-sensitive: a DuckDB HUGEINT column
+            # (bare SUM over integers) never matches Spark's BIGINT even when
+            # values agree. Catch it at the source.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                      f"wrap in CAST(... AS BIGINT)")
+                fail += 1; continue
+            duck_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
         a = spark_df[sorted(spark_df.columns)]
@@ -49,17 +59,32 @@ def main():
             print(f"FAIL {name}: cols {list(a.columns)} vs {list(b.columns)}")
             fail += 1; continue
         cols = list(a.columns)
-        a = a.sort_values(by=cols).reset_index(drop=True)
-        b = b.sort_values(by=cols).reset_index(drop=True)
-        if len(a) != len(b):
-            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); fail += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                          check_exact=True)
-            print(f"OK   {name} ({len(a)} rows)")
-        except AssertionError as e:
-            print(f"FAIL {name}: {str(e)[:400]}"); fail += 1
+        # dtype-kind compare (was check_dtype=False, which let HUGEINT→object
+        # drift through). Allow int-vs-float only for nullable-int promotion
+        # (pandas turns a nullable int column into float64 with NaN).
+        for c in cols:
+            ka, kb = a[c].dtype.kind, b[c].dtype.kind
+            if ka == kb:
+                continue
+            numeric = {"i", "u", "f"}
+            promoted = (ka in numeric and kb in numeric and
+                        (a[c].isna().any() or b[c].isna().any()))
+            if not promoted:
+                print(f"FAIL {name}: dtype mismatch on '{c}': "
+                      f"spark {a[c].dtype} vs oracle {b[c].dtype}")
+                fail += 1; break
+        else:
+            a = a.sort_values(by=cols).reset_index(drop=True)
+            b = b.sort_values(by=cols).reset_index(drop=True)
+            if len(a) != len(b):
+                print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); fail += 1
+                continue
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                              check_exact=True)
+                print(f"OK   {name} ({len(a)} rows)")
+            except AssertionError as e:
+                print(f"FAIL {name}: {str(e)[:400]}"); fail += 1
     print("FAILURES:", fail)
     sys.exit(1 if fail else 0)
 
