@@ -59,10 +59,21 @@ object ExtensionsSmoke {
     val rewritten = df.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count")
     val n = df.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
 
+    // nullable ELEMENTS (containsNull=true on a non-nullable array) must
+    // NOT be rewritten — the kernel's getLong would read garbage from null
+    // slots; array_intersect's null semantics must be preserved
+    val dfNullable = spark.range(3).selectExpr(
+      """size(array_intersect(
+        |  array_sort(array_distinct(array(CASE WHEN id > 0 THEN id END, 5L))),
+        |  array_sort(array_distinct(array(id + 1, 5L))))) AS n""".stripMargin)
+    val notRewritten =
+      !dfNullable.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count")
+    val n2 = dfNullable.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
-      rewritten && n == 3
+      rewritten && n == 3 && notRewritten && n2 == 3
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -37,7 +37,11 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
       child.isInstanceOf[ArrayDistinct] &&
         isAscendingComparator(comparator) &&
         (e.dataType match {
-          case ArrayType(LongType, containsNull) => !containsNull || !child.nullable
+          // ELEMENT nullability must be false: a non-nullable array can
+          // still hold null slots (containsNull=true), and the merge-pass
+          // kernel reads elements with getLong — rewriting there would
+          // diverge from array_intersect's null semantics.
+          case ArrayType(LongType, containsNull) => !containsNull
           case _ => false
         })
     case _ => false

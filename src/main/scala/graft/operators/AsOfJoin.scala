@@ -33,18 +33,24 @@ object AsOfJoin {
     val rightSide = 1 - leftSide
     val leftOut = left.columns.toSeq
 
-    // Align both sides on (leftCols ++ payload ++ __side); absent columns
-    // become typed nulls so unionByName stays schema-exact.
-    val l = payload.foldLeft(left) { (df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }.withColumn("__side", lit(leftSide))
+    // Align both sides on (leftCols ++ __p ++ __side); absent columns
+    // become typed nulls so unionByName stays schema-exact. The payload
+    // travels as ONE struct: right rows carry a non-null struct (even when
+    // every payload VALUE is null), left rows a null struct.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
+    val l = left
+      .withColumn("__p", lit(null).cast(payloadType))
+      .withColumn("__side", lit(leftSide))
 
     val extraLeft = leftOut.diff(on ++ orderCols)
-    val r = extraLeft.foldLeft(right.select((on ++ orderCols ++ payload).map(col): _*)) {
+    val r = extraLeft.foldLeft(
+        right.select((on ++ orderCols).map(col) :+
+          struct(payload.map(col): _*).as("__p"): _*)) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.withColumn("__side", lit(rightSide))
 
-    val cols = (leftOut ++ payload :+ "__side").map(col)
+    val cols = (leftOut :+ "__p" :+ "__side").map(col)
     val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
 
     // Rows frame ending at the current row: at equal order values the side
@@ -54,9 +60,14 @@ object AsOfJoin {
       .orderBy(orderCols.map(col) :+ col("__side"): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    // ONE ignoreNulls fill of the whole struct: every payload column comes
+    // from the SAME (latest) right row. Filling columns independently would
+    // skip a matching right row whose value is genuinely NULL and silently
+    // mix values from different right rows.
+    val filled = unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(filled) { (df, p) =>
+      df.withColumn(p, col("__p").getField(p))
     }
-    filled.filter(col("__side") === leftSide).drop("__side")
+    unpacked.filter(col("__side") === leftSide).drop("__side", "__p")
   }
 }

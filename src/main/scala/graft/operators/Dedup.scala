@@ -58,15 +58,14 @@ object Dedup {
       if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
       else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
     val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
-    // The rand()*0 term is a no-op value-wise but makes the predicate
-    // non-deterministic, which pins the expensive jaccard filter ABOVE the
-    // join — otherwise the optimizer pushes it into the join condition
-    // ahead of the cheap guards and the intersect runs for every
-    // candidate pair (measured 2x slower at sf0.1).
+    // Barrier pins the expensive jaccard filter ABOVE the join — otherwise
+    // the optimizer pushes it into the join condition ahead of the cheap
+    // guards and the intersect runs for every candidate pair (see
+    // graft.functions.PushdownBarrier).
     a.join(b, joinCond)
       .select(col("doc1"), col("doc2"),
         floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
-      .filter(col("jacc_ppm") + (rand(7) * lit(0.0)).cast("long") >= minPpm)
+      .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
   }
 
   /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
@@ -79,14 +78,12 @@ object Dedup {
     * hashed more than once. (A naive per-permutation pass over the shingle
     * array recomputes the array `perms` times — O(perms·n²) per doc.)
     */
-  def minhashLshPairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int = 5,
-      bands: Int = 16,
-      rowsPerBand: Int = 4,
-      minEstPpm: Long = 500000L): DataFrame = {
+  /** (doc, sig, band, bh) rows: MinHash signatures + banded LSH bucket
+    * keys. Shared candidate-generation core of [[minhashLshPairs]] and
+    * [[lshVerifiedPairs]]. */
+  private def lshBanded(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val perms = bands * rowsPerBand
     // non-distinct shingles: the min over a multiset equals the min over
     // the set, so array_distinct is unnecessary work
@@ -100,12 +97,24 @@ object Dedup {
     val sigs = exploded.groupBy("doc")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
-    val banded = sigs.select(col("doc"), col("sig"),
+    sigs.select(col("doc"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc"), col("sig"), col("bb.band"), col("bb.bh"))
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minEstPpm: Long = 500000L): DataFrame = {
+    val perms = bands * rowsPerBand
+    val banded = lshBanded(docs, idCol, textCol, k, bands, rowsPerBand)
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
@@ -116,6 +125,53 @@ object Dedup {
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
           .cast("long") * lit(1000000L) / lit(perms.toLong)).cast("long").as("est_jacc_ppm"))
       .filter(col("est_jacc_ppm") >= minEstPpm)
+  }
+
+  /** Scale-safe exact near-dup: MinHash-LSH candidate generation → EXACT
+    * k-shingle Jaccard verification with the codegen'd merge-pass
+    * intersect. This is the recommended big-corpus path, replacing blocked
+    * all-pairs ([[ngramJaccardPairs]]): candidate volume is bounded by LSH
+    * bucket collisions (tuned by bands × rowsPerBand) instead of growing
+    * quadratically with block population. Recall is LSH recall at the
+    * threshold (1−(1−s^r)^b ≈ 0.9998 at s=0.8 with 16×4); every emitted
+    * pair's `jacc_ppm` is exact, so precision is exact.
+    *
+    * Scale shape: one shuffle for the signature agg (map-side partial
+    * mins, `bands × rowsPerBand` longs per doc), a bucket equi-join whose
+    * pair shuffle carries only id pairs (signatures are dropped before the
+    * join), and two hash joins back to the shingle table for verification.
+    */
+  def lshVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minPpm: Long = 800000L): DataFrame = {
+    val banded = lshBanded(docs, idCol, textCol, k, bands, rowsPerBand)
+      .select("doc", "band", "bh")
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    val sh = docs.select(col(idCol).as("doc"),
+      array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"))
+    val withSh = cands
+      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
+    // same provably result-equivalent size-ratio prefilter as
+    // ngramJaccardPairs: J ≤ min(|A|,|B|)/max(|A|,|B|)
+    val sizeGuard =
+      size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
+        size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
+    val inter = graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+    val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
+    withSh.filter(sizeGuard)
+      .select(col("doc1"), col("doc2"),
+        floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+      .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
   }
 
   /** 64-bit SimHash from a column of token hashes: bit j is 1 iff the sum

@@ -136,7 +136,7 @@ object Similarity {
       .dropDuplicates("qid", "cand_id")
       .select(col("qid"), col("cand_id"),
         (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
-      .filter(col("sim") + (rand(7) * lit(0.0)) >= minCosine)
+      .filter(graft.functions.PushdownBarrier.double(col("sim")) >= minCosine)
   }
 
   /** Approximate top-k: candidates share at least one of four signature

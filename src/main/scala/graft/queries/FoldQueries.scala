@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Order-insensitive folds run through [[FoldAggregator]] (map-side partial
   * agg); order-sensitive folds run through [[OrderedFold]] (single shuffle +
-  * secondary sort). Money sums use exact decimal accumulators so results are
-  * independent of merge order — see Relational for the rationale.
+  * secondary sort). Money sums accumulate exact Long CENTS (2-decimal
+  * values, rescaled to double at finish) so results are independent of
+  * merge order and the hot fold loop is allocation-free — a BigDecimal
+  * buffer pays a Decimal encode/decode per row in the typed path.
   */
 object FoldQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -24,8 +26,8 @@ object FoldQueries {
   /** Snapshot payload for q_fold_last. */
   final case class Last(value: Double, event_type: String)
 
-  /** State for q_fold_flatmap: counts + parity-split exact sums. */
-  final case class PState(n: Long, nOdd: Long, nEven: Long, odd: BigDecimal, even: BigDecimal)
+  /** State for q_fold_flatmap: counts + parity-split exact cent sums. */
+  final case class PState(n: Long, nOdd: Long, nEven: Long, odd: Long, even: Long)
 
   /** `events` row; ts is nanoseconds-since-epoch (see Tables). */
   final case class Event(
@@ -53,10 +55,16 @@ object FoldQueries {
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
     Tables(s, dir, "events").select(cols.map(col): _*).as[T]
 
-  /** Double → exact 2-decimal BigDecimal, same rounding as the oracle's
-    * CAST(x AS DECIMAL(18,2)). */
-  private def dec(v: Double): BigDecimal =
-    BigDecimal(java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP))
+  /** Double → exact cents (2-decimal HALF_UP, same rounding as the oracle's
+    * CAST(x AS DECIMAL(18,2))). Goes through the decimal STRING value of the
+    * double (BigDecimal.valueOf) — `Math.round(v * 100)` rounds the binary
+    * product and diverges on values like 0.285. The fold then accumulates
+    * plain Longs; cents/100.0 at finish is correctly rounded, identical to
+    * DuckDB's decimal(…,2) → double cast. */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 
   /** props are tiny JSON objects like {"k": 87}; this is the "user codec"
     * of the fold (reference JournalParser.scala:16-90 decodes payloads the
@@ -79,14 +87,14 @@ object FoldQueries {
         .orderBy("user_id")
     },
 
-    // O1: counter fold over a money value (exact decimal accumulator).
+    // O1: counter fold over a money value (exact Long-cents accumulator).
     "q_fold_sum" -> { (s, dir) =>
       import s.implicits._
-      val fold = FoldOption.of[BigDecimal, KV](e => dec(e.value))((st, e) => st + dec(e.value))
+      val fold = FoldOption.of[Long, KV](e => cents(e.value))((st, e) => st + cents(e.value))
       slim[KV](s, dir, Seq("user_id", "value")).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)(_ + _).toColumn.name("total"))
         .toDF("user_id", "total")
-        .select(col("user_id"), col("total").cast("decimal(38,2)").cast("double").as("total"))
+        .select(col("user_id"), (col("total").cast("double") / lit(100.0)).as("total"))
         .orderBy("user_id")
     },
 
@@ -104,13 +112,13 @@ object FoldQueries {
     // O6: contraCollect — partial-function filter+map (clicks, doubled value).
     "q_fold_collect" -> { (s, dir) =>
       import s.implicits._
-      val base = FoldOption.of[BigDecimal, BigDecimal](identity)((st, d) => st + d)
-      val fold = base.contraCollect[KTV] { case e if e.event_type == "click" => dec(e.value * 2) }
+      val base = FoldOption.of[Long, Long](identity)((st, d) => st + d)
+      val fold = base.contraCollect[KTV] { case e if e.event_type == "click" => cents(e.value * 2) }
       slim[KTV](s, dir, Seq("user_id", "event_type", "value")).groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
         .agg(FoldAggregator(fold)(_ + _).toColumn.name("click_sum"))
         .toDF("user_id", "click_sum")
         .filter(col("click_sum").isNotNull)
-        .select(col("user_id"), col("click_sum").cast("decimal(38,2)").cast("double").as("click_sum"))
+        .select(col("user_id"), (col("click_sum").cast("double") / lit(100.0)).as("click_sum"))
         .orderBy("user_id")
     },
 
@@ -164,12 +172,12 @@ object FoldQueries {
     // O4: flatMap — second fold chosen from the state (parity of position).
     "q_fold_flatmap" -> { (s, dir) =>
       import s.implicits._
-      val incr = FoldOption.of[PState, Event](_ => PState(1L, 0L, 0L, BigDecimal(0), BigDecimal(0)))(
+      val incr = FoldOption.of[PState, Event](_ => PState(1L, 0L, 0L, 0L, 0L))(
         (st, _) => st.copy(n = st.n + 1))
       val addOdd = FoldOption[PState, Event]((st, e) =>
-        st.map(p => p.copy(nOdd = p.nOdd + 1, odd = p.odd + dec(e.value))))
+        st.map(p => p.copy(nOdd = p.nOdd + 1, odd = p.odd + cents(e.value))))
       val addEven = FoldOption[PState, Event]((st, e) =>
-        st.map(p => p.copy(nEven = p.nEven + 1, even = p.even + dec(e.value))))
+        st.map(p => p.copy(nEven = p.nEven + 1, even = p.even + cents(e.value))))
       val fold = incr.flatMap {
         case Some(p) if p.n % 2 == 1 => addOdd
         case _ => addEven
@@ -183,8 +191,8 @@ object FoldQueries {
         .toDF("user_id", "odd_sum", "even_sum")
         .select(
           col("user_id"),
-          col("odd_sum").cast("decimal(38,2)").cast("double").as("odd_sum"),
-          col("even_sum").cast("decimal(38,2)").cast("double").as("even_sum"))
+          (col("odd_sum").cast("double") / lit(100.0)).as("odd_sum"),
+          (col("even_sum").cast("double") / lit(100.0)).as("even_sum"))
         .orderBy("user_id")
     },
 
@@ -223,6 +231,43 @@ object FoldQueries {
         payload = Seq("click_id"), strict = true)
         .select("event_id", "user_id", "click_id")
         .orderBy("event_id")
+    },
+
+    // J1 JournalParser parity: encode events into kafka-journal wire
+    // records (JSON envelope + action header, 3 events per append), decode
+    // with graft.streaming.JournalParser, and aggregate the decoded
+    // payloads. encode∘decode is the identity on the data, so the oracle
+    // computes the same aggregate straight from `events` — the Spark side
+    // genuinely round-trips through from_json.
+    "q_journal_decode" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val e = Tables(s, dir, "events").select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val enc = e.withColumn("bucket", floor(col("event_id") / 3))
+        .groupBy("user_id", "bucket")
+        .agg(sort_array(collect_list(struct(col("event_id"), col("k")))).as("evs"))
+        .select(
+          col("user_id").cast("string").as("key"),
+          to_json(struct(transform(col("evs"), ev =>
+            struct(
+              ev.getField("event_id").as("seqNr"),
+              array().cast("array<string>").as("tags"),
+              struct(struct(ev.getField("k").as("k")).as("payload")).as("payload")))
+            .as("events"))).as("value"),
+          map(lit(graft.streaming.JournalParser.ActionHeaderKey),
+            to_json(struct(struct(
+              struct(
+                element_at(col("evs"), 1).getField("event_id").as("from"),
+                element_at(col("evs"), -1).getField("event_id").as("to")).as("range"),
+              lit("json").as("payloadType")).as("append")))).as("headers"))
+      val decoded = graft.streaming.JournalParser.toEvents(
+        enc, payloadSchema = new StructType().add("k", LongType))
+      decoded.groupBy(col("key").cast("long").as("user_id"))
+        .agg(
+          sum(col("payload.k")).as("k_sum"),
+          count(lit(1)).as("n_events"),
+          max(col("seq_nr")).as("max_seq"))
+        .orderBy("user_id")
     },
 
     // T5/T6 analogue: unload idle keys — snapshot only keys active in the
@@ -314,6 +359,13 @@ object FoldQueries {
         |  FROM e)
         |SELECT event_id, user_id, click_id FROM f WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q_journal_decode" ->
+      """SELECT user_id,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | COUNT(*) AS n_events,
+        | MAX(event_id) AS max_seq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_unload_idle" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),

@@ -75,6 +75,17 @@ object TextQueries {
         .orderBy("doc1", "doc2")
     },
 
+    // Scale-safe exact near-dup: LSH candidates → exact Jaccard verify
+    // (rows-only: xxhash64 candidate gen; PipelineOpsSpec proves the pair
+    // set ⊇ the blocked-all-pairs set with identical exact scores). The
+    // recommended big-corpus path — candidate volume is bounded by LSH
+    // buckets, not block population.
+    "q_dedup_lsh_verified" -> { (s, dir) =>
+      Dedup.lshVerifiedPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, minPpm = 800000L)
+        .orderBy("doc1", "doc2")
+    },
+
     // MinHash-LSH candidates (rows-only: bucket join + estimate).
     "q_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",

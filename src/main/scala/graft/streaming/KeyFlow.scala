@@ -72,25 +72,39 @@ final case class KeyOutput[S](
   */
 object KeyFlow {
 
-  /** Record plus the max offset observed in its input partition this batch
-    * — the emulated partition-wide offset clock (SURVEY §7.4): it advances
-    * only for partitions receiving data, unlike the reference's clock which
-    * advances on every poll. */
+  /** Record plus the max offset observed in its OWN source
+    * (topic, partition) this batch — the emulated partition-wide offset
+    * clock (SURVEY §7.4): it advances only for partitions receiving data,
+    * unlike the reference's clock which advances on every poll. */
   final case class RecordEnv(record: Record, partitionMaxOffset: Long)
 
-  /** Attach the per-input-partition max offset to every record (one
-    * materialized pass per partition per batch — the same bound as the
-    * reference's poll batch, PartitionFlow.scala:160-176). */
+  /** Attach the per-(topic, partition) max offset to every record (one
+    * materialized pass per Spark partition per batch — the same bound as
+    * the reference's poll batch, PartitionFlow.scala:160-176).
+    *
+    * Offsets are only comparable within ONE source (topic, partition), and
+    * a Spark partition can hold several (upstream coalesce/repartition,
+    * multi-topic subscribe) — so each record gets the clock of its own
+    * source partition, never the Spark-partition-wide max: comparing a
+    * key's offset against another source partition's clock could wrongly
+    * tombstone durable state. (A Kafka key lives in exactly one partition
+    * of its topic, so the per-key lag check then sees one clock domain.) */
   def withPartitionClock(records: Dataset[Record])(
       implicit env: Encoder[RecordEnv]): Dataset[RecordEnv] =
     records.mapPartitions { it =>
       val buf = it.toArray
       if (buf.isEmpty) Iterator.empty
       else {
-        var mx = Long.MinValue
+        val clocks = scala.collection.mutable.HashMap.empty[(String, Int), Long]
         var i = 0
-        while (i < buf.length) { if (buf(i).offset > mx) mx = buf(i).offset; i += 1 }
-        buf.iterator.map(r => RecordEnv(r, mx))
+        while (i < buf.length) {
+          val r = buf(i)
+          val k = (r.topic, r.partition)
+          val prev = clocks.getOrElse(k, Long.MinValue)
+          if (r.offset > prev) clocks.update(k, r.offset)
+          i += 1
+        }
+        buf.iterator.map(r => RecordEnv(r, clocks((r.topic, r.partition))))
       }
     }
 

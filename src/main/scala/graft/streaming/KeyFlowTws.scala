@@ -46,13 +46,23 @@ class KeyFlowProcessor[S](
       }
     }
     val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
+    // The previously registered timer expires at prev.processedAtMs +
+    // maxIdle exactly (processedAtMs is kept in lockstep with every
+    // registerTimer call), so it can be deleted precisely — otherwise one
+    // obsolete timer accumulates per active batch until it fires and no-ops.
+    def deletePrevTimer(): Unit =
+      for (d <- config.maxIdle; p <- prev) getHandle.deleteTimer(p.processedAtMs + d.toMillis)
     current match {
       case Some(s) if !lagged =>
         val now = timerValues.getCurrentProcessingTimeInMs()
         state.update(FlowState(Snapshot(snapOffset, "", s), now, maxSeen))
-        config.maxIdle.foreach(d => getHandle.registerTimer(now + d.toMillis))
+        config.maxIdle.foreach { d =>
+          deletePrevTimer()
+          getHandle.registerTimer(now + d.toMillis)
+        }
         Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
       case _ =>
+        deletePrevTimer() // removed keys must not leave a pending timer
         state.clear()
         Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
     }
@@ -64,11 +74,13 @@ class KeyFlowProcessor[S](
       expiredTimerInfo: ExpiredTimerInfo): Iterator[KeyOutput[S]] = {
     if (!state.exists) return Iterator.empty
     val st = state.get()
-    val idleSince = st.processedAtMs
-    val freshEnough = config.maxIdle.exists(d =>
-      expiredTimerInfo.getExpiryTimeInMs() < idleSince + d.toMillis)
-    if (freshEnough) {
-      // stale timer from an earlier batch; the key has been active since
+    // expiry < processedAt + maxIdle ⇒ the key was active AFTER this timer
+    // was registered — the timer is stale (belt-and-braces: active batches
+    // delete their previous timer, but a timer can still race the batch
+    // that supersedes it)
+    val stale = config.maxIdle.exists(d =>
+      expiredTimerInfo.getExpiryTimeInMs() < st.processedAtMs + d.toMillis)
+    if (stale) {
       Iterator.empty
     } else {
       val ticked = tick.run(Some(st.snapshot.value))
@@ -77,9 +89,12 @@ class KeyFlowProcessor[S](
         state.clear()
         Iterator.single(KeyOutput[S](key, st.snapshot.offset, None, tombstone = true))
       } else {
-        state.update(st.copy(snapshot = st.snapshot.copy(value = ticked.get)))
-        config.maxIdle.foreach(d =>
-          getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + d.toMillis))
+        // processedAtMs moves with the re-registered timer so the stale
+        // check and precise timer deletion stay exact
+        val now = timerValues.getCurrentProcessingTimeInMs()
+        state.update(st.copy(
+          snapshot = st.snapshot.copy(value = ticked.get), processedAtMs = now))
+        config.maxIdle.foreach(d => getHandle.registerTimer(now + d.toMillis))
         Iterator.single(KeyOutput(key, st.snapshot.offset, ticked, tombstone = false))
       }
     }

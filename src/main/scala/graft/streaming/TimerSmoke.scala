@@ -45,12 +45,15 @@ object TimerSmoke {
       .start()
 
     input.addData(rec("k1", 0))
+    Thread.sleep(400) // let the first batch commit and register its timer
+    input.addData(rec("k1", 1)) // activity re-registers (deletes the first timer)
     val deadline = System.currentTimeMillis() + 60000
     var ok = false
     while (!ok && System.currentTimeMillis() < deadline) {
       Thread.sleep(200)
       val rows = spark.table("timersmoke").as[KeyOutput[Long]].collect()
-      ok = rows.exists(o => o.key == "k1" && o.tombstone)
+      // the tombstone must come from the SECOND batch's timer (offset 1)
+      ok = rows.exists(o => o.key == "k1" && o.tombstone && o.offset == 1L)
     }
     q.stop()
     spark.stop()

@@ -26,6 +26,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map(100L -> None, 101L -> Some(1L), 102L -> Some(1L), 103L -> None))
   }
 
+  test("backward attaches every payload column from the SAME latest right row, nulls included") {
+    import spark.implicits._
+    val left = Seq(("u1", 40L, 100L)).toDF("k", "t", "lid")
+    // the latest prior right row (t=30) has a NULL payload value; the older
+    // row's value (7 at t=20) must NOT leak through, and the two payload
+    // columns must not mix rows
+    val right = Seq(
+      ("u1", 20L, Some(7L), "old"),
+      ("u1", 30L, None: Option[Long], "new")
+    ).toDF("k", "t", "rv", "tag")
+    val out = AsOfJoin.backward(left, right,
+      on = Seq("k"), orderCols = Seq("t"), payload = Seq("rv", "tag"), strict = true)
+      .select("lid", "rv", "tag").as[(Long, Option[Long], String)].collect().toList
+    assert(out == List((100L, None, "new")))
+  }
+
   test("backward non-strict includes right row at equal order") {
     import spark.implicits._
     val left = Seq(("u1", 30L, 102L)).toDF("k", "t", "lid")

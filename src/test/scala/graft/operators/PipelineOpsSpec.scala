@@ -36,6 +36,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.getOrElse((1L, 3L), 0L) < 400000L)
   }
 
+  test("LSH-verified pairs cover the blocked exact pairs with identical exact scores") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = docsDf(
+      1L -> base,
+      2L -> (base + " extra"),
+      3L -> base.replace("quick", "quiet"),
+      4L -> "completely different text about other things entirely unrelated",
+      5L -> base)
+      .withColumn("blk", lit(0))
+    // single all-covering block -> ngramJaccardPairs is the full truth set
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 600000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val lsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, minPpm = 600000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(exact.nonEmpty)
+    assert(exact.keySet.subsetOf(lsh.keySet), // full recall on this corpus
+      s"missing pairs: ${exact.keySet -- lsh.keySet}")
+    exact.keys.foreach(p => assert(lsh(p) == exact(p))) // verification is exact
+    lsh.keys.foreach(p => assert(exact.contains(p))) // precision is exact too
+  }
+
   test("SimHash: identical texts at distance 0; near-dups within threshold") {
     // many distinct tokens -> stable bit margins -> replacing one token
     // flips only the few bits whose vote margin was exactly ±1

@@ -23,7 +23,9 @@ class FlowMetricsSpec extends SparkTestBase {
       val preprocessed = RecordOps.filterRecord(
         RecordOps.remapKey(input.toDS(), r => "u-" + r.key),
         r => r.key != "u-drop")
-      val fold = FoldOption.of[Long, Record](_ => 1L)((n, _) => n + 1)
+      val foldMetrics = FoldMetrics(spark, "count")
+      val fold = foldMetrics.decorate(
+        FoldOption.of[Long, Record](_ => 1L)((n, _) => n + 1))
       val out = KeyFlow.flow(preprocessed, fold)
       val ckpt = Files.createTempDirectory("graft-ckpt").toString
       val q = out.writeStream.format("memory").queryName("metrics")
@@ -43,6 +45,12 @@ class FlowMetricsSpec extends SparkTestBase {
       assert(snap.contains("key_state_rows_total"))
       assert(snap("key_state_rows_total") >= 1.0)
       assert(snap.keys.exists(_.startsWith("partition_flow_")))
+
+      // per-fold decoration (reference FoldMetrics): the two kept records
+      // were folded, each application timed via accumulators
+      assert(foldMetrics.applyCount == 2L)
+      assert(foldMetrics.totalDurationSeconds > 0.0)
+      assert(foldMetrics.gauges("fold_count_apply_total") == 2.0)
       q.stop()
 
       // EntityRegistry parity: read the live state back from the checkpoint

@@ -37,6 +37,29 @@ class KeyFlowEdgeSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("offset-lag eviction uses each record's own (topic, partition) clock") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Record]
+    // coalesce(1): both topics share ONE Spark partition — under a
+    // Spark-partition-wide clock, big-topic offsets (1e6) would make the
+    // small-topic key look 999 998 offsets behind and wrongly tombstone it
+    val out = KeyFlow.flow(input.toDS().coalesce(1), countFold,
+      config = KeyFlowConfig(maxOffsetDifference = Some(100L)))
+    val q = out.writeStream.format("memory").queryName("clk")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("clk").toString)
+      .start()
+    input.addData(rec("small", "a", 0), rec("small", "a", 1),
+      rec("big", "b", 1000000L))
+    q.processAllAvailable()
+    val latest = spark.table("clk").as[KeyOutput[Long]].collect()
+      .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.offset) }
+    assert(latest("a").state == Some(2L) && !latest("a").tombstone)
+    assert(latest("b").state == Some(1L))
+    q.stop()
+  }
+
   test("poison records recover through handleErrorWith without killing the query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
