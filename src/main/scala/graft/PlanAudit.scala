@@ -43,6 +43,14 @@ object PlanAudit {
       _.contains("BroadcastNestedLoopJoin"))
     check("q_fold_count", "partial aggregation before shuffle")(p =>
       p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+    check("q_ann_ivf", "IVF search has no ML stage or UDF (centroid literals)")(p =>
+      !p.toLowerCase.contains("kmeans") && !p.contains("ScalaUDF"))
+    check("q_dedup_lsh_verified", "LSH candidates via equi-join, never a cross join")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q_dedup_lsh_verified", "exact-verify filter pinned above the join (barrier)")(
+      _.contains("rand("))
+    check("q_journal_decode", "journal decode stays codegen'd (no UDF)")(p =>
+      !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -132,32 +132,41 @@ object Dedup {
     * intersect. This is the recommended big-corpus path, replacing blocked
     * all-pairs ([[ngramJaccardPairs]]): candidate volume is bounded by LSH
     * bucket collisions (tuned by bands × rowsPerBand) instead of growing
-    * quadratically with block population. Recall is LSH recall at the
-    * threshold (1−(1−s^r)^b ≈ 0.9998 at s=0.8 with 16×4); every emitted
-    * pair's `jacc_ppm` is exact, so precision is exact.
+    * quadratically with block population. Every emitted pair's `jacc_ppm`
+    * is exact, so precision is exact.
+    *
+    * Candidate generation runs on `candidateK`-shingles (default 5) even
+    * though verification scores `verifyK`-shingles (default 3): short
+    * shingles are nearly universal across a big corpus (there are only
+    * ~27k lowercase 3-grams), which makes 3-gram MinHash signatures
+    * non-discriminative and floods the bands with unrelated pairs
+    * (measured 18x slower at sf0.1). Candidates are additionally
+    * prefiltered by the near-free signature estimate at `estFloorPpm`
+    * before the expensive exact intersect. The floor is deliberately far
+    * below `minPpm` because it measures candidateK-gram similarity, which
+    * runs BELOW verifyK-gram similarity for near-dup text (longer shingles
+    * penalize each edit more).
     *
     * Scale shape: one shuffle for the signature agg (map-side partial
-    * mins, `bands × rowsPerBand` longs per doc), a bucket equi-join whose
-    * pair shuffle carries only id pairs (signatures are dropped before the
-    * join), and two hash joins back to the shingle table for verification.
+    * mins, `bands × rowsPerBand` longs per doc), a bucket equi-join, the
+    * estimate filter, then two hash joins back to the shingle table for
+    * the few surviving pairs.
     */
   def lshVerifiedPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 3,
+      verifyK: Int = 3,
+      candidateK: Int = 5,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      minPpm: Long = 800000L): DataFrame = {
-    val banded = lshBanded(docs, idCol, textCol, k, bands, rowsPerBand)
-      .select("doc", "band", "bh")
-    val cands = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
-      .dropDuplicates("doc1", "doc2")
+      minPpm: Long = 800000L,
+      estFloorPpm: Long = 500000L): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, candidateK, bands, rowsPerBand,
+        minEstPpm = estFloorPpm)
+      .select("doc1", "doc2")
     val sh = docs.select(col(idCol).as("doc"),
-      array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"))
+      array_sort(TextAnalysis.shinglesPacked(col(textCol), verifyK)).as("sh"))
     val withSh = cands
       .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")

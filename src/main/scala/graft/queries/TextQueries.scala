@@ -82,7 +82,8 @@ object TextQueries {
     // buckets, not block population.
     "q_dedup_lsh_verified" -> { (s, dir) =>
       Dedup.lshVerifiedPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 3, bands = 16, rowsPerBand = 4, minPpm = 800000L)
+        verifyK = 3, candidateK = 5, bands = 16, rowsPerBand = 4,
+        minPpm = 800000L)
         .orderBy("doc1", "doc2")
     },
 
@@ -93,10 +94,14 @@ object TextQueries {
         .orderBy("doc1", "doc2")
     },
 
-    // SimHash near-dup candidates (rows-only).
+    // SimHash near-dup candidates (rows-only). Radius 3 is the standard
+    // 64-bit simhash near-dup threshold; the banding is pigeonhole-complete
+    // at ANY declared radius (PipelineOpsSpec proves exhaustive recall at
+    // 12), but bucket selectivity is 2^(64/(d+1)) — declare the smallest
+    // radius you mean on a big corpus.
     "q_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 12)
+        maxHamming = 3)
         .orderBy("doc1", "doc2")
     },
 

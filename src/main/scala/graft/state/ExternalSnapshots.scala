@@ -4,6 +4,8 @@ import graft.model.KafkaKey
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.concurrent.duration.FiniteDuration
+
 /** External snapshot store for cross-job state sharing — the Spark
   * re-expression of the reference's Cassandra snapshot table (reference
   * persistence-cassandra/.../SnapshotSchema.scala:22-40,
@@ -24,7 +26,10 @@ object ExternalSnapshots {
 
   /** One snapshot row; `value = null` is a tombstone (deleted key) —
     * mirrors the compacted-topic convention (reference
-    * KafkaPartitionPersistence.scala:115-122). */
+    * KafkaPartitionPersistence.scala:115-122). `written_at_ms` is the
+    * write timestamp powering record expiration (the analogue of
+    * Cassandra's writetime/TTL, reference RecordExpiration /
+    * CassandraKeys.scala:146). */
   final case class SnapshotRow(
       application_id: String,
       group_id: String,
@@ -33,7 +38,8 @@ object ExternalSnapshots {
       key: String,
       offset: Long,
       metadata: String,
-      value: Array[Byte])
+      value: Array[Byte],
+      written_at_ms: Long)
 
   /** Append a microbatch of snapshot rows (last-write-wins resolved at
     * read time — the write is a blind append, like a Cassandra upsert). */
@@ -44,32 +50,52 @@ object ExternalSnapshots {
       .parquet(storeDir)
 
   /** Latest state per key (tombstones resolved away). This is the
-    * recovery read (reference ReadState, Persistence.scala:194-198). */
+    * recovery read (reference ReadState, Persistence.scala:194-198).
+    *
+    * `expiration` ≅ reference `RecordExpiration`: keys whose LATEST write
+    * is older than the duration read as absent — the TTL analogue of
+    * Cassandra's per-row TTL (reference CassandraKeys.scala:146,204-208),
+    * enforced at read time (and purged physically by [[compact]]). */
   def readLatest(spark: SparkSession, storeDir: String,
-                 applicationId: String, groupId: String): DataFrame =
-    spark.read.parquet(storeDir)
+                 applicationId: String, groupId: String,
+                 expiration: Option[FiniteDuration] = None,
+                 nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    val latest = spark.read.parquet(storeDir)
       .filter(col("application_id") === applicationId && col("group_id") === groupId)
       .groupBy("topic", "partition", "key")
       .agg(
         max("offset").as("offset"),
         expr("max_by(metadata, offset)").as("metadata"),
-        expr("max_by(value, offset)").as("value"))
+        expr("max_by(value, offset)").as("value"),
+        expr("max_by(written_at_ms, offset)").as("written_at_ms"))
       .filter(col("value").isNotNull)
+    expiration.fold(latest)(ttl =>
+      latest.filter(col("written_at_ms") >= lit(nowMs - ttl.toMillis)))
+  }
 
   /** Rewrite the log keeping only the latest row per key — bounded store
-    * growth without giving up blind-append writes. */
-  def compact(spark: SparkSession, storeDir: String, outDir: String): Unit =
-    spark.read.parquet(storeDir)
+    * growth without giving up blind-append writes. With `expiration`,
+    * expired keys are physically purged (the Cassandra-compaction
+    * analogue of TTL'd-row removal). */
+  def compact(spark: SparkSession, storeDir: String, outDir: String,
+              expiration: Option[FiniteDuration] = None,
+              nowMs: Long = System.currentTimeMillis()): Unit = {
+    val latest = spark.read.parquet(storeDir)
       .groupBy("application_id", "group_id", "topic", "partition", "key")
       .agg(
         max("offset").as("offset"),
         expr("max_by(metadata, offset)").as("metadata"),
-        expr("max_by(value, offset)").as("value"))
+        expr("max_by(value, offset)").as("value"),
+        expr("max_by(written_at_ms, offset)").as("written_at_ms"))
+    expiration.fold(latest)(ttl =>
+        latest.filter(col("written_at_ms") >= lit(nowMs - ttl.toMillis)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("application_id", "group_id")
       .parquet(outDir)
+  }
 
-  def rowFor(key: KafkaKey, offset: Long, metadata: String, value: Array[Byte]): SnapshotRow =
+  def rowFor(key: KafkaKey, offset: Long, metadata: String, value: Array[Byte],
+             writtenAtMs: Long = System.currentTimeMillis()): SnapshotRow =
     SnapshotRow(key.applicationId, key.groupId, key.topic, key.partition, key.key,
-      offset, metadata, value)
+      offset, metadata, value, writtenAtMs)
 }

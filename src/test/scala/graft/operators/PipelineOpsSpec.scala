@@ -50,7 +50,8 @@ class PipelineOpsSpec extends SparkTestBase {
         k = 3, minPpm = 600000L)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     val lsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
-        k = 3, bands = 16, rowsPerBand = 4, minPpm = 600000L)
+        verifyK = 3, candidateK = 5, bands = 16, rowsPerBand = 4,
+        minPpm = 600000L, estFloorPpm = 300000L)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(exact.nonEmpty)
     assert(exact.keySet.subsetOf(lsh.keySet), // full recall on this corpus

@@ -82,4 +82,41 @@ class ExternalSnapshotsSpec extends SparkTestBase {
       .collect().map(_.getAs[String]("key")).toSet
     assert(afterCompact == Set("k1"))
   }
+
+  test("record expiration: stale keys read as absent and compaction purges them") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    val dir = Files.createTempDirectory("snapttl").toString
+    val k = (key: String) => KafkaKey("app", "g", "t", 0, key)
+    val now = 1000000L
+    ExternalSnapshots.upsert(Seq(
+      ExternalSnapshots.rowFor(k("fresh"), 1L, "", "f".getBytes, writtenAtMs = now - 1000),
+      ExternalSnapshots.rowFor(k("stale"), 1L, "", "s".getBytes, writtenAtMs = now - 100000)).toDS(), dir)
+
+    val noTtl = ExternalSnapshots.readLatest(spark, dir, "app", "g")
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(noTtl == Set("fresh", "stale"))
+
+    val withTtl = ExternalSnapshots.readLatest(spark, dir, "app", "g",
+        expiration = Some(10.seconds), nowMs = now)
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(withTtl == Set("fresh"))
+
+    // a NEW write to an expired key revives it (latest write governs)
+    ExternalSnapshots.upsert(Seq(
+      ExternalSnapshots.rowFor(k("stale"), 2L, "", "s2".getBytes, writtenAtMs = now)).toDS(), dir)
+    val revived = ExternalSnapshots.readLatest(spark, dir, "app", "g",
+        expiration = Some(10.seconds), nowMs = now)
+      .collect().map(r => r.getAs[String]("key") -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(revived == Map("fresh" -> "f", "stale" -> "s2"))
+
+    // compaction with expiration physically purges expired keys: cutoff
+    // falls between fresh (now-1000) and the revived stale write (now)
+    val compacted = Files.createTempDirectory("snapttlc").toString
+    ExternalSnapshots.compact(spark, dir, compacted,
+      expiration = Some(10.seconds), nowMs = now + 9500)
+    val purged = ExternalSnapshots.readLatest(spark, compacted, "app", "g")
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(purged == Set("stale"))
+  }
 }
