@@ -183,6 +183,100 @@ object Dedup {
       .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
   }
 
+  /** EXACT k-shingle Jaccard pairs ≥ `minPpm` via prefix filtering — the
+    * AllPairs/PPJoin candidate scheme (Bayardo et al., WWW'07; Vernica et
+    * al., SIGMOD'10; both public literature). Unlike LSH this is exact in
+    * BOTH directions: complete recall and exact scores, with no blocking
+    * key required.
+    *
+    * Theorem (completeness): order every doc's distinct shingles by a
+    * common total order and take the first `|x| − ⌈t·|x|⌉ + 1` as the
+    * prefix. Any pair with Jaccard ≥ t shares at least one PREFIX token
+    * on both sides: J ≥ t forces overlap ≥ t·max(|A|,|B|); if the
+    * globally-smallest common token sat outside A's prefix, all common
+    * tokens would fit in A's last ⌈t·|A|⌉−1 positions — fewer than the
+    * required overlap (and symmetrically for B).
+    *
+    * The order used is ascending DOCUMENT FREQUENCY (ties by token
+    * value): prefixes then hold each doc's rarest shingles, so the
+    * candidate equi-join on (block, prefix-token) collides only on rare
+    * tokens — candidate volume is Σ_t C(prefix_df(t), 2) over RARE t,
+    * not block-population². Any consistent order is correct; rarity
+    * order is what makes it scale (and AQE absorbs residual skew from
+    * the token shuffle).
+    *
+    * APPLICABILITY BOUNDARY (measured): the filter only pays off when the
+    * token universe is much larger than the corpus, so that genuinely
+    * rare tokens exist — real-text word n-grams or char shingles over
+    * diverse text. On the low-entropy synthetic corpus (272 distinct
+    * trigrams at sf0.1) the "rarest" prefix tokens are shared by hundreds
+    * of docs and the candidate count measured 49.8M — WORSE than the
+    * 12.5M all-pairs — so the declared queries keep blocked all-pairs
+    * ([[ngramJaccardPairs]]) for oracle-exact semantics and
+    * [[lshVerifiedPairs]] as the big-corpus path, whose signature-level
+    * aggregation stays discriminative even on small universes.
+    *
+    * Scale shape: one agg for document frequency (map-side partial), one
+    * shuffle to re-order each doc's tokens, a prefix-token equi-join
+    * carrying only ids, then the same size-guard + merge-pass exact
+    * verify as [[ngramJaccardPairs]]. Every stage is bounded linearly in
+    * corpus size except the candidate join, which is bounded by rare-token
+    * collisions — the textbook exact set-similarity join at scale.
+    *
+    * `blockCols = Nil` gives global exact near-dup over the whole corpus;
+    * non-empty blocks reproduce [[ngramJaccardPairs]] output exactly with
+    * far fewer candidate pairs (document frequency is computed per block
+    * so the order stays consistent within every comparable pair).
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String] = Nil,
+      k: Int = 3,
+      minPpm: Long = 800000L): DataFrame = {
+    val sh = docs.select(
+      (col(idCol).as("doc") +: blockCols.map(col)) :+
+        array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"): _*)
+    val tok = sh.select(
+      col("doc") +: blockCols.map(col) :+ explode(col("sh")).as("t"): _*)
+    val dfreq = tok.groupBy("t", blockCols: _*)
+      .agg(count(lit(1)).as("df"))
+    // re-order each doc's (distinct) tokens rare-first; (df, t) is a total
+    // order so the array_sort makes collect_list deterministic
+    val ordered = tok.join(dfreq, blockCols :+ "t")
+      .groupBy("doc")
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ot"),
+        blockCols.map(c => first(col(c)).as(c)): _*)
+      .select(col("doc") +: blockCols.map(col) :+
+        transform(col("ot"), x => x.getField("t")).as("toks"): _*)
+    // prefix length |x| − ⌈t·|x|⌉ + 1 (ceil in exact integer math; the
+    // double division is exact — minPpm·|x| ≪ 2^53)
+    val sz = size(col("toks")).cast("long")
+    val prefixLen = (sz - floor((lit(minPpm) * sz + lit(999999L)) / lit(1000000L)) + lit(1)).cast("int")
+    val pre = ordered.select(
+      col("doc") +: blockCols.map(col) :+
+        explode(slice(col("toks"), lit(1), prefixLen)).as("t"): _*)
+    val joinCond = blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .foldLeft(col("l.t") === col("r.t") && col("l.doc") < col("r.doc"))(_ && _)
+    val cands = pre.as("l").join(pre.as("r"), joinCond)
+      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    // exact verification — same shape as [[lshVerifiedPairs]]
+    val withSh = cands
+      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
+    val sizeGuard =
+      size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
+        size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
+    val inter = graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+    val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
+    withSh.filter(sizeGuard)
+      .select(col("doc1"), col("doc2"),
+        floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+      .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
+  }
+
   /** 64-bit SimHash from a column of token hashes: bit j is 1 iff the sum
     * of ±1 votes (bit j of each hash) is positive. Bit masks are unrolled
     * at plan-build time (static literals — stays codegen'd). */

@@ -67,6 +67,12 @@ object TextQueries {
     },
 
     // Exact 3-gram Jaccard near-dup pairs, blocked by (lang, length/100).
+    // Blocked all-pairs is deliberate here: prefix filtering
+    // (Dedup.prefixJaccardPairs) was A/B-measured on this corpus and LOST
+    // (49.8M candidates vs 588k blocked pairs at sf0.1 — the synthetic
+    // corpus has only 272 distinct trigrams, so rare-token prefixes don't
+    // exist; see the operator's scaladoc for the applicability boundary).
+    // The big-corpus path remains q_dedup_lsh_verified.
     "q_dedup_ngram" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
         .withColumn("len_band", floor(col("n_chars") / 100))

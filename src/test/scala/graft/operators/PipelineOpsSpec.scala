@@ -60,6 +60,38 @@ class PipelineOpsSpec extends SparkTestBase {
     lsh.keys.foreach(p => assert(exact.contains(p))) // precision is exact too
   }
 
+  test("Prefix-filtered pairs EQUAL the all-pairs truth set, blocked and global") {
+    // a corpus with near-dups at varied similarity, spread over two blocks
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val other = "completely different text about other things entirely unrelated to it"
+    val docs = docsDf(
+      1L -> base,
+      2L -> (base + " extra"),
+      3L -> base.replace("quick", "quiet"),
+      4L -> other,
+      5L -> base,
+      6L -> (other + " also"),
+      7L -> base.replace("lazy dog", "sleepy cat"))
+      .withColumn("blk", (col("doc_id") % 2).cast("int"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // blocked: prefix filtering must reproduce blocked all-pairs exactly
+    val blockedTruth = toMap(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 500000L))
+    val blockedPrefix = toMap(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 500000L))
+    assert(blockedTruth.nonEmpty)
+    assert(blockedPrefix == blockedTruth)
+    // global: single all-covering block is the global truth set
+    val globalTruth = toMap(Dedup.ngramJaccardPairs(
+      docs.withColumn("one", lit(0)), "doc_id", "text", Seq("one"),
+      k = 3, minPpm = 500000L))
+    val globalPrefix = toMap(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      Nil, k = 3, minPpm = 500000L))
+    assert(globalTruth.keySet.size > blockedTruth.keySet.size) // cross-block pairs exist
+    assert(globalPrefix == globalTruth)
+  }
+
   test("SimHash: identical texts at distance 0; near-dups within threshold") {
     // many distinct tokens -> stable bit margins -> replacing one token
     // flips only the few bits whose vote margin was exactly ±1
