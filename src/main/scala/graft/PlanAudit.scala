@@ -51,6 +51,8 @@ object PlanAudit {
       _.contains("rand("))
     check("q_journal_decode", "journal decode stays codegen'd (no UDF)")(p =>
       !p.contains("ScalaUDF"))
+    check("q_range_join", "range join is a bucketed equi-join, not nested-loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     spark.stop()
   }
 }

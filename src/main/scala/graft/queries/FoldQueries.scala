@@ -4,7 +4,7 @@ import graft.Tables
 import graft.batch.{FoldAggregator, OrderedFold}
 import graft.fold.{FoldOption, SnapshotFold}
 import graft.model.Snapshot
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -219,6 +219,24 @@ object FoldQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Range join: assign every event to the per-user session interval
+    // containing it. The bucketed point-in-interval equi-join
+    // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
+    // BETWEEN predicate would plan — both sides scale out.
+    "q_range_join" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"))
+      val sessions = Sessionize.byGap(e, "user_id", "ms", "event_id", 6L * 3600 * 1000)
+        .groupBy("user_id", "session_id")
+        .agg(min("ms").as("s_start"), max("ms").as("s_end"))
+      RangeJoin.pointInInterval(e, "ms", sessions, "s_start", "s_end",
+        equiCols = Seq("user_id"), bucketWidth = 86400000L)
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("session_id").cast("long").as("session_id"),
+          col("s_start"), col("s_end"))
+        .orderBy("event_id")
+    },
+
     // As-of join: each purchase picks up the latest strictly-prior click.
     "q_asof_join" -> { (s, dir) =>
       val e = Tables(s, dir, "events")
@@ -346,6 +364,24 @@ object FoldQueries {
         |  FROM f)
         |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |g AS (
+        |  SELECT user_id, ms, CAST(SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(ms) AS s_start, MAX(ms) AS s_end
+        |  FROM g GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ms, sess.session_id, sess.s_start, sess.s_end
+        |FROM e JOIN sess
+        |  ON e.user_id = sess.user_id AND e.ms BETWEEN sess.s_start AND sess.s_end
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (
