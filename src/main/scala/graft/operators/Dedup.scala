@@ -78,13 +78,11 @@ object Dedup {
     * hashed more than once. (A naive per-permutation pass over the shingle
     * array recomputes the array `perms` times — O(perms·n²) per doc.)
     */
-  /** (doc, sig, band, bh) rows: MinHash signatures + banded LSH bucket
-    * keys. Shared candidate-generation core of [[minhashLshPairs]] and
-    * [[lshVerifiedPairs]]. */
-  private def lshBanded(
+  /** (doc, sig) MinHash signature table. Shared core of
+    * [[minhashLshPairs]] and [[lshVerifiedPairs]]. */
+  private def lshSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val perms = bands * rowsPerBand
+      k: Int, perms: Int): DataFrame = {
     // non-distinct shingles: the min over a multiset equals the min over
     // the set, so array_distinct is unnecessary work
     val rawShingles = transform(
@@ -94,16 +92,21 @@ object Dedup {
       .select(col(idCol).as("doc"), explode(rawShingles).as("s"))
       .select(col("doc"), xxhash64(col("s")).as("h"))
     val minAggs = (0 until perms).map(p => min(xxhash64(lit(p), col("h"))).as(s"m$p"))
-    val sigs = exploded.groupBy("doc")
+    exploded.groupBy("doc")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
-    sigs.select(col("doc"), col("sig"),
+  }
+
+  /** (doc, band, bh) banded LSH bucket keys — deliberately WITHOUT the
+    * signature column, so the band self-join's pair shuffle carries only
+    * ids (2 longs/pair, not 2×perms). */
+  private def lshBanded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }: _*)).as("bb"))
-      .select(col("doc"), col("sig"), col("bb.band"), col("bb.bh"))
-  }
+      .select(col("doc"), col("bb.band"), col("bb.bh"))
 
   def minhashLshPairs(
       docs: DataFrame,
@@ -114,14 +117,22 @@ object Dedup {
       rowsPerBand: Int = 4,
       minEstPpm: Long = 500000L): DataFrame = {
     val perms = bands * rowsPerBand
-    val banded = lshBanded(docs, idCol, textCol, k, bands, rowsPerBand)
+    val sigs = lshSignatures(docs, idCol, textCol, k, perms)
+    val banded = lshBanded(sigs, bands, rowsPerBand)
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"),
-        col("l.sig").as("sig1"), col("r.sig").as("sig2"))
+      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
       .dropDuplicates("doc1", "doc2")
-    pairs.select(col("doc1"), col("doc2"),
+    // signatures re-attach AFTER pair dedup via two hash joins against the
+    // doc-sized signature table (its exchange is built once and reused):
+    // the band join + dedup shuffles move 2 longs per candidate instead of
+    // 2×perms — the difference between shuffling ids and shuffling the
+    // whole signature matrix at corpus scale.
+    pairs
+      .join(sigs.select(col("doc").as("doc1"), col("sig").as("sig1")), "doc1")
+      .join(sigs.select(col("doc").as("doc2"), col("sig").as("sig2")), "doc2")
+      .select(col("doc1"), col("doc2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
           .cast("long") * lit(1000000L) / lit(perms.toLong)).cast("long").as("est_jacc_ppm"))
       .filter(col("est_jacc_ppm") >= minEstPpm)
