@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-side IVF index: `nlist` centroid vectors. Tiny (nlist × dim
@@ -17,28 +17,70 @@ object IvfIndex {
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
   /** Fit centroids on a bounded sample of the corpus. This is the
-    * index-BUILD step: run once, keep the result (persist the centroid
-    * arrays, or reuse via [[getOrBuild]]); search never refits. KMeans
-    * quality needs a representative sample, not the corpus — at 100 TB
-    * pass a `sampleFraction` that yields ~`maxFitVectors` rows and the fit
-    * cost becomes independent of corpus size. */
+    * index-BUILD step: run once, keep the result ([[save]]/[[load]], or
+    * reuse via [[getOrBuild]]); search never refits. KMeans quality needs a
+    * representative sample, not the corpus — at 100 TB pass a
+    * `sampleFraction` that yields ~`maxFitVectors` rows and the fit cost
+    * becomes independent of corpus size.
+    *
+    * Reproducible by construction: the `maxFitVectors` cap is applied as
+    * `orderBy(xxhash64(vec)).limit(n)` — a content-defined, seed-stable
+    * top-K (TakeOrderedAndProject), not a partition-order-dependent
+    * `limit` — so the same corpus always fits the same centroids. */
   def build(
       corpus: DataFrame, vecCol: String, nlist: Int, seed: Long,
       sampleFraction: Double = 1.0, maxFitVectors: Int = 100000): IvfIndex = {
     val sampled =
       (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
        else corpus)
-        .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+        .select(col(vecCol))
+        .orderBy(xxhash64(col(vecCol), lit(seed)))
         .limit(maxFitVectors)
+        .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(sampled)
     IvfIndex(model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
+  /** Persist the fitted centroids as a tiny parquet (`centroid_id`,
+    * `centroid`): at 100 TB the build is minutes of cluster time — a
+    * driver restart must [[load]] it, not refit. */
+  def save(spark: SparkSession, index: IvfIndex, path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load previously-[[save]]d centroids; None if nothing is stored at
+    * `path`. Centroid order (= inverted-list ids) is restored exactly. */
+  def load(spark: SparkSession, path: String): Option[IvfIndex] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+    else Some(IvfIndex(
+      spark.read.parquet(path)
+        .orderBy("centroid_id")
+        .select("centroid")
+        .collect()
+        .map(_.getSeq[Float](0).toArray)))
+  }
+
   /** Build-once-per-key: repeated queries against the same corpus reuse
-    * the fitted centroids instead of refitting per invocation. */
+    * the fitted centroids instead of refitting per invocation. The cache
+    * key covers EVERY build parameter — two calls that would fit different
+    * indexes never alias. With `storePath`, the durable store is consulted
+    * before fitting and written after, so the index survives JVM restarts. */
   def getOrBuild(
       key: String, corpus: DataFrame, vecCol: String, nlist: Int, seed: Long,
-      sampleFraction: Double = 1.0): IvfIndex =
-    cache.computeIfAbsent(s"$key|$nlist|$seed",
-      _ => build(corpus, vecCol, nlist, seed, sampleFraction))
+      sampleFraction: Double = 1.0, maxFitVectors: Int = 100000,
+      storePath: Option[String] = None): IvfIndex =
+    cache.computeIfAbsent(
+      s"$key|$nlist|$seed|$sampleFraction|$maxFitVectors|${storePath.getOrElse("")}",
+      _ => storePath.flatMap(p => load(corpus.sparkSession, p)).getOrElse {
+        val built = build(corpus, vecCol, nlist, seed, sampleFraction, maxFitVectors)
+        storePath.foreach(p => save(corpus.sparkSession, built, p))
+        built
+      })
 }

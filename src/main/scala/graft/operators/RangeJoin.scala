@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * Pick `bucketWidth` near the median interval length: too small explodes
   * interval rows, too large turns buckets into mini cross joins. Both
-  * failure modes degrade gracefully (correctness never depends on width).
+  * failure modes degrade gracefully (correctness never depends on width) —
+  * up to a hard cap: an interval spanning more than `maxBucketsPerInterval`
+  * buckets fails FAST with a named error instead of silently exploding
+  * `(hi-lo)/bucketWidth` rows (or hitting Spark's opaque
+  * sequence-length limit mid-job at `hi-lo > bucketWidth * 2^31`). Raise
+  * the cap deliberately if intervals really are that long relative to
+  * `bucketWidth` — but the right fix is almost always a wider bucket.
   */
 object RangeJoin {
 
@@ -37,15 +43,29 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       equiCols: Seq[String] = Nil,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val p = points
       .withColumn("__pb", floor(col(pointCol) / lit(bucketWidth)).cast("long"))
       .alias("p")
+    val loB = floor(col(loCol) / lit(bucketWidth)).cast("long")
+    val hiB = floor(col(hiCol) / lit(bucketWidth)).cast("long")
+    // fail fast on pathological intervals: a row-level guard (the span is
+    // data, not plan metadata), raised BEFORE the explode can materialize
+    val guardedHiB = when(
+      hiB - loB >= lit(maxBucketsPerInterval.toLong),
+      raise_error(concat(
+        lit(s"graft.RangeJoin: interval [${loCol}, ${hiCol}]=["), col(loCol),
+        lit(", "), col(hiCol),
+        lit(s"] spans more than maxBucketsPerInterval=$maxBucketsPerInterval buckets " +
+          s"at bucketWidth=$bucketWidth; widen bucketWidth or raise the cap"))
+      ).cast("long")
+    ).otherwise(hiB)
     val i = intervals
-      .withColumn("__ib", explode(sequence(
-        floor(col(loCol) / lit(bucketWidth)).cast("long"),
-        floor(col(hiCol) / lit(bucketWidth)).cast("long"))))
+      .withColumn("__ib", explode(sequence(loB, guardedHiB)))
       .alias("i")
     val cond = equiCols.map(c => col(s"p.$c") === col(s"i.$c"))
       .foldLeft(

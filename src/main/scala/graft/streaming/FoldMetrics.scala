@@ -8,9 +8,13 @@ import org.apache.spark.util.LongAccumulator
   * (metrics/.../FoldMetrics.scala:24-38 — fold duration timers around the
   * user fold). The reference wraps the fold in a Prometheus timer; here the
   * decorated fold records application count and cumulative nanos into Spark
-  * ACCUMULATORS — the cluster-correct channel: executor-side increments
-  * merge into the driver per completed task and are readable while the
-  * query runs, with no shared-JVM assumption.
+  * ACCUMULATORS: executor-side increments merge into the driver per
+  * completed task and are readable while the query runs, with no shared-JVM
+  * assumption. Semantics are AT-LEAST-ONCE — accumulator updates from
+  * transformations are re-applied on task retries and speculative
+  * duplicates, so `applyCount`/`totalNanos` can overstate under failures.
+  * Treat them as monitoring gauges, not exact counters (assert on them only
+  * in retry-free local runs).
   */
 final class FoldMetrics private (
     val name: String,

@@ -192,6 +192,57 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("IVF index persists: save/load round-trips across a fresh session with identical search") {
+    import spark.implicits._
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 2) 1.0f + 0.01f * i else 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val index = IvfIndex.build(emb, "embedding", nlist = 2, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    val path = s"$dir/centroids"
+    IvfIndex.save(spark, index, path)
+
+    // a fresh session (new SQL state, shared context — the driver-restart
+    // analogue available in-sandbox) must load the identical index
+    val fresh = spark.newSession()
+    val loaded = IvfIndex.load(fresh, path).getOrElse(fail("index not found after save"))
+    assert(loaded.centroids.length == index.centroids.length)
+    assert(loaded.centroids.zip(index.centroids).forall { case (a, b) => a.sameElements(b) })
+    val before = Similarity.ivfSearch(emb, queries, "vec_id", "embedding", 3, index, nprobe = 1)
+      .select("qid", "cand_id").as[(Long, Long)].collect().toSet
+    val after = Similarity.ivfSearch(emb, queries, "vec_id", "embedding", 3, loaded, nprobe = 1)
+      .select("qid", "cand_id").as[(Long, Long)].collect().toSet
+    assert(before == after)
+
+    // getOrBuild consults the store BEFORE fitting: with a stored index the
+    // corpus is never touched (an unfittable empty corpus proves it)
+    val empty = emb.filter(col("vec_id") < 0)
+    val viaStore = IvfIndex.getOrBuild("persist-spec-key", empty, "embedding",
+      nlist = 2, seed = 42L, storePath = Some(path))
+    assert(viaStore.centroids.zip(index.centroids).forall { case (a, b) => a.sameElements(b) })
+    assert(IvfIndex.load(fresh, s"$dir/absent").isEmpty)
+  }
+
+  test("IVF build is reproducible and cache key covers all build params") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 2) 1.0f + 0.01f * i else 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // same params, different physical layout -> identical centroids
+    // (the round-2 limit() sample was partition-order dependent)
+    val a = IvfIndex.build(emb.repartition(7), "embedding", nlist = 2, seed = 7L, maxFitVectors = 16)
+    val b = IvfIndex.build(emb.repartition(3).sortWithinPartitions(col("vec_id").desc),
+      "embedding", nlist = 2, seed = 7L, maxFitVectors = 16)
+    assert(a.centroids.zip(b.centroids).forall { case (x, y) => x.sameElements(y) })
+    // different maxFitVectors must NOT alias in the cache
+    val c1 = IvfIndex.getOrBuild("cache-key-spec", emb, "embedding", nlist = 2, seed = 7L,
+      maxFitVectors = 16)
+    val c2 = IvfIndex.getOrBuild("cache-key-spec", emb, "embedding", nlist = 2, seed = 7L,
+      maxFitVectors = 40)
+    assert((c1 ne c2), "distinct build params must fit distinct cache entries")
+  }
+
   test("Multimodal decode stub: plumbing produces typed features") {
     import spark.implicits._
     val payloads = Multimodal.withPayload(docsDf(7L -> "hello world"), "doc_id", "text")

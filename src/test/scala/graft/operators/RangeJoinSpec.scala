@@ -48,6 +48,28 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out == Set((0L, 1L), (1L, 1L), (2L, 2L)))
   }
 
+  test("pathological interval fails fast with a named error, legal intervals under the cap still join") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "v")
+    // spans (Long.MaxValue/7) buckets at width 7 — would formerly hit
+    // Spark's opaque sequence-length error (or explode rows) mid-job
+    val pathological = Seq((99L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", pathological, "lo", "hi",
+        bucketWidth = 7L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("graft.RangeJoin")),
+      s"expected the named guard error, got: $ex")
+
+    // widening the cap (or the bucket) makes the same data legal again
+    val wide = RangeJoin.pointInInterval(points, "v", pathological, "lo", "hi",
+        bucketWidth = Long.MaxValue / 1024)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(wide == Set((1L, 99L)))
+  }
+
   test("range-join plan is an equi-join, not a nested-loop join") {
     import spark.implicits._
     val points = (0 until 100).map(i => (i.toLong, i.toLong * 3)).toDF("pid", "v")
