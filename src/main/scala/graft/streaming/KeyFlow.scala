@@ -20,6 +20,15 @@ import scala.concurrent.duration.Duration
   *    evicts a key from memory while Cassandra keeps the state; in Spark the
   *    state store IS the durable store, so on timeout we run the user tick
   *    and, if `removeOnIdle`, delete the key (state TTL).
+  *  - `timerDomain` selects the CLOCK the `maxIdle` timer reads (reference
+  *    timer/Timestamp.scala:6-10 carries clock/watermark/offset;
+  *    timer/KafkaTimer.scala:16-45 fires a timer per domain):
+  *    [[TimerDomain.Clock]] = processing time (wall clock);
+  *    [[TimerDomain.Watermark]] = event time — the timer fires when the
+  *    QUERY WATERMARK passes the key's last event time + `maxIdle`, with no
+  *    new records required for that key. Watermark mode requires the caller
+  *    to declare a watermark on the input (`records.withWatermark(
+  *    "timestamp", ...)` before [[KeyFlow.flow]]/[[KeyFlowTws.flow]]).
   *  - `maxOffsetDifference` (offset-domain timers) has no Spark clock; the
   *    engine attaches a per-input-partition max-offset "clock" to each
   *    batch (KeyFlow.withPartitionClock) and evicts keys whose held offset
@@ -29,11 +38,24 @@ import scala.concurrent.duration.Duration
   *    persist-then-evict pattern is needed. The clock advances only for
   *    partitions receiving data (SURVEY.md §7.4).
   */
+/** Which clock a `maxIdle` timer reads — the reference's timer domains
+  * (timer/Timestamp.scala:6-10, minus offsets which are
+  * `KeyFlowConfig.maxOffsetDifference`). */
+sealed trait TimerDomain
+object TimerDomain {
+  /** Wall/processing time: fires `maxIdle` after the key was last touched. */
+  case object Clock extends TimerDomain
+  /** Event time: fires when the query watermark passes the key's max seen
+    * event timestamp + `maxIdle` — late-data-safe idle expiry. */
+  case object Watermark extends TimerDomain
+}
+
 final case class KeyFlowConfig(
     maxIdle: Option[Duration] = None,
     removeOnIdle: Boolean = true,
     maxOffsetDifference: Option[Long] = None,
-    namespaceByTopic: Boolean = false) {
+    namespaceByTopic: Boolean = false,
+    timerDomain: TimerDomain = TimerDomain.Clock) {
   /** Grouping key: the reference namespaces state by (topic, key) so equal
     * keys on different topics never share state (KafkaKey.scala:6-11);
     * opt in when subscribing to multiple topics. */
@@ -44,7 +66,13 @@ final case class KeyFlowConfig(
 /** Durable per-key state: the user state wrapped in a [[Snapshot]] carrying
   * the offset up to which it is current (replay dedup, reference
   * snapshot/SnapshotFold.scala:10-24) plus bookkeeping mirroring
-  * `Timestamps` (reference timer/Timestamps.scala:13-76). */
+  * `Timestamps` (reference timer/Timestamps.scala:13-76).
+  *
+  * `processedAtMs` is the key's timer BASIS in the configured
+  * [[TimerDomain]]: wall-clock ms of the last touch (Clock) or the max
+  * event-time ms folded so far (Watermark). The registered timer is always
+  * exactly `processedAtMs + maxIdle`, which is what makes precise timer
+  * deletion and the stale-timer check possible. */
 final case class FlowState[S](
     snapshot: Snapshot[S],
     processedAtMs: Long,
@@ -116,8 +144,19 @@ object KeyFlow {
       records: Iterator[RecordEnv],
       state: GroupState[FlowState[S]]): Iterator[KeyOutput[S]] = {
 
-    def setTimeout(): Unit =
-      config.maxIdle.foreach(d => state.setTimeoutDuration(d.toMillis))
+    // Re-arm the maxIdle timer in the configured domain. Watermark mode
+    // clamps the basis to the current watermark so a re-registration after
+    // a tick (basis already passed) lands strictly in the future — Spark
+    // rejects event-time timeouts at or before the watermark.
+    def setTimeout(basisMs: Long): Unit =
+      config.maxIdle.foreach { d =>
+        config.timerDomain match {
+          case TimerDomain.Clock => state.setTimeoutDuration(d.toMillis)
+          case TimerDomain.Watermark =>
+            state.setTimeoutTimestamp(
+              math.max(basisMs, state.getCurrentWatermarkMs()) + d.toMillis)
+        }
+      }
 
     if (state.hasTimedOut) {
       val prev = state.getOption
@@ -129,7 +168,7 @@ object KeyFlow {
       } else {
         val st = prev.get
         state.update(st.copy(snapshot = st.snapshot.copy(value = ticked.get)))
-        setTimeout()
+        setTimeout(st.processedAtMs)
         Iterator.single(KeyOutput[S](key, st.snapshot.offset, ticked, tombstone = false))
       }
     } else {
@@ -139,7 +178,7 @@ object KeyFlow {
       // PartitionFlow.scala:160-176).
       val sorted = records.toArray.sortBy(_.record.offset)
       if (sorted.isEmpty) {
-        setTimeout()
+        setTimeout(state.getOption.map(_.processedAtMs).getOrElse(Long.MinValue))
         Iterator.empty
       } else {
         val prev = state.getOption
@@ -157,9 +196,14 @@ object KeyFlow {
         val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
         current match {
           case Some(s) if !lagged =>
-            state.update(FlowState(Snapshot(snapOffset, "", s),
-              state.getCurrentProcessingTimeMs(), maxSeen))
-            setTimeout()
+            val basis = config.timerDomain match {
+              case TimerDomain.Clock => state.getCurrentProcessingTimeMs()
+              case TimerDomain.Watermark => math.max(
+                prev.map(_.processedAtMs).getOrElse(Long.MinValue),
+                sorted.iterator.map(_.record.timestamp.getTime).max)
+            }
+            state.update(FlowState(Snapshot(snapOffset, "", s), basis, maxSeen))
+            setTimeout(basis)
             Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
           case _ =>
             if (state.exists) state.remove()
@@ -197,17 +241,43 @@ object KeyFlow {
       implicit stateEnc: Encoder[FlowState[S]],
       outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
     import records.sparkSession.implicits._
-    val timeout =
-      if (config.maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    val timeout = (config.maxIdle, config.timerDomain) match {
+      case (None, _) => GroupStateTimeout.NoTimeout()
+      case (Some(_), TimerDomain.Clock) => GroupStateTimeout.ProcessingTimeTimeout()
+      case (Some(_), TimerDomain.Watermark) => GroupStateTimeout.EventTimeTimeout()
+    }
     val keyed = records.filter((r: Record) => r.key != null)
-    // the partition-clock pass is only paid when offset-lag unload is on
-    val enriched =
-      if (config.maxOffsetDifference.isDefined) withPartitionClock(keyed)
-      else keyed.map(r => RecordEnv(r, Long.MinValue))
-    enriched
-      .groupByKey((e: RecordEnv) => config.keyOf(e.record))
-      .flatMapGroupsWithState[FlowState[S], KeyOutput[S]](
-        OutputMode.Update(), timeout)(update(fold, tick, config))
+    config.timerDomain match {
+      case TimerDomain.Watermark =>
+        // flatMapGroupsWithState's analyzer requires the caller's
+        // watermarked TOP-LEVEL event-time column on its child, and a typed
+        // map re-serializes (strips the metadata) while re-declaring the
+        // watermark post-map is "redefining" (disallowed). So in watermark
+        // mode the keyed stream is grouped DIRECTLY — typed filter
+        // preserves the watermark column — and records wrap into RecordEnv
+        // inside the update function. The offset clock needs that map, so
+        // watermark + maxOffsetDifference lives in the transformWithState
+        // engine ([[KeyFlowTws.flow]]), whose analyzer check is
+        // plan-global.
+        require(config.maxOffsetDifference.isEmpty,
+          "TimerDomain.Watermark with maxOffsetDifference requires the " +
+            "transformWithState engine: use KeyFlowTws.flow")
+        keyed
+          .groupByKey((r: Record) => config.keyOf(r))
+          .flatMapGroupsWithState[FlowState[S], KeyOutput[S]](
+            OutputMode.Update(), timeout) { (key, rs, st) =>
+            update(fold, tick, config)(
+              key, rs.map(RecordEnv(_, Long.MinValue)), st)
+          }
+      case TimerDomain.Clock =>
+        // the partition-clock pass is only paid when offset-lag unload is on
+        val enriched =
+          if (config.maxOffsetDifference.isDefined) withPartitionClock(keyed)
+          else keyed.map(r => RecordEnv(r, Long.MinValue))
+        enriched
+          .groupByKey((e: RecordEnv) => config.keyOf(e.record))
+          .flatMapGroupsWithState[FlowState[S], KeyOutput[S]](
+            OutputMode.Update(), timeout)(update(fold, tick, config))
+    }
   }
 }

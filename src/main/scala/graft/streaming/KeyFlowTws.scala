@@ -48,13 +48,22 @@ class KeyFlowProcessor[S](
     val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
     // The previously registered timer expires at prev.processedAtMs +
     // maxIdle exactly (processedAtMs is kept in lockstep with every
-    // registerTimer call), so it can be deleted precisely — otherwise one
-    // obsolete timer accumulates per active batch until it fires and no-ops.
+    // registerTimer call, in BOTH timer domains), so it can be deleted
+    // precisely — otherwise one obsolete timer accumulates per active
+    // batch until it fires and no-ops.
     def deletePrevTimer(): Unit =
       for (d <- config.maxIdle; p <- prev) getHandle.deleteTimer(p.processedAtMs + d.toMillis)
     current match {
       case Some(s) if !lagged =>
-        val now = timerValues.getCurrentProcessingTimeInMs()
+        // timer basis in the configured domain: wall clock, or the key's
+        // max event time folded so far (monotone — a late batch must not
+        // move an event-time timer backwards)
+        val now = config.timerDomain match {
+          case TimerDomain.Clock => timerValues.getCurrentProcessingTimeInMs()
+          case TimerDomain.Watermark => math.max(
+            prev.map(_.processedAtMs).getOrElse(Long.MinValue),
+            sorted.iterator.map(_.record.timestamp.getTime).max)
+        }
         state.update(FlowState(Snapshot(snapOffset, "", s), now, maxSeen))
         config.maxIdle.foreach { d =>
           deletePrevTimer()
@@ -90,8 +99,14 @@ class KeyFlowProcessor[S](
         Iterator.single(KeyOutput[S](key, st.snapshot.offset, None, tombstone = true))
       } else {
         // processedAtMs moves with the re-registered timer so the stale
-        // check and precise timer deletion stay exact
-        val now = timerValues.getCurrentProcessingTimeInMs()
+        // check and precise timer deletion stay exact. In the watermark
+        // domain the new basis is this timer's expiry (event time), which
+        // is > the watermark that fired it — the next timer stays in the
+        // future with no wall-clock dependence.
+        val now = config.timerDomain match {
+          case TimerDomain.Clock => timerValues.getCurrentProcessingTimeInMs()
+          case TimerDomain.Watermark => expiredTimerInfo.getExpiryTimeInMs()
+        }
         state.update(st.copy(
           snapshot = st.snapshot.copy(value = ticked.get), processedAtMs = now))
         config.maxIdle.foreach(d => getHandle.registerTimer(now + d.toMillis))
@@ -103,8 +118,12 @@ class KeyFlowProcessor[S](
 
 object KeyFlowTws {
 
-  /** Keyed stateful fold with processing-time timers via transformWithState.
-    * Null-key records are dropped (reference PartitionFlow.scala:160-164). */
+  /** Keyed stateful fold with timers via transformWithState. The `maxIdle`
+    * timer runs in `config.timerDomain`: processing time, or event time
+    * (fires when the query watermark passes the key's last event time +
+    * maxIdle — declare a watermark on `records` first, e.g.
+    * `records.withWatermark("timestamp", "0 seconds")`). Null-key records
+    * are dropped (reference PartitionFlow.scala:160-164). */
   def flow[S](
       records: Dataset[Record],
       fold: FoldOption[S, Record],
@@ -113,8 +132,11 @@ object KeyFlowTws {
       implicit stateEnc: Encoder[FlowState[S]],
       outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
     import records.sparkSession.implicits._
-    val timeMode =
-      if (config.maxIdle.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val timeMode = (config.maxIdle, config.timerDomain) match {
+      case (None, _) => TimeMode.None()
+      case (Some(_), TimerDomain.Clock) => TimeMode.ProcessingTime()
+      case (Some(_), TimerDomain.Watermark) => TimeMode.EventTime()
+    }
     val keyed = records.filter((r: Record) => r.key != null)
     val enriched =
       if (config.maxOffsetDifference.isDefined) KeyFlow.withPartitionClock(keyed)

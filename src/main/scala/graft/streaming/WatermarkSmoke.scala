@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.fold.{FoldOption, TickOption}
+import graft.model.Record
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+import scala.concurrent.duration._
+
+/** Watermark-domain timer check (T1's third domain, reference
+  * timer/Timestamp.scala:6-10, timer/KafkaTimer.scala:16-45): a key idle in
+  * EVENT time is ticked/tombstoned when the QUERY WATERMARK passes its last
+  * event time + maxIdle — advanced by OTHER keys' records, with no new data
+  * for the expiring key and no wall-clock dependence.
+  *
+  * Scenario (both engines): key A at t=10s, then key B at t=100s. The
+  * watermark (delay 0) advances to 100s, so A's timer at 15s fires in the
+  * no-data batch → tombstone for A at its own offset; B (timer 105s) stays.
+  * Exits 0 iff both the transformWithState and the flatMapGroupsWithState
+  * engine produce exactly that.
+  *
+  * A main forked by KeyFlowSpec rather than an inline scalatest body: Spark
+  * 4.1's stateful exec nodes NPE under the sbt test harness's thread
+  * context (see TimerSmoke).
+  */
+object WatermarkSmoke {
+  def rec(key: String, offset: Long, eventMs: Long): Record =
+    Record("t", 0, offset, new Timestamp(eventMs), 0, key, Array[Byte](), Map.empty)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val countFold = FoldOption.of[Long, Record](_ => 1L)((n, _) => n + 1)
+    val config = KeyFlowConfig(
+      maxIdle = Some(5.seconds), removeOnIdle = true,
+      timerDomain = TimerDomain.Watermark)
+
+    def run(name: String)(
+        mk: org.apache.spark.sql.Dataset[Record] => org.apache.spark.sql.Dataset[KeyOutput[Long]]): Boolean = {
+      val input = MemoryStream[Record]
+      val out = mk(input.toDS().withWatermark("timestamp", "0 seconds"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(200))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(name).toString)
+        .start()
+      input.addData(rec("a", 0, 10000L))
+      Thread.sleep(600) // batch 1 commits; watermark will advance to 10s
+      input.addData(rec("b", 1, 100000L)) // advances the watermark past a's expiry (15s)
+      val deadline = System.currentTimeMillis() + 60000
+      var aTombstoned = false
+      var rows = Array.empty[KeyOutput[Long]]
+      while (!aTombstoned && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = spark.table(name).as[KeyOutput[Long]].collect()
+        aTombstoned = rows.exists(o => o.key == "a" && o.tombstone && o.offset == 0L)
+      }
+      q.stop()
+      val bIntact = rows.exists(o => o.key == "b" && !o.tombstone) &&
+        !rows.exists(o => o.key == "b" && o.tombstone)
+      println(s"WATERMARK_SMOKE $name aTombstoned=$aTombstoned bIntact=$bIntact")
+      aTombstoned && bIntact
+    }
+
+    val twsOk = run("wmtws")(ds => KeyFlowTws.flow(ds, countFold, TickOption.id[Long], config))
+    val classicOk = run("wmclassic")(ds => KeyFlow.flow(ds, countFold, TickOption.id[Long], config))
+    spark.stop()
+    println(s"WATERMARK_SMOKE_OK=${twsOk && classicOk}")
+    sys.exit(if (twsOk && classicOk) 0 else 1)
+  }
+}

@@ -185,10 +185,10 @@ class KeyFlowSpec extends SparkTestBase {
     q.stop()
   }
 
-  test("maxIdle timer ticks and unloads the key (T5, transformWithState)") {
-    // Spark 4.1's stateful exec nodes NPE (PythonSQLMetrics / null session)
-    // when constructed under the sbt test harness's thread context; the
-    // engine is fine in a plain JVM, so fork the smoke main (see TimerSmoke).
+  // Spark 4.1's stateful exec nodes NPE (PythonSQLMetrics / null session)
+  // when constructed under the sbt test harness's thread context; the
+  // engine is fine in a plain JVM, so fork the smoke mains (see TimerSmoke).
+  private def forkSmoke(mainClass: String): Int = {
     import scala.sys.process._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -202,8 +202,18 @@ class KeyFlowSpec extends SparkTestBase {
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = Seq(javaBin) ++ addOpens ++
-      Seq("-Dspark.ui.enabled=false", "-cp", cp, "graft.streaming.TimerSmoke")
-    val exit = Process(cmd).!
-    assert(exit == 0, "TimerSmoke forked JVM reported timer failure")
+      Seq("-Dspark.ui.enabled=false", "-cp", cp, mainClass)
+    Process(cmd).!
+  }
+
+  test("maxIdle timer ticks and unloads the key (T5, transformWithState)") {
+    assert(forkSmoke("graft.streaming.TimerSmoke") == 0,
+      "TimerSmoke forked JVM reported timer failure")
+  }
+
+  test("watermark-domain timer: advancing the watermark via another key " +
+    "expires an idle key in both engines (T1 watermark domain)") {
+    assert(forkSmoke("graft.streaming.WatermarkSmoke") == 0,
+      "WatermarkSmoke forked JVM reported watermark-timer failure")
   }
 }
