@@ -187,10 +187,32 @@ object KeyFlow {
         val maxSeen = math.max(
           prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue),
           sorted.iterator.map(_.partitionMaxOffset).max)
+        // Watermark domain: retroactive expiry — see the twin comment in
+        // KeyFlowProcessor.handleInputRows. A record arriving event-time-
+        // idle (ts - basis > maxIdle) fires the pending timer BEFORE it
+        // folds, making event-time expiry batch-boundary-independent.
+        val retro = scala.collection.mutable.ArrayBuffer.empty[KeyOutput[S]]
+        val retroGapMs: Long = config.timerDomain match {
+          case TimerDomain.Watermark if config.maxIdle.isDefined => config.maxIdle.get.toMillis
+          case _ => Long.MaxValue
+        }
+        var eventBasis = prev.map(_.processedAtMs).getOrElse(Long.MinValue)
         sorted.foreach { e =>
           if (e.record.offset > snapOffset) { // replay dedup guard (P9)
+            val ts = e.record.timestamp.getTime
+            if (current.isDefined && eventBasis != Long.MinValue && ts - eventBasis > retroGapMs) {
+              val ticked = tick.run(current)
+              if (config.removeOnIdle || ticked.isEmpty) {
+                // closing state first, then tombstone — see the twin
+                // comment in KeyFlowProcessor.handleInputRows
+                retro += KeyOutput[S](key, snapOffset, current, tombstone = false)
+                retro += KeyOutput[S](key, snapOffset, None, tombstone = true)
+                current = None
+              } else current = ticked
+            }
             current = fold.run(current, e.record)
             snapOffset = e.record.offset
+            if (ts > eventBasis) eventBasis = ts
           }
         }
         val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
@@ -198,16 +220,14 @@ object KeyFlow {
           case Some(s) if !lagged =>
             val basis = config.timerDomain match {
               case TimerDomain.Clock => state.getCurrentProcessingTimeMs()
-              case TimerDomain.Watermark => math.max(
-                prev.map(_.processedAtMs).getOrElse(Long.MinValue),
-                sorted.iterator.map(_.record.timestamp.getTime).max)
+              case TimerDomain.Watermark => eventBasis
             }
             state.update(FlowState(Snapshot(snapOffset, "", s), basis, maxSeen))
             setTimeout(basis)
-            Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
+            retro.iterator ++ Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
           case _ =>
             if (state.exists) state.remove()
-            Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
+            retro.iterator ++ Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
         }
       }
     }

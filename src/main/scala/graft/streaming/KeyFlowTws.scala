@@ -39,10 +39,36 @@ class KeyFlowProcessor[S](
     val maxSeen = math.max(
       prev.map(_.maxPartitionOffset).getOrElse(Long.MinValue),
       sorted.iterator.map(_.partitionMaxOffset).max)
+    // Watermark domain: a microbatch quantizes the watermark, so a record
+    // can arrive event-time-idle (ts - basis > maxIdle) before any batch
+    // ran with a watermark past the key's deadline. In a continuous-
+    // watermark world the timer fired BEFORE that record — so fire it
+    // retroactively here (tick, then tombstone-or-continue exactly like
+    // handleExpiredTimer). Makes event-time expiry deterministic in the
+    // data, independent of batch boundaries.
+    val retro = scala.collection.mutable.ArrayBuffer.empty[KeyOutput[S]]
+    val retroGapMs: Long = config.timerDomain match {
+      case TimerDomain.Watermark if config.maxIdle.isDefined => config.maxIdle.get.toMillis
+      case _ => Long.MaxValue
+    }
+    var basis = prev.map(_.processedAtMs).getOrElse(Long.MinValue)
     sorted.foreach { e =>
       if (e.record.offset > snapOffset) { // replay dedup guard (P9)
+        val ts = e.record.timestamp.getTime
+        if (current.isDefined && basis != Long.MinValue && ts - basis > retroGapMs) {
+          val ticked = tick.run(current)
+          if (config.removeOnIdle || ticked.isEmpty) {
+            // emit the closing state THEN the tombstone: a state that both
+            // formed and expired inside this batch would otherwise never
+            // appear in the changelog
+            retro += KeyOutput[S](key, snapOffset, current, tombstone = false)
+            retro += KeyOutput[S](key, snapOffset, None, tombstone = true)
+            current = None
+          } else current = ticked
+        }
         current = fold.run(current, e.record)
         snapOffset = e.record.offset
+        if (ts > basis) basis = ts
       }
     }
     val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
@@ -60,20 +86,18 @@ class KeyFlowProcessor[S](
         // move an event-time timer backwards)
         val now = config.timerDomain match {
           case TimerDomain.Clock => timerValues.getCurrentProcessingTimeInMs()
-          case TimerDomain.Watermark => math.max(
-            prev.map(_.processedAtMs).getOrElse(Long.MinValue),
-            sorted.iterator.map(_.record.timestamp.getTime).max)
+          case TimerDomain.Watermark => basis
         }
         state.update(FlowState(Snapshot(snapOffset, "", s), now, maxSeen))
         config.maxIdle.foreach { d =>
           deletePrevTimer()
           getHandle.registerTimer(now + d.toMillis)
         }
-        Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
+        retro.iterator ++ Iterator.single(KeyOutput(key, snapOffset, Some(s), tombstone = false))
       case _ =>
         deletePrevTimer() // removed keys must not leave a pending timer
         state.clear()
-        Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
+        retro.iterator ++ Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
     }
   }
 
