@@ -249,6 +249,43 @@ object Dedup {
     val sh = docs.select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"): _*)
+    val cands = prefixCandidates(sh, blockCols, minPpm)
+    // exact verification — same shape as [[lshVerifiedPairs]]
+    val withSh = cands
+      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
+    val sizeGuard =
+      size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
+        size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
+    val inter = graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+    val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
+    withSh.filter(sizeGuard)
+      .select(col("doc1"), col("doc2"),
+        floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+      .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
+  }
+
+  /** [[prefixCandidates]] from raw documents — count these against
+    * C(corpus, 2) to decide whether the prefix filter pays off on a given
+    * corpus BEFORE running the full join. */
+  def prefixCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], k: Int, minPpm: Long): DataFrame =
+    prefixCandidates(
+      docs.select(
+        (col(idCol).as("doc") +: blockCols.map(col)) :+
+          array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"): _*),
+      blockCols, minPpm)
+
+  /** The candidate stage of [[prefixJaccardPairs]], exposed so the
+    * applicability boundary is MEASURABLE: count these against
+    * C(corpus, 2) to decide whether the prefix filter pays off on a given
+    * corpus (it does iff rare tokens exist — see the boundary note above).
+    * Input `sh`: (doc, blockCols..., sh sorted-distinct token array). */
+  def prefixCandidates(
+      sh: DataFrame,
+      blockCols: Seq[String],
+      minPpm: Long): DataFrame = {
     val tok = sh.select(
       col("doc") +: blockCols.map(col) :+ explode(col("sh")).as("t"): _*)
     val dfreq = tok.groupBy("t", blockCols: _*)
@@ -270,22 +307,9 @@ object Dedup {
         explode(slice(col("toks"), lit(1), prefixLen)).as("t"): _*)
     val joinCond = blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
       .foldLeft(col("l.t") === col("r.t") && col("l.doc") < col("r.doc"))(_ && _)
-    val cands = pre.as("l").join(pre.as("r"), joinCond)
+    pre.as("l").join(pre.as("r"), joinCond)
       .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
       .dropDuplicates("doc1", "doc2")
-    // exact verification — same shape as [[lshVerifiedPairs]]
-    val withSh = cands
-      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
-    val sizeGuard =
-      size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
-        size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
-    val inter = graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
-    val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
-    withSh.filter(sizeGuard)
-      .select(col("doc1"), col("doc2"),
-        floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
-      .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
   }
 
   /** 64-bit SimHash from a column of token hashes: bit j is 1 iff the sum

@@ -92,6 +92,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(globalPrefix == globalTruth)
   }
 
+  test("Prefix filter boundary is two-sided, measured: diverse tokens shrink candidates, " +
+    "low entropy does not") {
+    val rnd = new scala.util.Random(42)
+    // diverse corpus: random 60-char texts over the full alphabet — the
+    // trigram universe (26^3 ≈ 17.6k) dwarfs the corpus, so prefix tokens
+    // are genuinely rare (real-text-like). 5 planted near-dups keep the
+    // truth set non-empty.
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val diverseBase = (0 until 120).map(i => (i.toLong, randText(60)))
+    val planted = (0 until 5).map(i => (500L + i, diverseBase(i)._2 + "x"))
+    val diverse = docsDf((diverseBase ++ planted): _*)
+    val nD = 125L
+    val allPairsD = nD * (nD - 1) / 2 // 7750
+    val candD = Dedup.prefixCandidates(diverse, "doc_id", "text", Nil, 3, 800000L).count()
+    assert(candD * 10 < allPairsD,
+      s"diverse corpus: expected candidates << all-pairs, got $candD of $allPairsD")
+    // and the filtered join still returns the EXACT truth set there
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val truthD = toMap(Dedup.ngramJaccardPairs(
+      diverse.withColumn("one", lit(0)), "doc_id", "text", Seq("one"),
+      k = 3, minPpm = 800000L))
+    assert(truthD.size >= 5) // the planted near-dups
+    assert(toMap(Dedup.prefixJaccardPairs(diverse, "doc_id", "text", Nil,
+      k = 3, minPpm = 800000L)) == truthD)
+
+    // low-entropy corpus: same shape, 3-letter alphabet — only 27 possible
+    // trigrams, every "rare" prefix token is shared corpus-wide, and the
+    // filter cannot pay off (the sf0.1 documents table measured the same:
+    // 49.8M candidates vs 12.5M all-pairs)
+    val low = docsDf((0 until 60).map(i => (i.toLong, randText(60)
+      .map(c => ('a' + (c - 'a') % 3).toChar))): _*)
+    val nL = 60L
+    val allPairsL = nL * (nL - 1) / 2 // 1770
+    val candL = Dedup.prefixCandidates(low, "doc_id", "text", Nil, 3, 800000L).count()
+    assert(candL * 3 > allPairsL,
+      s"low-entropy corpus: candidates should approach all-pairs, got $candL of $allPairsL")
+  }
+
   test("SimHash: identical texts at distance 0; near-dups within threshold") {
     // many distinct tokens -> stable bit margins -> replacing one token
     // flips only the few bits whose vote margin was exactly ±1
