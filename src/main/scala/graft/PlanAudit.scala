@@ -53,6 +53,9 @@ object PlanAudit {
       !p.contains("ScalaUDF"))
     check("q_range_join", "range join is a bucketed equi-join, not nested-loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q_dedup_cluster", "cluster assembly joins the truncated label table, no nested-loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("Scan ExistingRDD"))
     spark.stop()
   }
 }

@@ -20,6 +20,89 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Distributed connected components over an undirected edge list — the
+    * last mile of every dedup pipeline: pair-finders (exact hash, MinHash,
+    * SimHash, URL canonicalization, ...) each emit edges, and the TRANSITIVE
+    * closure of their union is the dedup cluster (A≈B by one signal, B≈C by
+    * another ⇒ {A,B,C} is one cluster; keep `min(id)` per component).
+    *
+    * Algorithm: min-label propagation fused with pointer jumping (path
+    * halving). Each round does (1) `comp(u) ← min(comp(u), min over
+    * neighbors' comp)` — one equi-join + one partial-agg groupBy — and (2)
+    * `comp(u) ← comp(comp(u))` — one self-join on the label table. Labels
+    * are monotone non-increasing and round (2) halves pointer chains, so
+    * convergence takes O(log n) rounds on any topology (a plain
+    * neighbor-min loop needs O(diameter) — unbounded on chain-shaped
+    * clusters); every round is shuffle-bounded by |E|, nothing is ever
+    * collected to the driver. The driver-side loop only compares two
+    * counts per round (the changed-label count), which is the standard
+    * iterate-until-fixpoint shape (same as GraphX/Pregel at 100 TB).
+    *
+    * Returns (node, component) for every node appearing in `edges`, where
+    * `component` = min node id of the component. Nodes absent from `edges`
+    * are their own singleton component — left-join and coalesce at the
+    * call site (see q_dedup_cluster).
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    // Iterative DataFrames MUST cut lineage every round: the self-join
+    // doubles the Catalyst tree, so an un-truncated loop builds an
+    // exponentially-growing plan (analysis itself OOMs around 8-10
+    // rounds). Rebasing on the materialized RDD keeps each round's plan
+    // constant-size; persist + unpersist bounds memory to two label
+    // tables. (At cluster scale swap the rebase for checkpoint() against
+    // a reliable dir — same shape, executor-loss-safe.)
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist()
+    // labels sum: comp ids only ever DECREASE, so the label table changed
+    // this round iff Σcomp strictly dropped — one cheap agg over the
+    // freshly-persisted table (which doubles as its materializing action),
+    // instead of a compare-join against the previous table. Decimal sum:
+    // overflow-free at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    val bi = materialize(
+      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v"))))
+    // initial label = min(self, min neighbor): the first neighbor-min round
+    // folded into initialization
+    var labels = materialize(
+      bi.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u").as("node"), least(col("mv"), col("u")).as("comp")))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // (1) neighbor-min
+      val nbr = bi.join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("comp"))
+      val stepped = labels.union(nbr)
+        .groupBy("node").agg(min("comp").as("comp"))
+      // (2) pointer jumping: comp(u) ← comp(comp(u)); comp ids are always
+      // node ids, so the lookup side is stepped itself
+      val jumped = materialize(stepped.as("l")
+        .join(stepped.select(col("node").as("cnode"), col("comp").as("ccomp")).as("r"),
+          col("l.comp") === col("r.cnode"), "left")
+        .select(col("l.node").as("node"),
+          coalesce(col("r.ccomp"), col("l.comp")).as("comp")))
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = jumped
+      it += 1
+    }
+    bi.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"graft.Dedup.connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Exact k-shingle Jaccard pairs above `minPpm`, blocked by (lang,
     * length band) to bound the candidate set. Returns (doc1, doc2,
     * jacc_ppm) with doc1 < doc2. */

@@ -66,6 +66,37 @@ object TextQueries {
         .orderBy("digest")
     },
 
+    // Dedup clusters: the transitive closure over the UNION of two
+    // duplicate signals — exact content hash and the winnowing min-shingle
+    // fingerprint (A≈B by one signal, B≈C by the other ⇒ one cluster).
+    // Each signal contributes LINEAR star edges (doc → its group's min
+    // id), never pairwise cliques, so edge volume is O(corpus) at 100 TB;
+    // components by Dedup.connectedComponents (pointer-jumping min-label,
+    // O(log n) rounds). component = min doc_id of the cluster (the doc a
+    // keep-one dedup pass retains); singletons are their own component.
+    "q_dedup_cluster" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      // persisted: both star() calls and their root aggregations reuse the
+      // signature pass (the min-shingle md5 sweep) instead of recomputing
+      // it four times
+      val sig = d.select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("s_text"),
+        TA.minShingleFingerprint(col("text"), 8).as("s_shingle"))
+        .persist()
+      def star(c: String) = {
+        val roots = sig.groupBy(col(c)).agg(min("doc_id").as("root"))
+        sig.join(roots, c).filter(col("doc_id") =!= col("root"))
+          .select(col("doc_id").as("src"), col("root").as("dst"))
+      }
+      val edges = star("s_text").union(star("s_shingle"))
+      val comp = Dedup.connectedComponents(edges, "src", "dst")
+      d.select(col("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    },
+
     // Exact 3-gram Jaccard near-dup pairs, blocked by (lang, length/100).
     // Blocked all-pairs is deliberate here: prefix filtering
     // (Dedup.prefixJaccardPairs) was A/B-measured on this corpus and LOST
@@ -182,6 +213,28 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sig AS (
+        | SELECT doc_id, md5(text) AS s_text,
+        |  list_min(list_transform(range(1, greatest(len(text)-7, 1)+1),
+        |    i -> md5(text[i:i+7]))) AS s_shingle
+        | FROM documents),
+        |e1 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_text) AS dst FROM sig),
+        |e2 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_shingle) AS dst FROM sig),
+        |edges AS (
+        | SELECT src, dst FROM e1 WHERE src <> dst
+        | UNION
+        | SELECT src, dst FROM e2 WHERE src <> dst),
+        |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach AS (
+        | SELECT src, dst FROM bi
+        | UNION
+        | SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+        |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src)
+        |SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH s AS (

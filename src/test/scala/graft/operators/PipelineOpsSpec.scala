@@ -20,6 +20,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out == Set((2L, 1L), (1L, 3L))) // (n_docs, keep_id)
   }
 
+  test("connectedComponents: chains, merged stars, disjoint clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (worst case for plain neighbor-min), triangle
+    // 10-11-12, disjoint pair 20-21
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: pointer jumping converges on a 64-node chain well under maxIter") {
+    import spark.implicits._
+    // plain neighbor-min needs O(diameter)=63 rounds here; path halving
+    // must land it in O(log n) — maxIter=10 proves the claim
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(chain, "src", "dst", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 1L))
+  }
+
   test("MinHash estimate tracks exact Jaccard for near-dup vs unrelated") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"
     val nearDup = base + " tonight"
