@@ -56,6 +56,10 @@ object PlanAudit {
     check("q_dedup_cluster", "cluster assembly joins the truncated label table, no nested-loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         p.contains("Scan ExistingRDD"))
+    check("q_contamination", "eval gram set broadcast; train side never shuffles text")(p =>
+      p.contains("BroadcastHashJoin"))
+    check("q_pack_sequences", "packing = one shuffle on the partition key")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1)
     spark.stop()
   }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for training-data pipelines: reproducible
+  * splitting, sequence packing, and eval-set decontamination. No reference
+  * analogue (north-star ops, SURVEY.md LLM-pipeline section); all three are
+  * oracle-backed (`q_corpus_split`, `q_pack_sequences`, `q_contamination`).
+  */
+object Corpus {
+
+  /** Deterministic bucket in [0, buckets) from a numeric id — Knuth
+    * multiplicative hashing. Pure integer arithmetic, so any engine
+    * (including the SQL oracle, and a future re-run on different hardware)
+    * reproduces the assignment bit-for-bit; that reproducibility is the
+    * whole point for train/val/test splits. Not a crypto hash: use ids,
+    * not content. */
+  def idBucket(id: Column, buckets: Int): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(buckets.toLong))
+
+  /** Reproducible train/val/test assignment by id bucket (permille
+    * fractions). A doc's split NEVER changes as the corpus grows —
+    * appending data cannot move old docs across splits (the property
+    * random sampling lacks). */
+  def withSplit(df: DataFrame, idCol: String,
+                trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "fractions exceed 1000 permille")
+    val b = idBucket(col(idCol), 1000)
+    df.withColumn("split",
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
+  /** Greedy streaming sequence packing: within each `partitionCol`, docs in
+    * `idCol` order fill fixed `budgetTokens` windows; a doc's pack is the
+    * window its FIRST token lands in (cumulative-before div budget). The
+    * one-pass streaming approximation of bin packing every
+    * tokenize-and-pack job uses at scale: one window cumsum = one shuffle
+    * on the partition key, no driver state. Docs longer than the budget
+    * still get a pack (they span windows — split downstream at tokenize
+    * time). */
+  def packSequences(df: DataFrame, partitionCol: String, idCol: String,
+                    tokensCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id",
+        expr(s"(__cum - $tokensCol) div $budgetTokens").cast("long"))
+      .drop("__cum")
+  }
+
+  /** Eval-set decontamination: for every train doc, the number of distinct
+    * k-char shingles it shares with ANY eval doc (0-row absence = clean).
+    * The eval side's distinct shingle set is broadcast — eval corpora are
+    * small by construction, so the train side stays a map-side hash
+    * semi-lookup at 100 TB: explode distinct shingles, broadcast-join,
+    * per-doc count; no shuffle of train text. */
+  def contamination(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, k: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+}

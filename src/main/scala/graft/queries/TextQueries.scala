@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, TextAnalysis => TA}
+import graft.operators.{Corpus, Dedup, Multimodal, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,37 @@ object TextQueries {
           sum(TA.bpeTokenCount(col("text"))).as("total_tokens"),
           sum(length(col("text")).cast("long")).as("total_chars"))
         .orderBy("source")
+    },
+
+    // Reproducible train/val/test split (id-hash buckets: append-stable,
+    // engine-independent) — data-budget report per (source, split).
+    "q_corpus_split" -> { (s, dir) =>
+      Corpus.withSplit(Tables(s, dir, "documents"), "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("source", "split")
+    },
+
+    // Streaming sequence packing: per-source docs in id order fill
+    // 512-token windows (one window cumsum = one shuffle on source).
+    "q_pack_sequences" -> { (s, dir) =>
+      val withTok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.bpeTokenCount(col("text")).as("n_tokens"))
+      Corpus.packSequences(withTok, "source", "doc_id", "n_tokens", 512L)
+        .orderBy("doc_id")
+    },
+
+    // Eval-set decontamination: distinct 8-gram overlap of every train doc
+    // (source <> src0) against the src0 "benchmark" corpus; eval grams
+    // broadcast, train side never shuffles text.
+    "q_contamination" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      Corpus.contamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", k = 8)
+        .orderBy("doc_id")
     },
 
     // Content + winnowing fingerprints.
@@ -204,6 +235,39 @@ object TextQueries {
         | CAST(SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS total_tokens,
         | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_corpus_split" ->
+      """SELECT source,
+        | CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+        |      WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+        |      ELSE 'test' END AS split,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        | CAST((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+        |   // 512 AS BIGINT) AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH evalg AS (
+        | SELECT DISTINCT unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(text)-7, 1)+1), i -> text[i:i+7]))) AS g
+        | FROM documents WHERE source = 'src0'),
+        |traing AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(text)-7, 1)+1), i -> text[i:i+7]))) AS g
+        | FROM documents WHERE source <> 'src0')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM traing JOIN evalg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,

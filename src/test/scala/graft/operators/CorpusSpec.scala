@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkTestBase {
+
+  test("withSplit: deterministic, append-stable, fractions near 90/5/5") {
+    import spark.implicits._
+    val full = (0L until 2000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val split = Corpus.withSplit(full, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // append-stability: the same ids through a SMALLER corpus get the same
+    // split (assignment depends on the id alone)
+    val partial = Corpus.withSplit(full.filter(col("doc_id") < 100), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    partial.foreach { case (id, s) => assert(split(id) == s) }
+    // multiplicative hashing decorrelates from id order: fractions land
+    // near the declared 900/50/50 permille
+    val n = split.size.toDouble
+    val train = split.values.count(_ == "train") / n
+    val v = split.values.count(_ == "val") / n
+    assert(math.abs(train - 0.9) < 0.03, s"train fraction $train")
+    assert(math.abs(v - 0.05) < 0.02, s"val fraction $v")
+  }
+
+  test("packSequences: greedy window fill, per-partition, budget boundaries exact") {
+    import spark.implicits._
+    // cum-before: 0,4,9,12,21 -> packs 0,0,0,1,2 at budget 10
+    val docs = Seq((1L, "a", 4L), (2L, "a", 5L), (3L, "a", 3L), (4L, "a", 9L), (5L, "a", 2L),
+      (6L, "b", 11L), (7L, "b", 1L)) // partition b: cum-before 0,11 -> packs 0,1
+      .toDF("doc_id", "src", "n_tokens")
+    val out = Corpus.packSequences(docs, "src", "doc_id", "n_tokens", 10L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 0L, 7L -> 1L))
+  }
+
+  test("contamination: shared shingles counted, clean docs absent, eval broadcast") {
+    import spark.implicits._
+    val eval = Seq((100L, "abcdefghij")).toDF("doc_id", "text") // 8-grams: abcdefgh, bcdefghi, cdefghij
+    val train = Seq(
+      (1L, "xxabcdefghxx"),  // shares exactly abcdefgh (1 gram)
+      (2L, "zzzzzzzzzzzz"))  // clean
+      .toDF("doc_id", "text")
+    val out = Corpus.contamination(train, eval, "doc_id", "text", 8)
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast, got:\n$plan")
+  }
+}
