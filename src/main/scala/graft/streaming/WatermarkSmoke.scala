@@ -26,6 +26,10 @@ import scala.concurrent.duration._
   * context (see TimerSmoke).
   */
 object WatermarkSmoke {
+  /** foreachBatch output for the restart scenario (driver-local queue —
+    * fine under local master, same pattern as KeyFlowSpec's golden map). */
+  val collected = new java.util.concurrent.ConcurrentLinkedQueue[KeyOutput[Long]]()
+
   def rec(key: String, offset: Long, eventMs: Long): Record =
     Record("t", 0, offset, new Timestamp(eventMs), 0, key, Array[Byte](), Map.empty)
 
@@ -45,28 +49,87 @@ object WatermarkSmoke {
       maxIdle = Some(5.seconds), removeOnIdle = true,
       timerDomain = TimerDomain.Watermark)
 
-    def run(name: String)(
+    def run(name: String, restart: Boolean = false)(
         mk: org.apache.spark.sql.Dataset[Record] => org.apache.spark.sql.Dataset[KeyOutput[Long]]): Boolean = {
+      val ckpt = java.nio.file.Files.createTempDirectory(name).toString
       val input = MemoryStream[Record]
       val out = mk(input.toDS().withWatermark("timestamp", "0 seconds"))
-      val q = out.writeStream.format("memory").queryName(name)
+      def start(qn: String) = out.writeStream.format("memory").queryName(qn)
         .outputMode("update")
         .trigger(Trigger.ProcessingTime(200))
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(name).toString)
+        .option("checkpointLocation", ckpt)
         .start()
-      input.addData(rec("a", 0, 10000L))
-      Thread.sleep(600) // batch 1 commits; watermark will advance to 10s
-      input.addData(rec("b", 1, 100000L)) // advances the watermark past a's expiry (15s)
-      val deadline = System.currentTimeMillis() + 60000
-      var aTombstoned = false
-      var rows = Array.empty[KeyOutput[Long]]
-      while (!aTombstoned && System.currentTimeMillis() < deadline) {
-        Thread.sleep(200)
-        rows = spark.table(name).as[KeyOutput[Long]].collect()
-        aTombstoned = rows.exists(o => o.key == "a" && o.tombstone && o.offset == 0L)
+      def waitFor(qn: String, deadlineMs: Long)(p: Array[KeyOutput[Long]] => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + deadlineMs
+        var ok = false
+        while (!ok && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          ok = p(spark.table(qn).as[KeyOutput[Long]].collect())
+        }
+        ok
       }
+      var q = start(name)
+      var qn = name
+      input.addData(rec("a", 0, 10000L))
+      // batch with a commits (state + its event-time timer at 15s durable)
+      waitFor(qn, 30000)(_.exists(o => o.key == "a" && !o.tombstone))
+      if (restart) {
+        // kill and recover from checkpoint: the registered timer and the
+        // 10s watermark must come back from state, not memory
+        q.stop()
+        qn = name + "R"
+        q = start(qn)
+      }
+      input.addData(rec("b", 1, 100000L)) // advances the watermark past a's expiry (15s)
+      val aTombstoned =
+        waitFor(qn, 60000)(_.exists(o => o.key == "a" && o.tombstone && o.offset == 0L))
+      val rows = spark.table(qn).as[KeyOutput[Long]].collect()
       q.stop()
+      val bIntact = rows.exists(o => o.key == "b" && !o.tombstone) &&
+        !rows.exists(o => o.key == "b" && o.tombstone)
+      println(s"WATERMARK_SMOKE $name aTombstoned=$aTombstoned bIntact=$bIntact")
+      aTombstoned && bIntact
+    }
+
+    // Restart scenario: the registered event-time timer and the watermark
+    // must come back from the CHECKPOINT, not JVM memory. The memory sink
+    // refuses recovery, so this one collects via foreachBatch (the
+    // recovery-capable test sink).
+    def runRestart(name: String): Boolean = {
+      val ckpt = java.nio.file.Files.createTempDirectory(name).toString
+      val input = MemoryStream[Record]
+      val out = KeyFlowTws.flow(
+        input.toDS().withWatermark("timestamp", "0 seconds"),
+        countFold, TickOption.id[Long], config)
+      def start() = out.writeStream
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(200))
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyOutput[Long]], _: Long) =>
+          b.collect().foreach(WatermarkSmoke.collected.add)
+        }
+        .start()
+      def waitFor(deadlineMs: Long)(p: Iterator[KeyOutput[Long]] => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + deadlineMs
+        var ok = false
+        while (!ok && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          ok = p(scala.jdk.CollectionConverters.IteratorHasAsScala(
+            WatermarkSmoke.collected.iterator()).asScala)
+        }
+        ok
+      }
+      var q = start()
+      input.addData(rec("a", 0, 10000L))
+      waitFor(30000)(_.exists(o => o.key == "a" && !o.tombstone))
+      q.stop() // kill after a's batch committed (timer + watermark durable)
+      q = start()
+      input.addData(rec("b", 1, 100000L))
+      val aTombstoned =
+        waitFor(60000)(_.exists(o => o.key == "a" && o.tombstone && o.offset == 0L))
+      q.stop()
+      val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        WatermarkSmoke.collected.iterator()).asScala.toArray
       val bIntact = rows.exists(o => o.key == "b" && !o.tombstone) &&
         !rows.exists(o => o.key == "b" && o.tombstone)
       println(s"WATERMARK_SMOKE $name aTombstoned=$aTombstoned bIntact=$bIntact")
@@ -75,8 +138,9 @@ object WatermarkSmoke {
 
     val twsOk = run("wmtws")(ds => KeyFlowTws.flow(ds, countFold, TickOption.id[Long], config))
     val classicOk = run("wmclassic")(ds => KeyFlow.flow(ds, countFold, TickOption.id[Long], config))
+    val restartOk = runRestart("wmtwsrestart")
     spark.stop()
-    println(s"WATERMARK_SMOKE_OK=${twsOk && classicOk}")
-    sys.exit(if (twsOk && classicOk) 0 else 1)
+    println(s"WATERMARK_SMOKE_OK=${twsOk && classicOk && restartOk}")
+    sys.exit(if (twsOk && classicOk && restartOk) 0 else 1)
   }
 }
