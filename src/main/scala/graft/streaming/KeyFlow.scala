@@ -153,8 +153,14 @@ object KeyFlow {
         config.timerDomain match {
           case TimerDomain.Clock => state.setTimeoutDuration(d.toMillis)
           case TimerDomain.Watermark =>
-            state.setTimeoutTimestamp(
+            try state.setTimeoutTimestamp(
               math.max(basisMs, state.getCurrentWatermarkMs()) + d.toMillis)
+            catch {
+              // batch execution has no watermark and never fires timers;
+              // event-time expiry still happens via the retroactive path,
+              // so skipping the (unfireable) registration is exact
+              case _: UnsupportedOperationException => ()
+            }
         }
       }
 

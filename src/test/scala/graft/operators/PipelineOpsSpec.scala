@@ -33,6 +33,35 @@ class PipelineOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 6) {
+      val n = 10 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(60)
+      val edges = (0 until m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // truth: union-find attaching the larger root under the smaller, so
+        // every root is its component's min id
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == truth, s"round=$round n=$n edges=$edges")
+      }
+    }
+  }
+
   test("connectedComponents: pointer jumping converges on a 64-node chain well under maxIter") {
     import spark.implicits._
     // plain neighbor-min needs O(diameter)=63 rounds here; path halving

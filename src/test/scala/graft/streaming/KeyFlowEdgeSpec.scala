@@ -37,6 +37,30 @@ class KeyFlowEdgeSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("watermark-domain retroactive expiry: one batch spanning two gaps emits " +
+    "closing-state/tombstone pairs per expired session (batch mode, no timers needed)") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    // key k: events at t=0, t=10h, t=20h with a 6h event-time maxIdle — the
+    // 2nd and 3rd records each PROVE idleness, so the fold must close the
+    // prior session inline: [state@0, tomb@0, state@1, tomb@1, state@2]
+    def at(offset: Long, hours: Long): Record =
+      Record("t", 0, offset, new Timestamp(hours * 3600 * 1000), 0, "k",
+        Array[Byte](), Map.empty)
+    val config = KeyFlowConfig(maxIdle = Some(6.hours), removeOnIdle = true,
+      timerDomain = TimerDomain.Watermark)
+    val out = KeyFlow.flow(
+      Seq(at(0, 0), at(1, 10), at(2, 20)).toDS(), countFold, config = config)
+      .collect()
+    val expected = Seq(
+      (0L, Some(1L), false), (0L, None, true),
+      (1L, Some(1L), false), (1L, None, true),
+      (2L, Some(1L), false))
+    assert(out.map(o => (o.offset, o.state, o.tombstone)).toSeq.sorted(
+      Ordering.by((t: (Long, Option[Long], Boolean)) => (t._1, t._3))) ==
+      expected.sorted(Ordering.by((t: (Long, Option[Long], Boolean)) => (t._1, t._3))))
+  }
+
   test("offset-lag eviction uses each record's own (topic, partition) clock") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
