@@ -60,6 +60,8 @@ object PlanAudit {
       p.contains("BroadcastHashJoin"))
     check("q_pack_sequences", "packing = one shuffle on the partition key")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    check("q_vocab", "vocab head = partial agg + bounded top-k, no global sort")(p =>
+      p.contains("TakeOrderedAndProject") && p.contains("HashAggregate"))
     spark.stop()
   }
 }

@@ -29,6 +29,21 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[a-z0-9 ]", "")).cast("long")
 
+  /** Corpus term table over the BPE-ish token regex: per token, document
+    * frequency and total occurrences — the vocabulary/IDF building block
+    * of a training pipeline. One explode + one hash aggregate with
+    * map-side combine (token cardinality ≪ token instances, so partial
+    * aggregation collapses the shuffle); integer-only outputs, so the SQL
+    * oracle is exact. */
+  def termCounts(docs: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        explode(regexp_extract_all(col(textCol),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("__doc")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+
   /** Non-overlapping occurrences of `word` with space padding. */
   def occurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))

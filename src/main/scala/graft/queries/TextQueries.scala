@@ -51,6 +51,15 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Vocabulary head: top-100 tokens by occurrences (df + tf per token) —
+    // the IDF/vocab building block. Total order (n_occurrences, n_docs,
+    // token) makes the top-100 cut deterministic on both engines.
+    "q_vocab" -> { (s, dir) =>
+      TA.termCounts(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("token"))
+        .limit(100)
+    },
+
     // Reproducible train/val/test split (id-hash buckets: append-stable,
     // engine-independent) — data-budget report per (source, split).
     "q_corpus_split" -> { (s, dir) =>
@@ -235,6 +244,15 @@ object TextQueries {
         | CAST(SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS total_tokens,
         | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, n_docs DESC, token
+        |LIMIT 100""".stripMargin,
 
     "q_corpus_split" ->
       """SELECT source,
