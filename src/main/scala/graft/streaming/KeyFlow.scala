@@ -55,7 +55,16 @@ final case class KeyFlowConfig(
     removeOnIdle: Boolean = true,
     maxOffsetDifference: Option[Long] = None,
     namespaceByTopic: Boolean = false,
-    timerDomain: TimerDomain = TimerDomain.Clock) {
+    timerDomain: TimerDomain = TimerDomain.Clock,
+    /** Native state TTL in the transformWithState engine (RocksDB-level
+      * expiry): state untouched for this long reads as absent, so the next
+      * record folds from scratch — the reference's `RecordExpiration`
+      * (CassandraKeys.scala:146,204-208) INSIDE the engine, complementing
+      * the read-time TTL of [[graft.state.ExternalSnapshots]]. Unlike
+      * `maxIdle` no tick runs and no tombstone is emitted — the state
+      * just ages out. Processing-time domain only; ignored by the classic
+      * flatMapGroupsWithState engine (no state-TTL support there). */
+    stateTtl: Option[Duration] = None) {
   /** Grouping key: the reference namespaces state by (topic, key) so equal
     * keys on different topics never share state (KafkaKey.scala:6-11);
     * opt in when subscribing to multiple topics. */

@@ -24,8 +24,12 @@ class KeyFlowProcessor[S](
 
   @transient private var state: ValueState[FlowState[S]] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[FlowState[S]]("flowState", stateEnc, TTLConfig.NONE)
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = config.stateTtl
+      .map(d => new TTLConfig(java.time.Duration.ofMillis(d.toMillis)))
+      .getOrElse(TTLConfig.NONE)
+    state = getHandle.getValueState[FlowState[S]]("flowState", stateEnc, ttl)
+  }
 
   override def handleInputRows(
       key: String,
@@ -156,7 +160,10 @@ object KeyFlowTws {
       implicit stateEnc: Encoder[FlowState[S]],
       outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
     import records.sparkSession.implicits._
+    require(config.stateTtl.isEmpty || config.timerDomain == TimerDomain.Clock,
+      "stateTtl is processing-time-domain only (TWS TTL requires TimeMode.ProcessingTime)")
     val timeMode = (config.maxIdle, config.timerDomain) match {
+      case (None, _) if config.stateTtl.isDefined => TimeMode.ProcessingTime()
       case (None, _) => TimeMode.None()
       case (Some(_), TimerDomain.Clock) => TimeMode.ProcessingTime()
       case (Some(_), TimerDomain.Watermark) => TimeMode.EventTime()

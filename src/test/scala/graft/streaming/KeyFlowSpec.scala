@@ -216,4 +216,9 @@ class KeyFlowSpec extends SparkTestBase {
     assert(forkSmoke("graft.streaming.WatermarkSmoke") == 0,
       "WatermarkSmoke forked JVM reported watermark-timer failure")
   }
+
+  test("native state TTL ages state out inside the engine (RecordExpiration analogue)") {
+    assert(forkSmoke("graft.streaming.TtlSmoke") == 0,
+      "TtlSmoke forked JVM reported state-TTL failure")
+  }
 }
