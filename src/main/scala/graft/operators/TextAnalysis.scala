@@ -29,6 +29,23 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[a-z0-9 ]", "")).cast("long")
 
+  /** Per-doc repetition ratio: occurrences of the doc's MOST repeated
+    * k-gram over all k-gram occurrences, floor-scaled to ppm (integer
+    * division — engine-exact). The standard degenerate-text signal for
+    * quality filtering: natural text scores low, "aaaa…"/looped spam
+    * scores near 1e6. Two hash aggregates, both with map-side combine. */
+  def repetitionPpm(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+        explode(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - lit(k - 1), lit(1))),
+          i => col(textCol).substr(i, lit(k)))).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max("__c").as("__max_c"), sum("__c").as("__n"))
+      .select(col(idCol),
+        expr("(__max_c * 1000000) div __n").as("rep_ppm"))
+
   /** Corpus term table over the BPE-ish token regex: per token, document
     * frequency and total occurrences — the vocabulary/IDF building block
     * of a training pipeline. One explode + one hash aggregate with

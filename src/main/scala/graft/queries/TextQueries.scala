@@ -51,6 +51,12 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Degenerate-text signal: most-repeated-trigram share per doc.
+    "q_repetition" -> { (s, dir) =>
+      TA.repetitionPpm(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id")
+    },
+
     // Vocabulary head: top-100 tokens by occurrences (df + tf per token) —
     // the IDF/vocab building block. Total order (n_occurrences, n_docs,
     // token) makes the top-100 cut deterministic on both engines.
@@ -244,6 +250,16 @@ object TextQueries {
         | CAST(SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS total_tokens,
         | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repetition" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1)+1),
+        |   i -> text[i:i+2])) AS g
+        | FROM documents),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        | (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS rep_ppm
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_vocab" ->
       """SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,

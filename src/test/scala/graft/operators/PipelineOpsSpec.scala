@@ -348,6 +348,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(plan.getAs[scala.collection.Seq[Int]]("frame_ids").toList == List(0, 3, 6, 9))
   }
 
+  test("TextAnalysis.repetitionPpm on known strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),    // grams aaa,aaa -> 2/2 = 1e6
+      (2L, "abcabc"),  // abc,bca,cab,abc -> 2/4 = 500000
+      (3L, "abcdef"))  // all distinct -> 1/4 = 250000
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionPpm(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1000000L, 2L -> 500000L, 3L -> 250000L))
+  }
+
   test("TextAnalysis: token counts and jaccard on known strings") {
     import spark.implicits._
     val df = Seq(("one two three", "one two four")).toDF("a", "b")
