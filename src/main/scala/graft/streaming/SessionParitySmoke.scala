@@ -19,16 +19,24 @@ import scala.concurrent.duration._
   *  - streaming: events replayed through [[KeyFlowTws]] in event-time order
   *    across several microbatches, with watermark-domain maxIdle timers
   *    closing a session when the watermark (or a record proving event-time
-  *    idleness — retroactive expiry) passes its last event + 6h. Sessions
-  *    are reconstructed from the changelog: a tombstone at offset o closes
-  *    the session whose final state row carries offset o; the max-offset
-  *    state row past the last tombstone is the still-open session.
+  *    idleness — retroactive expiry) passes its last event + 6h, WITH a
+  *    kill-and-recover from checkpoint halfway through the replay (open
+  *    sessions, registered timers, and the watermark must all come back
+  *    from state). Sessions are reconstructed from the changelog: a
+  *    tombstone at offset o closes the session whose final state row
+  *    carries offset o; the max-offset state row past the last tombstone
+  *    is the still-open session.
   *
   * Exits 0 iff every user's session list matches. Forked by
   * StreamBatchParitySpec (Spark 4.1 stateful exec NPEs under the sbt test
   * harness — see TimerSmoke).
   */
 object SessionParitySmoke {
+  /** foreachBatch changelog collector (driver-local; reconstruction is
+    * order-independent — it keys on offsets — so at-least-once replay
+    * after the mid-stream restart collapses in the groupBys). */
+  val collected = new java.util.concurrent.ConcurrentLinkedQueue[KeyOutput[(Long, Long, Long)]]()
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val gapMs = 6L * 3600 * 1000
@@ -74,11 +82,18 @@ object SessionParitySmoke {
     val out = KeyFlowTws.flow(
       input.toDS().withWatermark("timestamp", "0 seconds"),
       fold, TickOption.id[(Long, Long, Long)], config)
-    val q = out.writeStream.format("memory").queryName("sessparity")
+    // foreachBatch collector (recovery-capable sink — the memory sink
+    // refuses checkpoint restart, and this smoke restarts MID-STREAM to
+    // prove sessions, timers, and the watermark recover from state)
+    val ckpt = java.nio.file.Files.createTempDirectory("sessparity").toString
+    def start() = out.writeStream
       .outputMode("update")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("sessparity").toString)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyOutput[(Long, Long, Long)]], _: Long) =>
+        b.collect().foreach(SessionParitySmoke.collected.add)
+      }
       .start()
+    var q = start()
 
     // several microbatches, split only where event time strictly increases
     // (equal timestamps never straddle a watermark update)
@@ -89,12 +104,22 @@ object SessionParitySmoke {
         feed(c).timestamp.getTime == feed(c - 1).timestamp.getTime) c += 1
       c
     }.distinct.filter(c => c > 0 && c < feed.length)
-    (Seq(0) ++ cuts ++ Seq(feed.length)).sliding(2).foreach { case Seq(a, b) =>
-      if (b > a) { input.addData(feed.slice(a, b).toSeq); q.processAllAvailable() }
+    val spans = (Seq(0) ++ cuts ++ Seq(feed.length)).sliding(2).toSeq
+    spans.zipWithIndex.foreach { case (Seq(a, b), i) =>
+      if (b > a) {
+        if (i == spans.length / 2) { // kill-and-recover halfway through
+          q.stop()
+          q = start()
+        }
+        input.addData(feed.slice(a, b).toSeq)
+        q.processAllAvailable()
+      }
     }
+    q.stop()
 
     // ---- reconstruct sessions from the changelog
-    val rows = spark.table("sessparity").as[KeyOutput[(Long, Long, Long)]].collect()
+    val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      SessionParitySmoke.collected.iterator()).asScala.toArray
     val streamSessions: Map[String, Seq[(Long, Long, Long)]] =
       rows.groupBy(_.key).map { case (k, ks) =>
         val tombOffsets = ks.filter(_.tombstone).map(_.offset).toSet
@@ -117,7 +142,6 @@ object SessionParitySmoke {
       }
       println(s"users stream=${streamSessions.size} batch=${batchSessions.size}")
     }
-    q.stop()
     spark.stop()
     println(s"SESSION_PARITY_OK=$ok (${batchSessions.valuesIterator.map(_.size).sum} sessions, " +
       s"${batchSessions.size} users)")
