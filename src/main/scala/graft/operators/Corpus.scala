@@ -52,6 +52,21 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Data-mixing weights: given per-group token totals, the sampling
+    * weight (floor-scaled ppm) that moves each group toward a UNIFORM
+    * share of the corpus token budget — weight > 1e6 means upsample,
+    * < 1e6 downsample. Pure integer arithmetic end to end, so the mix is
+    * reproducible on any engine. The totals side is one broadcast row;
+    * the whole computation is two aggregates. */
+  def uniformMixWeights(perGroupTokens: DataFrame,
+                        groupCol: String, tokensCol: String): DataFrame = {
+    val t = perGroupTokens.agg(
+      sum(col(tokensCol)).as("__total"), count(lit(1)).as("__n"))
+    perGroupTokens.crossJoin(broadcast(t))
+      .select(col(groupCol), col(tokensCol),
+        expr(s"((__total div __n) * 1000000) div $tokensCol").as("weight_ppm"))
+  }
+
   /** Eval-set decontamination: for every train doc, the number of distinct
     * k-char shingles it shares with ANY eval doc (0-row absence = clean).
     * The eval side's distinct shingle set is broadcast — eval corpora are

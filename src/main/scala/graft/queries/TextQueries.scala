@@ -86,6 +86,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Data mixing: per-source sampling weight toward a uniform token
+    // budget (ppm; >1e6 upsample, <1e6 downsample) — integer-exact.
+    "q_mix_weights" -> { (s, dir) =>
+      val perSource = Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(TA.bpeTokenCount(col("text"))).as("n_tokens"))
+      Corpus.uniformMixWeights(perSource, "source", "n_tokens")
+        .orderBy("source")
+    },
+
     // Eval-set decontamination: distinct 8-gram overlap of every train doc
     // (source <> src0) against the src0 "benchmark" corpus; eval grams
     // broadcast, train side never shuffles text.
@@ -289,6 +299,15 @@ object TextQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
         |   // 512 AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH s AS (
+        | SELECT source,
+        |  CAST(SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n FROM s)
+        |SELECT source, n_tokens, ((total // n) * 1000000) // n_tokens AS weight_ppm
+        |FROM s, t ORDER BY source""".stripMargin,
 
     "q_contamination" ->
       """WITH evalg AS (

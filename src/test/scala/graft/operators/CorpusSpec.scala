@@ -35,6 +35,18 @@ class CorpusSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 0L, 7L -> 1L))
   }
 
+  test("uniformMixWeights: integer-exact up/downsample weights toward uniform budget") {
+    import spark.implicits._
+    // total 600 over 3 groups -> target 200/group
+    val perGroup = Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("src", "n_tokens")
+    val out = Corpus.uniformMixWeights(perGroup, "src", "n_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map(
+      "a" -> 2000000L, // 200/100: upsample 2x
+      "b" -> 1000000L, // on target
+      "c" -> 666666L)) // 200/300 floor-scaled
+  }
+
   test("contamination: shared shingles counted, clean docs absent, eval broadcast") {
     import spark.implicits._
     val eval = Seq((100L, "abcdefghij")).toDF("doc_id", "text") // 8-grams: abcdefgh, bcdefghi, cdefghij
