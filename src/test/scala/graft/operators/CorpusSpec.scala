@@ -35,6 +35,27 @@ class CorpusSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 0L, 7L -> 1L))
   }
 
+  test("packSequences matches a naive driver-side cumsum on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 4) {
+      val budget = 1 + rnd.nextInt(50)
+      val rows = (0 until 200).map { i =>
+        (i.toLong, s"s${rnd.nextInt(3)}", 1L + rnd.nextInt(40)) // (id, src, tokens)
+      }
+      val truth = rows.groupBy(_._2).flatMap { case (_, docs) =>
+        var cum = 0L
+        docs.sortBy(_._1).map { case (id, _, tok) =>
+          val pack = cum / budget; cum += tok; id -> pack
+        }
+      }
+      val got = Corpus.packSequences(rows.toDF("doc_id", "src", "n_tokens"),
+        "src", "doc_id", "n_tokens", budget.toLong)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+      assert(got == truth, s"budget=$budget")
+    }
+  }
+
   test("uniformMixWeights: integer-exact up/downsample weights toward uniform budget") {
     import spark.implicits._
     // total 600 over 3 groups -> target 200/group
