@@ -42,6 +42,13 @@ object Dedup {
     * `component` = min node id of the component. Nodes absent from `edges`
     * are their own singleton component — left-join and coalesce at the
     * call site (see q_dedup_cluster).
+    *
+    * Skew: a hub node (one root referenced by millions of edges — the
+    * shape star-edge inputs produce) concentrates the neighbor-min join on
+    * one key; AQE's skew-join splitting absorbs it (the label side is one
+    * row per key, so replicating it across the split partitions is free).
+    * Pointer jumping also collapses hub components in one round, so hot
+    * keys never persist across rounds.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,

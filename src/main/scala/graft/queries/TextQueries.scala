@@ -146,7 +146,11 @@ object TextQueries {
           .select(col("doc_id").as("src"), col("root").as("dst"))
       }
       val edges = star("s_text").union(star("s_shingle"))
+      // connectedComponents materializes its labels eagerly (lineage is
+      // truncated per round), so the signature cache is consumed by the
+      // time it returns — release it before assembling the output
       val comp = Dedup.connectedComponents(edges, "src", "dst")
+      sig.unpersist()
       d.select(col("doc_id"))
         .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
