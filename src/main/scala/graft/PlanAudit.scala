@@ -62,6 +62,9 @@ object PlanAudit {
       "Exchange hashpartitioning".r.findAllIn(p).size == 1)
     check("q_vocab", "vocab head = partial agg + bounded top-k, no global sort")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("HashAggregate"))
+    check("q_pipeline_e2e", "whole preprocessing pass fuses to <=3 shuffles, no nested loop")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 3 &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     spark.stop()
   }
 }

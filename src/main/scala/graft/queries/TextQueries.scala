@@ -86,6 +86,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The whole preprocessing pass as ONE declarative plan — quality
+    // filter → language filter → exact-dedup keep-min → reproducible split
+    // → per-(split, lang) token budget. Catalyst fuses the scoring into
+    // the scan projection; the only shuffles are the dedup group and the
+    // final budget aggregate. Composability is the point: each stage is an
+    // already-oracle-proven operator.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TA.qualityScorePpm(col("text")).as("q"),
+        TA.langId(col("text")).as("lang_pred"),
+        TA.bpeTokenCount(col("text")).as("n_tokens"),
+        md5(col("text").cast("binary")).as("digest"))
+      val filtered = scored.filter(col("q") >= 400000L && col("lang_pred") =!= "und")
+      val keep = filtered.groupBy("digest").agg(min("doc_id").as("doc_id"))
+      val kept = filtered.join(keep, Seq("digest", "doc_id"))
+      Corpus.withSplit(kept, "doc_id")
+        .groupBy("split", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("split", "lang_pred")
+    },
+
     // Data mixing: per-source sampling weight toward a uniform token
     // budget (ppm; >1e6 upsample, <1e6 downsample) — integer-exact.
     "q_mix_weights" -> { (s, dir) =>
@@ -303,6 +325,47 @@ object TextQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
         |   // 512 AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH t AS (
+        | SELECT doc_id, text, ' '||text||' ' AS p,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |  md5(text) AS digest
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, digest, n_tokens, chars, tokens, punct,
+        |  CAST((len(p) - len(replace(p, ' the ', ''))) // 5
+        |     + (len(p) - len(replace(p, ' and ', ''))) // 5
+        |     + (len(p) - len(replace(p, ' of ', ''))) // 4
+        |     + (len(p) - len(replace(p, ' a ', ''))) // 3 AS DOUBLE) AS stops,
+        |  (len(p)-len(replace(p,' the ','')))//5 + (len(p)-len(replace(p,' and ','')))//5 + (len(p)-len(replace(p,' of ','')))//4 AS s_en,
+        |  (len(p)-len(replace(p,' der ','')))//5 + (len(p)-len(replace(p,' und ','')))//5 + (len(p)-len(replace(p,' die ','')))//5 AS s_de,
+        |  (len(p)-len(replace(p,' le ','')))//4 + (len(p)-len(replace(p,' et ','')))//4 + (len(p)-len(replace(p,' la ','')))//4 AS s_fr,
+        |  (len(p)-len(replace(p,' el ','')))//4 + (len(p)-len(replace(p,' y ','')))//3 + (len(p)-len(replace(p,' los ','')))//5 AS s_es
+        | FROM t),
+        |g AS (
+        | SELECT doc_id, digest, n_tokens,
+        |  CAST(floor((least(1.0, chars/500.0)*0.3
+        |    + least(1.0, stops*10.0/tokens)*0.4
+        |    + (1.0 - least(1.0, punct/(chars*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS q,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        | FROM s),
+        |f AS (SELECT * FROM g WHERE q >= 400000 AND lang_pred <> 'und'),
+        |k AS (SELECT digest, MIN(doc_id) AS doc_id FROM f GROUP BY 1),
+        |kept AS (SELECT f.* FROM f JOIN k USING (digest, doc_id)),
+        |sp AS (SELECT *, CASE WHEN (doc_id*2654435761)%1000 < 900 THEN 'train'
+        |                     WHEN (doc_id*2654435761)%1000 < 950 THEN 'val'
+        |                     ELSE 'test' END AS split FROM kept)
+        |SELECT split, lang_pred, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_mix_weights" ->
       """WITH s AS (
