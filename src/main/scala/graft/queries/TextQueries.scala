@@ -93,12 +93,17 @@ object TextQueries {
     // final budget aggregate. Composability is the point: each stage is an
     // already-oracle-proven operator.
     "q_pipeline_e2e" -> { (s, dir) =>
+      // persisted: the scoring projection is the expensive stage (a large
+      // codegen'd method over many string ops) and BOTH sides of the
+      // keep-join consume it — cache it once instead of compiling and
+      // computing it twice
       val scored = Tables(s, dir, "documents").select(
         col("doc_id"),
         TA.qualityScorePpm(col("text")).as("q"),
         TA.langId(col("text")).as("lang_pred"),
         TA.bpeTokenCount(col("text")).as("n_tokens"),
         md5(col("text").cast("binary")).as("digest"))
+        .persist()
       val filtered = scored.filter(col("q") >= 400000L && col("lang_pred") =!= "und")
       val keep = filtered.groupBy("digest").agg(min("doc_id").as("doc_id"))
       val kept = filtered.join(keep, Seq("digest", "doc_id"))
