@@ -49,7 +49,7 @@ object WatermarkSmoke {
       maxIdle = Some(5.seconds), removeOnIdle = true,
       timerDomain = TimerDomain.Watermark)
 
-    def run(name: String, restart: Boolean = false)(
+    def run(name: String)(
         mk: org.apache.spark.sql.Dataset[Record] => org.apache.spark.sql.Dataset[KeyOutput[Long]]): Boolean = {
       val ckpt = java.nio.file.Files.createTempDirectory(name).toString
       val input = MemoryStream[Record]
@@ -68,22 +68,14 @@ object WatermarkSmoke {
         }
         ok
       }
-      var q = start(name)
-      var qn = name
+      val q = start(name)
       input.addData(rec("a", 0, 10000L))
       // batch with a commits (state + its event-time timer at 15s durable)
-      waitFor(qn, 30000)(_.exists(o => o.key == "a" && !o.tombstone))
-      if (restart) {
-        // kill and recover from checkpoint: the registered timer and the
-        // 10s watermark must come back from state, not memory
-        q.stop()
-        qn = name + "R"
-        q = start(qn)
-      }
+      waitFor(name, 30000)(_.exists(o => o.key == "a" && !o.tombstone))
       input.addData(rec("b", 1, 100000L)) // advances the watermark past a's expiry (15s)
       val aTombstoned =
-        waitFor(qn, 60000)(_.exists(o => o.key == "a" && o.tombstone && o.offset == 0L))
-      val rows = spark.table(qn).as[KeyOutput[Long]].collect()
+        waitFor(name, 60000)(_.exists(o => o.key == "a" && o.tombstone && o.offset == 0L))
+      val rows = spark.table(name).as[KeyOutput[Long]].collect()
       q.stop()
       val bIntact = rows.exists(o => o.key == "b" && !o.tombstone) &&
         !rows.exists(o => o.key == "b" && o.tombstone)
