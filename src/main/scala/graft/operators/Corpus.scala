@@ -11,14 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** Deterministic bucket in [0, buckets) from a numeric id — Knuth
-    * multiplicative hashing. Pure integer arithmetic, so any engine
+  /** Deterministic bucket in [0, buckets) from a NON-NEGATIVE numeric id —
+    * Knuth multiplicative hashing. Pure integer arithmetic, so any engine
     * (including the SQL oracle, and a future re-run on different hardware)
     * reproduces the assignment bit-for-bit; that reproducibility is the
-    * whole point for train/val/test splits. Not a crypto hash: use ids,
-    * not content. */
+    * whole point for train/val/test splits. The id is pre-reduced mod 2^31
+    * so the multiply can NEVER overflow Long (ANSI mode throws on
+    * overflow, and a wrapped product would silently diverge from the
+    * oracle) — ids below 2^31 keep their exact historical assignment, ids
+    * above hash by their low 31 bits (still uniform; not a crypto hash —
+    * use ids, not content, and keep ids non-negative: Spark pmod and SQL %
+    * disagree on negative dividends). */
   def idBucket(id: Column, buckets: Int): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(buckets.toLong))
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(buckets.toLong))
 
   /** Reproducible train/val/test assignment by id bucket (permille
     * fractions). A doc's split NEVER changes as the corpus grows —
@@ -56,15 +61,23 @@ object Corpus {
     * weight (floor-scaled ppm) that moves each group toward a UNIFORM
     * share of the corpus token budget — weight > 1e6 means upsample,
     * < 1e6 downsample. Pure integer arithmetic end to end, so the mix is
-    * reproducible on any engine. The totals side is one broadcast row;
-    * the whole computation is two aggregates. */
+    * reproducible on any engine. The ppm is computed DECOMPOSED —
+    * `floor(T*1e6/g) = (T div g)*1e6 + ((T mod g)*1e6) div g` — so no
+    * intermediate ever overflows Long for any corpus a BIGINT can count
+    * (a naive `T*1e6` throws under ANSI past ~9.2e12 target tokens);
+    * zero-token groups read as 1 token instead of dividing by zero. The
+    * totals side is one broadcast row; the whole computation is two
+    * aggregates. */
   def uniformMixWeights(perGroupTokens: DataFrame,
                         groupCol: String, tokensCol: String): DataFrame = {
     val t = perGroupTokens.agg(
       sum(col(tokensCol)).as("__total"), count(lit(1)).as("__n"))
     perGroupTokens.crossJoin(broadcast(t))
       .select(col(groupCol), col(tokensCol),
-        expr(s"((__total div __n) * 1000000) div $tokensCol").as("weight_ppm"))
+        expr(s"""((__total div __n) div greatest($tokensCol, 1)) * 1000000
+                | + (((__total div __n) % greatest($tokensCol, 1)) * 1000000)
+                |   div greatest($tokensCol, 1)""".stripMargin.replace("\n", " "))
+          .as("weight_ppm"))
   }
 
   /** Eval-set decontamination: for every train doc, the number of distinct

@@ -41,7 +41,9 @@ object Dedup {
     * Returns (node, component) for every node appearing in `edges`, where
     * `component` = min node id of the component. Nodes absent from `edges`
     * are their own singleton component — left-join and coalesce at the
-    * call site (see q_dedup_cluster).
+    * call site (see q_dedup_cluster). The returned label table is
+    * PERSISTED (it is the loop's materialization); `unpersist()` it once
+    * consumed if the session runs many clusterings.
     *
     * Skew: a hub node (one root referenced by millions of edges — the
     * shape star-edge inputs produce) concentrates the neighbor-min join on

@@ -23,15 +23,20 @@ object IvfIndex {
     * `sampleFraction` that yields ~`maxFitVectors` rows and the fit cost
     * becomes independent of corpus size.
     *
-    * Reproducible by construction: the `maxFitVectors` cap is applied as
-    * `orderBy(xxhash64(vec)).limit(n)` — a content-defined, seed-stable
-    * top-K (TakeOrderedAndProject), not a partition-order-dependent
-    * `limit` — so the same corpus always fits the same centroids. */
+    * Reproducible by construction: BOTH reduction steps are content-
+    * defined, never partition-layout-dependent — `sampleFraction` keeps a
+    * vector iff its seeded content hash falls under the fraction (not
+    * `sample()`, whose Bernoulli draw depends on partitioning), and the
+    * `maxFitVectors` cap is `orderBy(xxhash64(vec)).limit(n)`, a
+    * seed-stable top-K (TakeOrderedAndProject) — so the same corpus always
+    * fits the same centroids regardless of file splits. */
   def build(
       corpus: DataFrame, vecCol: String, nlist: Int, seed: Long,
       sampleFraction: Double = 1.0, maxFitVectors: Int = 100000): IvfIndex = {
+    val h = pmod(xxhash64(col(vecCol), lit(seed)), lit(1000000L))
     val sampled =
-      (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+      (if (sampleFraction < 1.0)
+         corpus.filter(h < lit((sampleFraction * 1000000L).toLong))
        else corpus)
         .select(col(vecCol))
         .orderBy(xxhash64(col(vecCol), lit(seed)))
@@ -77,7 +82,7 @@ object IvfIndex {
       sampleFraction: Double = 1.0, maxFitVectors: Int = 100000,
       storePath: Option[String] = None): IvfIndex =
     cache.computeIfAbsent(
-      s"$key|$nlist|$seed|$sampleFraction|$maxFitVectors|${storePath.getOrElse("")}",
+      s"$key|$vecCol|$nlist|$seed|$sampleFraction|$maxFitVectors|${storePath.getOrElse("")}",
       _ => storePath.flatMap(p => load(corpus.sparkSession, p)).getOrElse {
         val built = build(corpus, vecCol, nlist, seed, sampleFraction, maxFitVectors)
         storePath.foreach(p => save(corpus.sparkSession, built, p))

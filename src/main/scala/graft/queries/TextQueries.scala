@@ -96,7 +96,10 @@ object TextQueries {
       // persisted: the scoring projection is the expensive stage (a large
       // codegen'd method over many string ops) and BOTH sides of the
       // keep-join consume it — cache it once instead of compiling and
-      // computing it twice
+      // computing it twice. The cache lives for the session (it is in the
+      // lazy output's lineage, so it cannot be released here); it holds
+      // one slim row per doc, and repeated invocations reuse the same
+      // CacheManager entry rather than stacking copies.
       val scored = Tables(s, dir, "documents").select(
         col("doc_id"),
         TA.qualityScorePpm(col("text")).as("q"),
@@ -313,8 +316,8 @@ object TextQueries {
 
     "q_corpus_split" ->
       """SELECT source,
-        | CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
-        |      WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+        | CASE WHEN (doc_id % 2147483648 * 2654435761) % 1000 < 900 THEN 'train'
+        |      WHEN (doc_id % 2147483648 * 2654435761) % 1000 < 950 THEN 'val'
         |      ELSE 'test' END AS split,
         | COUNT(*) AS n_docs,
         | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
@@ -365,8 +368,8 @@ object TextQueries {
         |f AS (SELECT * FROM g WHERE q >= 400000 AND lang_pred <> 'und'),
         |k AS (SELECT digest, MIN(doc_id) AS doc_id FROM f GROUP BY 1),
         |kept AS (SELECT f.* FROM f JOIN k USING (digest, doc_id)),
-        |sp AS (SELECT *, CASE WHEN (doc_id*2654435761)%1000 < 900 THEN 'train'
-        |                     WHEN (doc_id*2654435761)%1000 < 950 THEN 'val'
+        |sp AS (SELECT *, CASE WHEN (doc_id % 2147483648 * 2654435761)%1000 < 900 THEN 'train'
+        |                     WHEN (doc_id % 2147483648 * 2654435761)%1000 < 950 THEN 'val'
         |                     ELSE 'test' END AS split FROM kept)
         |SELECT split, lang_pred, COUNT(*) AS n_docs,
         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -378,7 +381,9 @@ object TextQueries {
         |  CAST(SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS n_tokens
         | FROM documents GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n FROM s)
-        |SELECT source, n_tokens, ((total // n) * 1000000) // n_tokens AS weight_ppm
+        |SELECT source, n_tokens,
+        | ((total // n) // greatest(n_tokens, 1)) * 1000000
+        |  + (((total // n) % greatest(n_tokens, 1)) * 1000000) // greatest(n_tokens, 1) AS weight_ppm
         |FROM s, t ORDER BY source""".stripMargin,
 
     "q_contamination" ->

@@ -182,8 +182,18 @@ object KeyFlow {
         Iterator.single(KeyOutput[S](key, prev.map(_.snapshot.offset).getOrElse(-1L), None, tombstone = true))
       } else {
         val st = prev.get
-        state.update(st.copy(snapshot = st.snapshot.copy(value = ticked.get)))
-        setTimeout(st.processedAtMs)
+        // watermark domain: the basis advances with the re-armed timer
+        // (max(basis, wm) — the same instant setTimeout arms from), so
+        // the retroactive-expiry check cannot re-tick the SAME gap when a
+        // record arrives later (mirrors KeyFlowProcessor's expiry basis)
+        val newBasis = config.timerDomain match {
+          case TimerDomain.Watermark =>
+            math.max(st.processedAtMs, state.getCurrentWatermarkMs())
+          case TimerDomain.Clock => st.processedAtMs
+        }
+        state.update(st.copy(
+          snapshot = st.snapshot.copy(value = ticked.get), processedAtMs = newBasis))
+        setTimeout(newBasis)
         Iterator.single(KeyOutput[S](key, st.snapshot.offset, ticked, tombstone = false))
       }
     } else {
@@ -223,7 +233,12 @@ object KeyFlow {
                 retro += KeyOutput[S](key, snapOffset, current, tombstone = false)
                 retro += KeyOutput[S](key, snapOffset, None, tombstone = true)
                 current = None
-              } else current = ticked
+              } else {
+                // the timer path emits the ticked state — the retroactive
+                // path must too, or the changelog depends on batching
+                retro += KeyOutput[S](key, snapOffset, ticked, tombstone = false)
+                current = ticked
+              }
             }
             current = fold.run(current, e.record)
             snapOffset = e.record.offset

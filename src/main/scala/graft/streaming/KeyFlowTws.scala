@@ -68,7 +68,13 @@ class KeyFlowProcessor[S](
             retro += KeyOutput[S](key, snapOffset, current, tombstone = false)
             retro += KeyOutput[S](key, snapOffset, None, tombstone = true)
             current = None
-          } else current = ticked
+          } else {
+            // the timer path (handleExpiredTimer) emits the ticked state —
+            // the retroactive path must too, or the changelog depends on
+            // how the stream was batched
+            retro += KeyOutput[S](key, snapOffset, ticked, tombstone = false)
+            current = ticked
+          }
         }
         current = fold.run(current, e.record)
         snapOffset = e.record.offset

@@ -61,6 +61,26 @@ class KeyFlowEdgeSpec extends SparkTestBase {
       expected.sorted(Ordering.by((t: (Long, Option[Long], Boolean)) => (t._1, t._3))))
   }
 
+  test("watermark-domain retroactive tick with removeOnIdle=false emits the ticked state " +
+    "(changelog equal to the timer path)") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    import graft.fold.TickOption
+    def at(offset: Long, hours: Long): Record =
+      Record("t", 0, offset, new Timestamp(hours * 3600 * 1000), 0, "k",
+        Array[Byte](), Map.empty)
+    val config = KeyFlowConfig(maxIdle = Some(6.hours), removeOnIdle = false,
+      timerDomain = TimerDomain.Watermark)
+    val markTick = TickOption[Long](n => n.map(_ + 100L)) // visible transform
+    val out = KeyFlow.flow(
+      Seq(at(0, 0), at(1, 10)).toDS(), countFold, markTick, config)
+      .collect().map(o => (o.offset, o.state, o.tombstone)).toSeq.sortBy(_._1)
+    // r1 proves the gap: tick fires retroactively (101 emitted), then r1
+    // folds into the ticked state (102) — same changelog the timer path
+    // would produce across separate batches
+    assert(out == Seq((0L, Some(101L), false), (1L, Some(102L), false)))
+  }
+
   test("offset-lag eviction uses each record's own (topic, partition) clock") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -185,27 +185,6 @@ class KeyFlowSpec extends SparkTestBase {
     q.stop()
   }
 
-  // Spark 4.1's stateful exec nodes NPE (PythonSQLMetrics / null session)
-  // when constructed under the sbt test harness's thread context; the
-  // engine is fine in a plain JVM, so fork the smoke mains (see TimerSmoke).
-  private def forkSmoke(mainClass: String): Int = {
-    import scala.sys.process._
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++
-      Seq("-Dspark.ui.enabled=false", "-cp", cp, mainClass)
-    Process(cmd).!
-  }
-
   test("maxIdle timer ticks and unloads the key (T5, transformWithState)") {
     assert(forkSmoke("graft.streaming.TimerSmoke") == 0,
       "TimerSmoke forked JVM reported timer failure")

@@ -70,25 +70,11 @@ class StreamBatchParitySpec extends SparkTestBase {
 
   test("timer-dependent parity: watermark-domain sessionization equals batch Sessionize.byGap " +
     "(q_session_agg semantics, forked)") {
-    // forked JVM — Spark 4.1 stateful exec NPEs under the sbt harness; the
-    // smoke replays sf0.001 events through KeyFlowTws with event-time
-    // maxIdle timers and diffs per-user session lists against the batch
-    // oracle query shape (585 sessions at sf0.001)
-    import scala.sys.process._
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++
-      Seq("-Dspark.ui.enabled=false", "-cp", cp, "graft.streaming.SessionParitySmoke")
-    assert(Process(cmd).! == 0, "SessionParitySmoke reported a stream/batch session mismatch")
+    // the smoke replays sf0.001 events through KeyFlowTws with event-time
+    // maxIdle timers — including a mid-stream restart — and diffs per-user
+    // session lists against the batch oracle query shape (585 sessions)
+    assert(forkSmoke("graft.streaming.SessionParitySmoke") == 0,
+      "SessionParitySmoke reported a stream/batch session mismatch")
   }
 
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
