@@ -128,11 +128,54 @@ object WatermarkSmoke {
       aTombstoned && bIntact
     }
 
+    // No-double-tick regression (classic engine): after a watermark timer
+    // fires a TRANSFORMING tick with removeOnIdle=false, the event-time
+    // basis must advance with the re-armed timer — a later record inside
+    // the NEW idle window folds into the ticked state without the
+    // retroactive path re-ticking the same gap (state 102, not 202).
+    def runNoDoubleTick(name: String): Boolean = {
+      val input = MemoryStream[Record]
+      val markTick = graft.fold.TickOption[Long](n => n.map(_ + 100L))
+      val cfg = KeyFlowConfig(maxIdle = Some(5.seconds), removeOnIdle = false,
+        timerDomain = TimerDomain.Watermark)
+      val out = KeyFlow.flow(
+        input.toDS().withWatermark("timestamp", "0 seconds"), countFold, markTick, cfg)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(200))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(name).toString)
+        .start()
+      def waitFor(deadlineMs: Long)(p: Array[KeyOutput[Long]] => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + deadlineMs
+        var ok = false
+        while (!ok && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          ok = p(spark.table(name).as[KeyOutput[Long]].collect())
+        }
+        ok
+      }
+      input.addData(rec("a", 0, 10000L))
+      waitFor(30000)(_.exists(o => o.key == "a" && o.state.contains(1L)))
+      input.addData(rec("b", 1, 100000L)) // watermark -> 100s; a's timer (15s) fires tick #1
+      waitFor(60000)(_.exists(o => o.key == "a" && o.state.contains(101L)))
+      // inside the NEW idle window (basis advanced to ~100s): must fold, not re-tick
+      input.addData(rec("a", 2, 101000L))
+      val folded = waitFor(30000)(_.exists(o =>
+        o.key == "a" && o.offset == 2L && o.state.contains(102L)))
+      val rows = spark.table(name).as[KeyOutput[Long]].collect()
+      q.stop()
+      val noDouble = !rows.exists(o => o.key == "a" && o.state.exists(_ >= 200L))
+      println(s"WATERMARK_SMOKE $name foldedAfterTick=$folded noDoubleTick=$noDouble")
+      folded && noDouble
+    }
+
     val twsOk = run("wmtws")(ds => KeyFlowTws.flow(ds, countFold, TickOption.id[Long], config))
     val classicOk = run("wmclassic")(ds => KeyFlow.flow(ds, countFold, TickOption.id[Long], config))
     val restartOk = runRestart("wmtwsrestart")
+    val noDoubleOk = runNoDoubleTick("wmnodouble")
     spark.stop()
-    println(s"WATERMARK_SMOKE_OK=${twsOk && classicOk && restartOk}")
-    sys.exit(if (twsOk && classicOk && restartOk) 0 else 1)
+    println(s"WATERMARK_SMOKE_OK=${twsOk && classicOk && restartOk && noDoubleOk}")
+    sys.exit(if (twsOk && classicOk && restartOk && noDoubleOk) 0 else 1)
   }
 }
