@@ -134,12 +134,18 @@ class KeyFlowProcessor[S](
       } else {
         // processedAtMs moves with the re-registered timer so the stale
         // check and precise timer deletion stay exact. In the watermark
-        // domain the new basis is this timer's expiry (event time), which
-        // is > the watermark that fired it — the next timer stays in the
-        // future with no wall-clock dependence.
+        // domain the new basis is this timer's expiry CLAMPED to the
+        // current watermark (mirroring the classic engine's timed-out
+        // branch): a timer fires only once the watermark has REACHED its
+        // expiry, so when the watermark jumped more than maxIdle past the
+        // expiry, re-arming at expiry + maxIdle would land at or below the
+        // watermark and fire again next microbatch — one spurious tick per
+        // maxIdle of event-time gap. The clamp makes a long gap tick
+        // exactly once, matching the retroactive path in handleInputRows.
         val now = config.timerDomain match {
           case TimerDomain.Clock => timerValues.getCurrentProcessingTimeInMs()
-          case TimerDomain.Watermark => expiredTimerInfo.getExpiryTimeInMs()
+          case TimerDomain.Watermark =>
+            math.max(expiredTimerInfo.getExpiryTimeInMs(), timerValues.getCurrentWatermarkInMs())
         }
         state.update(st.copy(
           snapshot = st.snapshot.copy(value = ticked.get), processedAtMs = now))
