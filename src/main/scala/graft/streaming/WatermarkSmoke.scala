@@ -128,17 +128,23 @@ object WatermarkSmoke {
       aTombstoned && bIntact
     }
 
-    // No-double-tick regression (classic engine): after a watermark timer
+    // No-double-tick regression (both engines): after a watermark timer
     // fires a TRANSFORMING tick with removeOnIdle=false, the event-time
     // basis must advance with the re-armed timer — a later record inside
     // the NEW idle window folds into the ticked state without the
-    // retroactive path re-ticking the same gap (state 102, not 202).
-    def runNoDoubleTick(name: String): Boolean = {
+    // retroactive path re-ticking the same gap (state 102, not 202). On the
+    // TWS engine this guards the re-arm clamp in
+    // KeyFlowProcessor.handleExpiredTimer (basis = max(expiry, watermark)):
+    // without it a watermark jump > 2× maxIdle re-fires once per maxIdle of
+    // event-time gap (state ≥ 200 before offset 2 ever folds).
+    def runNoDoubleTick(name: String)(
+        mk: (org.apache.spark.sql.Dataset[Record], FoldOption[Long, Record],
+             TickOption[Long], KeyFlowConfig) => org.apache.spark.sql.Dataset[KeyOutput[Long]]): Boolean = {
       val input = MemoryStream[Record]
       val markTick = graft.fold.TickOption[Long](n => n.map(_ + 100L))
       val cfg = KeyFlowConfig(maxIdle = Some(5.seconds), removeOnIdle = false,
         timerDomain = TimerDomain.Watermark)
-      val out = KeyFlow.flow(
+      val out = mk(
         input.toDS().withWatermark("timestamp", "0 seconds"), countFold, markTick, cfg)
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("update")
@@ -173,9 +179,11 @@ object WatermarkSmoke {
     val twsOk = run("wmtws")(ds => KeyFlowTws.flow(ds, countFold, TickOption.id[Long], config))
     val classicOk = run("wmclassic")(ds => KeyFlow.flow(ds, countFold, TickOption.id[Long], config))
     val restartOk = runRestart("wmtwsrestart")
-    val noDoubleOk = runNoDoubleTick("wmnodouble")
+    val noDoubleOk = runNoDoubleTick("wmnodouble")(KeyFlow.flow(_, _, _, _))
+    val noDoubleTwsOk = runNoDoubleTick("wmnodoubletws")(KeyFlowTws.flow(_, _, _, _))
     spark.stop()
-    println(s"WATERMARK_SMOKE_OK=${twsOk && classicOk && restartOk && noDoubleOk}")
-    sys.exit(if (twsOk && classicOk && restartOk && noDoubleOk) 0 else 1)
+    val allOk = twsOk && classicOk && restartOk && noDoubleOk && noDoubleTwsOk
+    println(s"WATERMARK_SMOKE_OK=$allOk")
+    sys.exit(if (allOk) 0 else 1)
   }
 }
