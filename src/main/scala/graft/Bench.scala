@@ -19,6 +19,10 @@ object Bench {
     try graft.operators.IvfIndex.getOrBuild(sfDir,
       Tables(spark, sfDir, "embeddings"), "embedding", nlist = 16, seed = 42L)
     catch { case _: Throwable => () }
+    // Same for the journal wire-record fixture: the encode is test-harness
+    // setup; q_journal_decode times JournalParser's decode
+    try graft.queries.JournalFixture.encoded(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // stable name order: comparable timings across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

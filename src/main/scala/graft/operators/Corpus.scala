@@ -60,24 +60,44 @@ object Corpus {
   /** Data-mixing weights: given per-group token totals, the sampling
     * weight (floor-scaled ppm) that moves each group toward a UNIFORM
     * share of the corpus token budget — weight > 1e6 means upsample,
-    * < 1e6 downsample. Pure integer arithmetic end to end, so the mix is
-    * reproducible on any engine. The ppm is computed DECOMPOSED —
-    * `floor(T*1e6/g) = (T div g)*1e6 + ((T mod g)*1e6) div g` — so no
-    * intermediate ever overflows Long for any corpus a BIGINT can count
-    * (a naive `T*1e6` throws under ANSI past ~9.2e12 target tokens);
-    * zero-token groups read as 1 token instead of dividing by zero. The
-    * totals side is one broadcast row; the whole computation is two
+    * < 1e6 downsample, clamped to `maxUpsamplePpm` (no real pipeline
+    * upsamples one group a million-fold; the default caps at 1000×).
+    * Pure integer arithmetic end to end, so the mix is reproducible on
+    * any engine; zero-token groups read as 1 token instead of dividing
+    * by zero. Overflow-free under ANSI for EVERY BIGINT input, by
+    * construction rather than by assumption:
+    *  - the ppm is decomposed `floor(T*1e6/g) = (T div g)*1e6 +
+    *    ((T mod g)*1e6) div g` (a naive `T*1e6` throws past ~9.2e12
+    *    target tokens);
+    *  - the integral term is clamped BEFORE the multiply — the CASE
+    *    guard on `T div g` is what makes the clamp safe, since a
+    *    `least()` around the product would still evaluate it;
+    *  - the fractional term shift-scales both operands by 2^20 once the
+    *    group exceeds ~9.2e12 tokens (where `(T mod g)*1e6` could no
+    *    longer fit a Long) — ≤ 2.4e-7 relative error on a sub-ppm digit,
+    *    still deterministic integer arithmetic on any engine.
+    * The totals side is one broadcast row; the whole computation is two
     * aggregates. */
   def uniformMixWeights(perGroupTokens: DataFrame,
-                        groupCol: String, tokensCol: String): DataFrame = {
+                        groupCol: String, tokensCol: String,
+                        maxUpsamplePpm: Long = 1000000000L): DataFrame = {
+    require(maxUpsamplePpm >= 1000000L && maxUpsamplePpm <= Long.MaxValue - 1000000L,
+      "maxUpsamplePpm must be in [1e6, Long.MaxValue - 1e6]")
     val t = perGroupTokens.agg(
       sum(col(tokensCol)).as("__total"), count(lit(1)).as("__n"))
+    val g = s"greatest($tokensCol, 1L)"
+    val q = s"((__total div __n) div $g)" // integral target/g; remainder < g
+    val r = s"((__total div __n) % $g)"
+    val frac =
+      s"""CASE WHEN $g > ${Long.MaxValue / 1000000L}L
+         | THEN (($r div 1048576L) * 1000000L) div ($g div 1048576L)
+         | ELSE ($r * 1000000L) div $g END""".stripMargin.replace("\n", " ")
+    val weight =
+      s"""CASE WHEN $q > ${maxUpsamplePpm / 1000000L}L THEN ${maxUpsamplePpm}L
+         | ELSE least($q * 1000000L + $frac, ${maxUpsamplePpm}L) END""".stripMargin
+        .replace("\n", " ")
     perGroupTokens.crossJoin(broadcast(t))
-      .select(col(groupCol), col(tokensCol),
-        expr(s"""((__total div __n) div greatest($tokensCol, 1)) * 1000000
-                | + (((__total div __n) % greatest($tokensCol, 1)) * 1000000)
-                |   div greatest($tokensCol, 1)""".stripMargin.replace("\n", " "))
-          .as("weight_ppm"))
+      .select(col(groupCol), col(tokensCol), expr(weight).as("weight_ppm"))
   }
 
   /** Eval-set decontamination: for every train doc, the number of distinct

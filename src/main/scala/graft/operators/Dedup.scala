@@ -41,9 +41,13 @@ object Dedup {
     * Returns (node, component) for every node appearing in `edges`, where
     * `component` = min node id of the component. Nodes absent from `edges`
     * are their own singleton component — left-join and coalesce at the
-    * call site (see q_dedup_cluster). The returned label table is
-    * PERSISTED (it is the loop's materialization); `unpersist()` it once
-    * consumed if the session runs many clusterings.
+    * call site (see q_dedup_cluster). The returned table is an EAGER local
+    * checkpoint: lineage-free (no recompute cascade through the unpersisted
+    * rounds), not an entry in the SQL cache manager, and its blocks are
+    * reclaimed by the ContextCleaner once the caller drops the reference —
+    * so a session running many clusterings leaks nothing. (At cluster
+    * scale swap localCheckpoint for checkpoint() against a reliable dir,
+    * same as the per-round rebase note below.)
     *
     * Skew: a hub node (one root referenced by millions of edges — the
     * shape star-edge inputs produce) concentrates the neighbor-min join on
@@ -109,7 +113,12 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"graft.Dedup.connectedComponents did not converge in $maxIter rounds")
-    labels
+    // Hand back a pinned copy and release the loop's cache entry: the
+    // checkpoint reads the still-cached labels (cheap), owns its own
+    // blocks afterwards, and never registers with the cache manager.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Exact k-shingle Jaccard pairs above `minPpm`, blocked by (lang,

@@ -382,8 +382,14 @@ object TextQueries {
         | FROM documents GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n FROM s)
         |SELECT source, n_tokens,
-        | ((total // n) // greatest(n_tokens, 1)) * 1000000
-        |  + (((total // n) % greatest(n_tokens, 1)) * 1000000) // greatest(n_tokens, 1) AS weight_ppm
+        | CAST(CASE WHEN ((total // n) // greatest(n_tokens, 1)) > 1000 THEN 1000000000
+        |  ELSE least(
+        |   ((total // n) // greatest(n_tokens, 1)) * 1000000
+        |    + (CASE WHEN greatest(n_tokens, 1) > 9223372036854
+        |       THEN ((((total // n) % greatest(n_tokens, 1)) // 1048576) * 1000000)
+        |            // (greatest(n_tokens, 1) // 1048576)
+        |       ELSE (((total // n) % greatest(n_tokens, 1)) * 1000000) // greatest(n_tokens, 1) END),
+        |   1000000000) END AS BIGINT) AS weight_ppm
         |FROM s, t ORDER BY source""".stripMargin,
 
     "q_contamination" ->

@@ -68,6 +68,29 @@ class CorpusSpec extends SparkTestBase {
       "c" -> 666666L)) // 200/300 floor-scaled
   }
 
+  test("uniformMixWeights: ANSI-safe at BIGINT extremes, clamped at maxUpsamplePpm") {
+    import spark.implicits._
+    // one 1-token group + one ~9.2e18-token group: the naive T*1e6 AND the
+    // naive (T mod g)*1e6 both overflow Long here (ANSI throw before the
+    // guarded clamp + shift-scaled fractional term)
+    val perGroup = Seq(("tiny", 1L), ("huge", 9000000000000000000L))
+      .toDF("src", "n_tokens")
+    val out = Corpus.uniformMixWeights(perGroup, "src", "n_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("tiny") == 1000000000L) // clamped at the default 1000x cap
+    // shifted fractional path: within 2 ppm units of true floor(T*1e6/g)
+    val target = (BigInt(9000000000000000000L) + 1) / 2
+    val truth = (target * 1000000 / BigInt(9000000000000000000L)).toLong
+    assert((out("huge") - truth).abs <= 2L, s"got ${out("huge")} want ~$truth")
+
+    // cap boundary from below is exact: target/g = 1000 -> exactly the cap
+    val boundary = Seq(("x", 1L), ("y", 1999L)).toDF("src", "n_tokens")
+    val b = Corpus.uniformMixWeights(boundary, "src", "n_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(b("x") == 1000000000L) // target 1000, g 1: 1000*1e6 == cap
+    assert(b("y") == 500250L)     // floor(1000*1e6/1999), un-shifted path
+  }
+
   test("contamination: shared shingles counted, clean docs absent, eval broadcast") {
     import spark.implicits._
     val eval = Seq((100L, "abcdefghij")).toDF("doc_id", "text") // 8-grams: abcdefgh, bcdefghi, cdefghij

@@ -62,6 +62,22 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents leaves no entry in the SQL cache manager") {
+    import spark.implicits._
+    // Repeated clusterings in one session (Bench loops, WarmBench A/B)
+    // must not accumulate cached label tables: the result is a local
+    // checkpoint, not a cacheManager entry.
+    spark.sharedState.cacheManager.clearCache()
+    for (_ <- 1 to 3) {
+      val edges = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("src", "dst")
+      val comp = Dedup.connectedComponents(edges, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents must release every DataFrame it persists")
+  }
+
   test("connectedComponents: pointer jumping converges on a 64-node chain well under maxIter") {
     import spark.implicits._
     // plain neighbor-min needs O(diameter)=63 rounds here; path halving
