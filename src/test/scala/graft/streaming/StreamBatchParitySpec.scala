@@ -77,6 +77,17 @@ class StreamBatchParitySpec extends SparkTestBase {
       "SessionParitySmoke reported a stream/batch session mismatch")
   }
 
+  test("timer-dependent parity: watermark-domain idle unload equals batch q_unload_idle " +
+    "(T5 semantics, forked)") {
+    // the smoke replays sf0.001 events through KeyFlowTws with a 12h
+    // event-time maxIdle and removeOnIdle=true — 5 of 15 users unload at
+    // end of stream and ~300 mid-stream unload-then-revive cycles run
+    // through the closing-state segment-sum reconstruction — and diffs
+    // the loaded set's (n_events, last_ms) against the batch aggregate
+    assert(forkSmoke("graft.streaming.UnloadParitySmoke") == 0,
+      "UnloadParitySmoke reported a stream/batch unload mismatch")
+  }
+
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
