@@ -65,6 +65,9 @@ object PlanAudit {
     check("q_pipeline_e2e", "whole preprocessing pass fuses to <=3 shuffles, no nested loop")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size <= 3 &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    check("q_image_headers", "header parse codegen'd; scan prunes to doc_id only")(p =>
+      !p.contains("ScalaUDF") && p.contains("ReadSchema: struct<doc_id:bigint>") &&
+        !"Exchange hashpartitioning".r.findAllIn(p).hasNext)
     spark.stop()
   }
 }

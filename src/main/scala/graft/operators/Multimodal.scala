@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` payloads with typed
   * metadata, plus a decode/feature-extract stage with the real Spark-side
-  * plumbing (schema, partition-preserving batched iteration) and a STUBBED
-  * codec — the actual image/audio libraries are not in this environment, so
-  * `decodeStub` derives deterministic fake features from the bytes. Swap
-  * `decodeStub` for a real decoder (JNI/FFI) without touching the plumbing.
+  * plumbing (schema, partition-preserving batched iteration). The decode
+  * itself is two-tier: recognized image containers (PNG/JPEG/GIF/BMP) get
+  * REAL header-only metadata via `graft.functions.ImageHeader` — pure byte
+  * arithmetic, no codec needed — and everything else falls back to
+  * `decodeStub`, the documented stand-in for a pixel/audio codec that is
+  * not available in this environment. Swap `decodeStub` for a real decoder
+  * (JNI/FFI) without touching the plumbing.
   */
 object Multimodal {
 
@@ -51,13 +54,25 @@ object Multimodal {
 
   /** Decode/feature-extract over partition-local batches (the Scala
     * analogue of a vectorized decode: one iterator pass per partition, no
-    * shuffle, bounded memory). */
+    * shuffle, bounded memory). Recognized image containers are parsed for
+    * real (header bytes only — the cheap route/reject stage that precedes
+    * any pixel decode at scale); unrecognized payloads fall back to the
+    * stub. */
   def decodeFeatures(payloads: DataFrame, idCol: String)(
       implicit enc: Encoder[MediaFeatures]): Dataset[MediaFeatures] = {
     val idIdx = payloads.schema.fieldIndex(idCol)
     val payloadIdx = payloads.schema.fieldIndex("payload")
     payloads.mapPartitions { rows =>
-      rows.map { r => decodeStub(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx)) }
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val img = graft.functions.ImageHeader.parse(bytes)
+        if (img != null) {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(id, bytes.length.toLong, digest, img._2, img._3, 1)
+        } else decodeStub(id, bytes)
+      }
     }
   }
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ImageMeta
 import graft.operators.{Corpus, Dedup, Multimodal, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -243,6 +244,38 @@ object TextQueries {
           (lit(1) + floor(col("n_bytes") / 256)).cast("int").as("n_frames"))
         .orderBy("doc_id")
     },
+
+    // Real header-only image parse. Payloads are synthesized IN-QUERY as
+    // valid PNG / JPEG / GIF containers (hex construction from doc_id
+    // alone, so the scan prunes to one column), then parsed back by the
+    // codegen'd ImageMeta expression. The oracle computes the expected
+    // format/dimensions independently from doc_id — any bug in the byte
+    // walk (endianness, segment lengths, SOF offsets) hash-mismatches.
+    "q_image_headers" -> { (s, dir) =>
+      val id = col("doc_id")
+      val w = (lit(16) + pmod(id, lit(2048))).cast("int")
+      val h = (lit(16) + pmod(id * 31, lit(1536))).cast("int")
+      val wHex8 = lpad(hex(w), 8, "0"); val hHex8 = lpad(hex(h), 8, "0")
+      val wHex4 = lpad(hex(w), 4, "0"); val hHex4 = lpad(hex(h), 4, "0")
+      // little-endian 16-bit = byte-swapped hex pair
+      def le(hx: org.apache.spark.sql.Column) =
+        concat(substring(hx, 3, 2), substring(hx, 1, 2))
+      val pngHex = concat(
+        lit("89504E470D0A1A0A0000000D49484452"), wHex8, hHex8, lit("0806000000"))
+      val jpegHex = concat( // SOI + APP0(JFIF) + SOF0(len 0x0B, 1 component)
+        lit("FFD8FFE000104A46494600010100000100010000FFC0000B08"),
+        hHex4, wHex4, lit("01011100"))
+      val gifHex = concat(lit("474946383961"), le(wHex4), le(hHex4), lit("F7000000"))
+      val payload = unhex(
+        when(pmod(id, lit(3)) === 0, pngHex)
+          .when(pmod(id, lit(3)) === 1, jpegHex)
+          .otherwise(gifHex))
+      Tables(s, dir, "documents")
+        .select(id, ImageMeta(payload).as("m"))
+        .select(id, col("m.format").as("img_format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("doc_id")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +491,14 @@ object TextQueries {
         | CAST(64 + octet_length(encode(text)) % 960 AS INT) AS width,
         | CAST(64 + (octet_length(encode(text)) * 7919) % 704 AS INT) AS height,
         | CAST(1 + octet_length(encode(text)) // 256 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_image_headers" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   ELSE 'gif' END AS img_format,
+        | CAST(16 + doc_id % 2048 AS INT) AS width,
+        | CAST(16 + (doc_id * 31) % 1536 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -358,6 +358,14 @@ class PipelineOpsSpec extends SparkTestBase {
     val f = feats.head
     assert(f.doc_id == 7L && f.n_bytes == 11L)
     assert(f.width == 64 + 11 % 960 && f.n_frames == 1)
+    // a recognized image container takes the REAL header-parse path
+    val png: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13).map(_.toByte) ++
+        "IHDR".getBytes ++ Array[Byte](0, 0, 1, 0, 0, 0, 0, 80, 8, 6, 0, 0, 0)
+    val imgFeats = Multimodal.decodeFeatures(
+      Seq((9L, png)).toDF("doc_id", "payload"), "doc_id").collect()
+    assert(imgFeats.head.width == 256 && imgFeats.head.height == 80)
+    assert(imgFeats.head.n_frames == 1)
     val plan = Multimodal.sampleFramePlan(
       payloads.withColumn("n_frames", lit(10)).select(col("doc_id"), col("n_frames")), 3)
       .head()
