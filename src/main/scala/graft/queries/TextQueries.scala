@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.ImageMeta
+import graft.functions.{AudioMeta, ImageMeta}
 import graft.operators.{Corpus, Dedup, Multimodal, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -276,6 +276,45 @@ object TextQueries {
           col("m.width").as("width"), col("m.height").as("height"))
         .orderBy("doc_id")
     },
+
+    // Real RIFF/WAVE chunk-walk parse, same discipline as q_image_headers:
+    // valid WAV headers synthesized in-query from doc_id (even ids get an
+    // extra LIST chunk so the walk is exercised, not just offset 12), then
+    // parsed back by the codegen'd AudioMeta expression; the oracle derives
+    // the expected fmt fields and duration independently.
+    "q_audio_headers" -> { (s, dir) =>
+      val id = col("doc_id")
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+        (pmod(id, lit(5)) + 1).cast("int"))
+      val channels = (lit(1) + pmod(id, lit(2))).cast("int")
+      val bits = (lit(8) * (lit(1) + pmod(id, lit(3)))).cast("int")
+      val bytesPerFrame = (channels * (bits / lit(8)).cast("int")).cast("int")
+      val byteRate = (rate * bytesPerFrame).cast("long")
+      val dataBytes = pmod((id + 1) * 977, lit(100000)).cast("long")
+      def le16(x: org.apache.spark.sql.Column) = {
+        val hx = lpad(hex(x), 4, "0")
+        concat(substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      def le32(x: org.apache.spark.sql.Column) = {
+        val hx = lpad(hex(x), 8, "0")
+        concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      val fmtHex = concat(lit("666D74201000000001" + "00"), // "fmt ", size 16, PCM
+        le16(channels), le32(rate), le32(byteRate), le16(bytesPerFrame), le16(bits))
+      val listHex = lit("4C49535404000000494E464F") // LIST, size 4, "INFO"
+      val dataHex = concat(lit("64617461"), le32(dataBytes))
+      val payload = unhex(concat(
+        lit("524946460000000057415645"), // RIFF <size ignored> WAVE
+        when(pmod(id, lit(2)) === 0, listHex).otherwise(lit("")),
+        fmtHex, dataHex))
+      Tables(s, dir, "documents")
+        .select(id, AudioMeta(payload).as("m"))
+        .select(id, col("m.codec"), col("m.channels"), col("m.sample_rate"),
+          col("m.bits"), col("m.duration_ms"))
+        .orderBy("doc_id")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -500,5 +539,19 @@ object TextQueries {
         | CAST(16 + doc_id % 2048 AS INT) AS width,
         | CAST(16 + (doc_id * 31) % 1536 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_audio_headers" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(8 * (1 + doc_id % 3) AS INT) AS bits,
+        |  (doc_id + 1) * 977 % 100000 AS data_bytes
+        | FROM documents)
+        |SELECT doc_id, 'pcm' AS codec, channels, sample_rate, bits,
+        | CAST(data_bytes * 1000 // (sample_rate * channels * (bits // 8)) AS BIGINT)
+        |   AS duration_ms
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
