@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotProduct, SortedIntersectCount}
+import graft.functions.{AudioMeta, FloatDotProduct, ImageMeta, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -28,6 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "float_dot_product(vecA, vecB)")
         FloatDotProduct(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "image_meta(payload)")
+        ImageMeta(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "audio_meta(payload)")
+        AudioMeta(exprs.head)
       }))
   }
 }
@@ -70,10 +84,22 @@ object ExtensionsSmoke {
       !dfNullable.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count")
     val n2 = dfNullable.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
 
+    // media header parsers as SQL functions (PNG 2x3; 1 s of 8 kHz mono
+    // 8-bit PCM — hex literals follow the public container layouts)
+    val media = spark.sql(
+      """SELECT
+        |  image_meta(unhex('89504E470D0A1A0A0000000D49484452' ||
+        |    '0000000200000003' || '0806000000')).width AS iw,
+        |  audio_meta(unhex('524946460000000057415645' ||
+        |    '666D742010000000' || '0100' || '0100' || '401F0000' ||
+        |    '401F0000' || '0100' || '0800' || '64617461401F0000')).duration_ms AS adm
+        |""".stripMargin).head()
+    val mediaOk = media.getInt(0) == 2 && media.getLong(1) == 1000L
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
-      rewritten && n == 3 && notRewritten && n2 == 3
+      rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -111,7 +111,14 @@ object Similarity {
 
   /** Near-duplicate PAIRS above a cosine threshold via the same chunk-LSH
     * buckets — for self-dedup: ordered pairs (id1 < id2) so the symmetric
-    * candidate space is halved, and no per-query ranking window. */
+    * candidate space is halved, and no per-query ranking window.
+    *
+    * Shuffle discipline (same as MinHash's slim-pair pattern): the bucket
+    * self-join and the pair dedup carry ONLY (id, chunk, cv) — never the
+    * embeddings — so the candidate stage shuffles ~20 bytes/row instead of
+    * two float vectors per pair; the vectors are re-attached afterwards by
+    * two equi-joins against the slim base projection (broadcast-able
+    * candidate side at scale, map-side corpus scan). */
   def lshNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, planes: Int = 16): DataFrame = {
@@ -119,21 +126,26 @@ object Similarity {
     val chunkMask = (1L << chunkBits) - 1
     val dot = graft.functions.FloatDotProduct
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("n"),
-      rhpSignature(col(vecCol), planes).as("sig"))
-    val chunked = base.select(col("id"), col("vec"), col("n"),
-      explode(array((0 until 4).map { c =>
+      sqrt(dot(col(vecCol), col(vecCol))).as("n"))
+    val chunked = corpus
+      .select(col(idCol).as("id"), rhpSignature(col(vecCol), planes).as("sig"))
+      .select(col("id"), explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("cv"))
       }: _*)).as("cc"))
-      .select(col("id"), col("vec"), col("n"), col("cc.chunk"), col("cc.cv"))
-    val l = chunked.select(col("id").as("qid"), col("vec").as("qvec"),
-      col("n").as("qn"), col("chunk"), col("cv"))
-    val r = chunked.select(col("id").as("cand_id"), col("vec").as("cvec"),
-      col("n").as("cn"), col("chunk").as("chunk_r"), col("cv").as("cv_r"))
-    l.join(r, col("chunk") === col("chunk_r") && col("cv") === col("cv_r") &&
-        col("qid") < col("cand_id"))
+      .select(col("id"), col("cc.chunk"), col("cc.cv"))
+    val l = chunked.select(col("id").as("qid"), col("chunk"), col("cv"))
+    val r = chunked.select(col("id").as("cand_id"), col("chunk").as("chunk_r"),
+      col("cv").as("cv_r"))
+    val cand = l.join(r, col("chunk") === col("chunk_r") &&
+        col("cv") === col("cv_r") && col("qid") < col("cand_id"))
+      .select(col("qid"), col("cand_id"))
       .dropDuplicates("qid", "cand_id")
+    cand
+      .join(base.select(col("id").as("qid"), col("vec").as("qvec"), col("n").as("qn")),
+        Seq("qid"))
+      .join(base.select(col("id").as("cand_id"), col("vec").as("cvec"), col("n").as("cn")),
+        Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
         (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
       .filter(graft.functions.PushdownBarrier.double(col("sim")) >= minCosine)
@@ -148,29 +160,32 @@ object Similarity {
       k: Int, planes: Int = 16): DataFrame = {
     val chunkBits = planes / 4
     val chunkMask = (1L << chunkBits) - 1
-    def signed(df: DataFrame, id: String, vec: String, n: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        sqrt(graft.functions.FloatDotProduct(col(vecCol), col(vecCol))).as(n),
-        rhpSignature(col(vecCol), planes).as(s"${id}_sig"))
-    def chunked(df: DataFrame, id: String, vec: String, n: String) =
-      df.select(col(id), col(vec), col(n),
-        explode(array((0 until 4).map { c =>
+    // Same slim-shuffle discipline as lshNearDupPairs: the bucket join and
+    // the pair dedup carry ids only; vectors and precomputed norms are
+    // re-attached afterwards (cosine per pair = one codegen'd dot product).
+    def chunkedIds(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), rhpSignature(col(vecCol), planes).as("sig"))
+        .select(col(id), explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
-            shiftright(col(s"${id}_sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("cv"))
+            shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("cv"))
         }: _*)).as("cc"))
-        .select(col(id), col(vec), col(n), col("cc.chunk"), col("cc.cv"))
-    // Norms are precomputed once per row — cosine per candidate pair then
-    // needs a single codegen'd dot product, not three.
+        .select(col(id), col("cc.chunk"), col("cc.cv"))
+    def slim(df: DataFrame, id: String, vec: String, n: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        sqrt(graft.functions.FloatDotProduct(col(vecCol), col(vecCol))).as(n))
     val dot = graft.functions.FloatDotProduct
-    val cq = chunked(signed(queries, "qid", "qvec", "qn"), "qid", "qvec", "qn")
-    val cc = chunked(signed(corpus, "cand_id", "cvec", "cn"), "cand_id", "cvec", "cn")
+    val cq = chunkedIds(queries, "qid")
+    val cc = chunkedIds(corpus, "cand_id")
     val cands = cq.join(cc,
         cq("chunk") === cc("chunk") && cq("cv") === cc("cv") &&
           col("cand_id") =!= col("qid"))
-      .select(col("qid"), col("cand_id"), col("qvec"), col("cvec"), col("qn"), col("cn"))
+      .select(col("qid"), col("cand_id"))
       .dropDuplicates("qid", "cand_id")
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
-    cands.select(col("qid"), col("cand_id"),
+    cands
+      .join(slim(queries, "qid", "qvec", "qn"), Seq("qid"))
+      .join(slim(corpus, "cand_id", "cvec", "cn"), Seq("cand_id"))
+      .select(col("qid"), col("cand_id"),
         (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
