@@ -414,15 +414,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash from a column of token hashes: bit j is 1 iff the sum
-    * of ±1 votes (bit j of each hash) is positive. Bit masks are unrolled
-    * at plan-build time (static literals — stays codegen'd). */
+    * of ±1 votes (bit j of each hash) is positive. Native one-pass kernel
+    * ([[graft.functions.SimHash64]]) — the former 64-x-`aggregate`
+    * formulation ran interpreted and traversed the hash array 64 times per
+    * document (bit-identical replacement, SignatureKernelsSpec). */
   def simHashFromHashes(hashesCol: Column): Column =
-    (0 until 64).map { j =>
-      val mask = lit(1L << j)
-      val vote = aggregate(hashesCol, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(mask) =!= lit(0L), lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, mask).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    graft.functions.SimHash64(hashesCol)
 
   /** 64-bit SimHash over whitespace tokens. */
   def simHash(textCol: Column): Column =

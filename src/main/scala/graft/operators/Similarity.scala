@@ -41,17 +41,13 @@ object Similarity {
 
   /** `planes`-bit random-hyperplane signature. Plane p's component for
     * dimension d is ±1 by the parity of xxhash64(p, d) — deterministic
-    * across executors with no materialized plane matrix. Planes are
-    * unrolled at plan-build time (static bit masks, stays codegen'd). */
+    * across executors with no materialized plane matrix. Native one-pass
+    * kernel ([[graft.functions.RhpSignature64]]) — the former
+    * `zip_with`+`aggregate` formulation ran interpreted and traversed the
+    * vector `planes` times per row (bit-identical replacement,
+    * SignatureKernelsSpec). */
   def rhpSignature(vecCol: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (v, d) => v.cast("double") *
-            when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === lit(0L), lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    graft.functions.RhpSignature64(vecCol, planes)
 
   /** IVF (inverted-file) approximate top-k: KMeans centroids partition the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
