@@ -180,23 +180,16 @@ object Dedup {
     * array recomputes the array `perms` times — O(perms·n²) per doc.)
     */
   /** (doc, sig) MinHash signature table. Shared core of
-    * [[minhashLshPairs]] and [[lshVerifiedPairs]]. */
+    * [[minhashLshPairs]] and [[lshVerifiedPairs]]. A pure projection via
+    * the one-pass native kernel ([[graft.functions.MinHashSig]]) — the
+    * former explode → perms-way min-aggregate shape paid a full hash
+    * shuffle for what is per-row work (bit-identical replacement,
+    * MinHashKernelsSpec). */
   private def lshSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, perms: Int): DataFrame = {
-    // non-distinct shingles: the min over a multiset equals the min over
-    // the set, so array_distinct is unnecessary work
-    val rawShingles = transform(
-      sequence(lit(1), greatest(length(col(textCol)) - lit(k - 1), lit(1))),
-      i => col(textCol).substr(i, lit(k)))
-    val exploded = docs
-      .select(col(idCol).as("doc"), explode(rawShingles).as("s"))
-      .select(col("doc"), xxhash64(col("s")).as("h"))
-    val minAggs = (0 until perms).map(p => min(xxhash64(lit(p), col("h"))).as(s"m$p"))
-    exploded.groupBy("doc")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
-  }
+      k: Int, perms: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.MinHashSig(col(textCol), k, perms).as("sig"))
 
   /** (doc, band, bh) banded LSH bucket keys — deliberately WITHOUT the
     * signature column, so the band self-join's pair shuffle carries only
@@ -234,8 +227,10 @@ object Dedup {
       .join(sigs.select(col("doc").as("doc1"), col("sig").as("sig1")), "doc1")
       .join(sigs.select(col("doc").as("doc2"), col("sig").as("sig2")), "doc2")
       .select(col("doc1"), col("doc2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
-          .cast("long") * lit(1000000L) / lit(perms.toLong)).cast("long").as("est_jacc_ppm"))
+        // per-pair agreement via the native kernel (the zip_with+filter
+        // formulation evaluated interpreted for every candidate pair)
+        (graft.functions.PositionalEqCount(col("sig1"), col("sig2"))
+          * lit(1000000L) / lit(perms.toLong)).cast("long").as("est_jacc_ppm"))
       .filter(col("est_jacc_ppm") >= minEstPpm)
   }
 
