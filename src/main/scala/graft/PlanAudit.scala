@@ -71,6 +71,9 @@ object PlanAudit {
     check("q_audio_headers", "chunk-walk parse codegen'd; scan prunes to doc_id only")(p =>
       !p.contains("ScalaUDF") && p.contains("ReadSchema: struct<doc_id:bigint>") &&
         !"Exchange hashpartitioning".r.findAllIn(p).hasNext)
+    check("q_video_headers", "box-walk parse codegen'd; scan prunes to doc_id only")(p =>
+      !p.contains("ScalaUDF") && p.contains("ReadSchema: struct<doc_id:bigint>") &&
+        !"Exchange hashpartitioning".r.findAllIn(p).hasNext)
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{AudioMeta, ImageMeta}
+import graft.functions.{AudioMeta, ImageMeta, VideoMeta}
 import graft.operators.{Corpus, Dedup, Multimodal, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -315,6 +315,43 @@ object TextQueries {
           col("m.bits"), col("m.duration_ms"))
         .orderBy("doc_id")
     },
+
+    // Real ISO-BMFF/MP4 box-walk parse, completing the image/audio/video
+    // triple: valid containers synthesized in-query from doc_id — even ids
+    // use version-0 mvhd/tkhd layouts, odd ids version-1 (64-bit times),
+    // so both parse paths are exercised — then parsed back by the
+    // codegen'd VideoMeta expression; oracle computes expected fields
+    // independently. Timescale is 1000, so duration_ms == mvhd duration.
+    "q_video_headers" -> { (s, dir) =>
+      val id = col("doc_id")
+      val w = (lit(160) + pmod(id * 7, lit(1760))).cast("int")
+      val h = (lit(90) + pmod(id * 13, lit(990))).cast("int")
+      val dur = pmod((id + 1) * 471, lit(7200000)).cast("long")
+      def zeros(n: Int) = "0" * n
+      val matrix = "00010000" + zeros(24) + "00010000" + zeros(24) + "40000000"
+      val mvhdTail = "00010000" + "01000000" + zeros(16) + matrix + zeros(48) + "00000002"
+      val mvhdV0 = concat(
+        lit("0000006C6D76686400000000" + zeros(16) + "000003E8"),
+        lpad(hex(dur), 8, "0"), lit(mvhdTail))
+      val mvhdV1 = concat(
+        lit("000000786D76686401000000" + zeros(32) + "000003E8"),
+        lpad(hex(dur), 16, "0"), lit(mvhdTail))
+      val dims = concat(lpad(hex(w), 4, "0"), lit("0000"),
+        lpad(hex(h), 4, "0"), lit("0000"))
+      val tkhdV0 = concat(
+        lit("0000005C746B686400000003" + zeros(16) + "00000001" + zeros(48) + matrix), dims)
+      val tkhdV1 = concat(
+        lit("00000068746B686401000003" + zeros(32) + "00000001" + zeros(56) + matrix), dims)
+      val moovV0 = concat(lit("000000D86D6F6F76"), mvhdV0, lit("000000647472616B"), tkhdV0)
+      val moovV1 = concat(lit("000000F06D6F6F76"), mvhdV1, lit("000000707472616B"), tkhdV1)
+      val payload = unhex(concat(
+        lit("000000106674797069736F6D00000000"),
+        when(pmod(id, lit(2)) === 0, moovV0).otherwise(moovV1)))
+      Tables(s, dir, "documents")
+        .select(id, VideoMeta(payload).as("m"))
+        .select(id, col("m.brand"), col("m.width"), col("m.height"), col("m.duration_ms"))
+        .orderBy("doc_id")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -553,5 +590,12 @@ object TextQueries {
         | CAST(data_bytes * 1000 // (sample_rate * channels * (bits // 8)) AS BIGINT)
         |   AS duration_ms
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_video_headers" ->
+      """SELECT doc_id, 'isom' AS brand,
+        | CAST(160 + (doc_id * 7) % 1760 AS INT) AS width,
+        | CAST(90 + (doc_id * 13) % 990 AS INT) AS height,
+        | CAST((doc_id + 1) * 471 % 7200000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
