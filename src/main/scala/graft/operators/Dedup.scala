@@ -20,6 +20,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Skew guard for bucket self-joins: drop rows whose bucket key holds
+    * more than `cap` members. A bucket of size m emits m(m−1)/2 candidate
+    * pairs, so one pathologically common band value (boilerplate text, a
+    * zero-vector embedding cell) turns the equi-join quadratic — the
+    * standard large-corpus remedy (public dedup practice, e.g. the
+    * AllPairs/LSH literature's frequency caps) is to declare buckets above
+    * a population cap non-discriminative and skip them, trading bounded
+    * recall for a hard per-bucket cost ceiling of cap(cap−1)/2.
+    *
+    * Shape at scale: bucket sizes via map-side partial count on the SLIM
+    * key projection; the over-cap key list is tiny by construction
+    * (≤ |rows|/cap keys) and broadcast for a map-side anti-join — the big
+    * side never shuffles for the guard. */
+  def dropHotBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    if (cap == Int.MaxValue) return bucketed
+    val keys = keyCols.map(col)
+    val hot = bucketed.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(keys: _*)
+    bucketed.join(broadcast(hot), keyCols, "left_anti")
+  }
+
   /** Distributed connected components over an undirected edge list — the
     * last mile of every dedup pipeline: pair-finders (exact hash, MinHash,
     * SimHash, URL canonicalization, ...) each emit edges, and the TRANSITIVE
@@ -209,10 +230,12 @@ object Dedup {
       k: Int = 5,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      minEstPpm: Long = 500000L): DataFrame = {
+      minEstPpm: Long = 500000L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val perms = bands * rowsPerBand
     val sigs = lshSignatures(docs, idCol, textCol, k, perms)
-    val banded = lshBanded(sigs, bands, rowsPerBand)
+    val banded = dropHotBuckets(
+      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
@@ -268,9 +291,10 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       minPpm: Long = 800000L,
-      estFloorPpm: Long = 500000L): DataFrame = {
+      estFloorPpm: Long = 500000L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val cands = minhashLshPairs(docs, idCol, textCol, candidateK, bands, rowsPerBand,
-        minEstPpm = estFloorPpm)
+        minEstPpm = estFloorPpm, maxBucket = maxBucket)
       .select("doc1", "doc2")
     val sh = docs.select(col(idCol).as("doc"),
       array_sort(TextAnalysis.shinglesPacked(col(textCol), verifyK)).as("sh"))
@@ -429,12 +453,16 @@ object Dedup {
     *
     * Scale note: chunk width is 64/(d+1) bits, so bucket selectivity
     * degrades as d grows (d=12 → 13 chunks of ~5 bits → 32-value buckets).
-    * On a large corpus declare the smallest radius you mean. */
+    * On a large corpus declare the smallest radius you mean, and set
+    * `maxBucket` to cap pathological buckets ([[dropHotBuckets]] — caps
+    * per-bucket join cost at the expense of the pigeonhole completeness
+    * guarantee for pairs whose only agreeing chunks were over-cap). */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nChunks = maxHamming + 1
@@ -454,7 +482,8 @@ object Dedup {
           shiftright(col("sh"), offsets(c)).bitwiseAND(lit(mask)).as("cv"))
       }: _*)).as("cc"))
       .select(col("doc"), col("sh"), col("cc.chunk"), col("cc.cv"))
-    chunked.as("l").join(chunked.as("r"),
+    val guarded = dropHotBuckets(chunked, Seq("chunk", "cv"), maxBucket)
+    guarded.as("l").join(guarded.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"),

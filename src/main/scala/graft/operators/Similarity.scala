@@ -117,19 +117,21 @@ object Similarity {
     * candidate side at scale, map-side corpus scan). */
   def lshNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, planes: Int = 16): DataFrame = {
+      minCosine: Double, planes: Int = 16,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val chunkBits = planes / 4
     val chunkMask = (1L << chunkBits) - 1
     val dot = graft.functions.FloatDotProduct
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("n"))
-    val chunked = corpus
+    val chunked = Dedup.dropHotBuckets(corpus
       .select(col(idCol).as("id"), rhpSignature(col(vecCol), planes).as("sig"))
       .select(col("id"), explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("cv"))
       }: _*)).as("cc"))
-      .select(col("id"), col("cc.chunk"), col("cc.cv"))
+      .select(col("id"), col("cc.chunk"), col("cc.cv")),
+      Seq("chunk", "cv"), maxBucket)
     val l = chunked.select(col("id").as("qid"), col("chunk"), col("cv"))
     val r = chunked.select(col("id").as("cand_id"), col("chunk").as("chunk_r"),
       col("cv").as("cv_r"))

@@ -104,6 +104,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.getOrElse((1L, 3L), 0L) < 400000L)
   }
 
+  test("dropHotBuckets skew guard: no-op above max population, hot buckets excised below") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    // 10 identical docs (every band bucket they share has 10 members) plus
+    // one small near-dup pair in its own buckets
+    val boiler = (1L to 10L).map(_ -> base)
+    val pairTexts = Seq(
+      20L -> "completely different words describing an unrelated subject entirely",
+      21L -> "completely different words describing an unrelated subject entirely today")
+    val docs = docsDf((boiler ++ pairTexts): _*)
+    def pairsWith(cap: Int) =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", minEstPpm = 0L, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsWith(Int.MaxValue)
+    assert(pairsWith(1000) == uncapped) // cap above any bucket: identical output
+    val capped = pairsWith(5)
+    assert(capped.subsetOf(uncapped))
+    // the 10-doc boilerplate bucket (45 pairs) is gone; the small pair survives
+    assert(!capped.exists { case (a, b) => a <= 10 && b <= 10 })
+    assert(capped.contains((20L, 21L)))
+    // simhash takes the same guard
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sim.exists { case (a, b) => a <= 10 && b <= 10 })
+  }
+
   test("LSH-verified pairs cover the blocked exact pairs with identical exact scores") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val docs = docsDf(
