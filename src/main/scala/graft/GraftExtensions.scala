@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AudioMeta, FloatDotProduct, ImageMeta, SortedIntersectCount}
+import graft.functions.{AudioMeta, FloatDotProduct, ImageMeta, PositionalEqCount, SimHash64, SortedIntersectCount, VideoMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -42,6 +42,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 1, "audio_meta(payload)")
         AudioMeta(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "video_meta(payload)")
+        VideoMeta(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "simhash64(hashes)")
+        SimHash64(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("positional_eq_count"),
+      new ExpressionInfo(classOf[PositionalEqCount].getName, "positional_eq_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "positional_eq_count(arrayA, arrayB)")
+        PositionalEqCount(exprs(0), exprs(1))
       }))
   }
 }
@@ -96,10 +117,18 @@ object ExtensionsSmoke {
         |""".stripMargin).head()
     val mediaOk = media.getInt(0) == 2 && media.getLong(1) == 1000L
 
+    // kernel functions callable from SQL (simhash64 of one all-ones hash
+    // = that hash; positional agreement of identical arrays = length)
+    val kern = spark.sql(
+      """SELECT simhash64(array(CAST(-1 AS BIGINT))) AS sh,
+        |  positional_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS pe
+        |""".stripMargin).head()
+    val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
-      rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk
+      rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }
