@@ -233,7 +233,14 @@ object Dedup {
       minEstPpm: Long = 500000L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val perms = bands * rowsPerBand
+    // The signature projection is referenced by THREE consumers (the band
+    // table and both re-attach joins); pinning it behind an explicit
+    // exchange on `doc` lets ReuseExchange hand all of them the same
+    // shuffle output, so the kernel computes each signature ONCE instead
+    // of once per consumer — the sig table is ~2 longs/KB of text, so the
+    // extra slim shuffle is far cheaper than re-scanning the corpus.
     val sigs = lshSignatures(docs, idCol, textCol, k, perms)
+      .repartition(col("doc"))
     val banded = dropHotBuckets(
       lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
     val pairs = banded.as("l").join(banded.as("r"),
@@ -296,6 +303,11 @@ object Dedup {
     val cands = minhashLshPairs(docs, idCol, textCol, candidateK, bands, rowsPerBand,
         minEstPpm = estFloorPpm, maxBucket = maxBucket)
       .select("doc1", "doc2")
+    // NOT exchange-pinned like lshSignatures: the shingle table is
+    // corpus-sized (packed arrays ~ text length), so a pinning shuffle
+    // would move the whole corpus to save one recompute — measured a wash
+    // at sf0.1 and the wrong trade at 100 TB, where corpus-sized shuffles
+    // are the thing every other stage here is shaped to avoid.
     val sh = docs.select(col(idCol).as("doc"),
       array_sort(TextAnalysis.shinglesPacked(col(textCol), verifyK)).as("sh"))
     val withSh = cands
