@@ -494,7 +494,11 @@ object Dedup {
           shiftright(col("sh"), offsets(c)).bitwiseAND(lit(mask)).as("cv"))
       }: _*)).as("cc"))
       .select(col("doc"), col("sh"), col("cc.chunk"), col("cc.cv"))
+    // slim (doc, sh, chunk, cv) rows: pin behind one exchange so both join
+    // sides reuse a single SimHash computation (same discipline as the
+    // minhash sig pin)
     val guarded = dropHotBuckets(chunked, Seq("chunk", "cv"), maxBucket)
+      .repartition(col("chunk"), col("cv"))
     guarded.as("l").join(guarded.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
           col("l.doc") < col("r.doc"))

@@ -132,6 +132,8 @@ object Similarity {
       }: _*)).as("cc"))
       .select(col("id"), col("cc.chunk"), col("cc.cv")),
       Seq("chunk", "cv"), maxBucket)
+      // one exchange for both sides of the bucket self-join (sig once)
+      .repartition(col("chunk"), col("cv"))
     val l = chunked.select(col("id").as("qid"), col("chunk"), col("cv"))
     val r = chunked.select(col("id").as("cand_id"), col("chunk").as("chunk_r"),
       col("cv").as("cv_r"))
