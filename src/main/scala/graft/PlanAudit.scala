@@ -74,6 +74,9 @@ object PlanAudit {
     check("q_video_headers", "box-walk parse codegen'd; scan prunes to doc_id only")(p =>
       !p.contains("ScalaUDF") && p.contains("ReadSchema: struct<doc_id:bigint>") &&
         !"Exchange hashpartitioning".r.findAllIn(p).hasNext)
+    check("q_media_route", "3-parser classify in one stage; no UDF, no shuffle")(p =>
+      !p.contains("ScalaUDF") && !"Exchange hashpartitioning".r.findAllIn(p).hasNext &&
+        p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
     spark.stop()
   }
 }

@@ -352,6 +352,62 @@ object TextQueries {
         .select(id, col("m.brand"), col("m.width"), col("m.height"), col("m.duration_ms"))
         .orderBy("doc_id")
     },
+
+    // Route/classify over a MIXED-modality corpus: every payload runs
+    // through all three header parsers in one projection — the 100 TB
+    // "cheap classify before any expensive decode" stage — and
+    // unrecognized payloads fall through as text. Mix synthesized
+    // in-query by doc_id % 4 (PNG / WAV / MP4 / tagged raw text; the
+    // "TXT:" prefix guarantees the text branch can't collide with any
+    // container magic). Oracle derives type and fields independently.
+    "q_media_route" -> { (s, dir) =>
+      val id = col("doc_id")
+      val kind = pmod(id, lit(4))
+      val w = (lit(16) + pmod(id, lit(2048))).cast("int")
+      val h = (lit(16) + pmod(id * 31, lit(1536))).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      // canonical 8 kHz mono 8-bit PCM (byte rate 8000)
+      val dataBytes = pmod((id + 1) * 977, lit(100000)).cast("long")
+      def le32(x: org.apache.spark.sql.Column) = {
+        val hx = lpad(hex(x), 8, "0")
+        concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      val wavHex = concat(
+        lit("524946460000000057415645" + "666D742010000000" +
+          "01000100401F0000401F000001000800" + "64617461"), le32(dataBytes))
+      // MP4 v0 with the same dims as the PNG branch, timescale 1000
+      val dur = pmod((id + 1) * 471, lit(7200000)).cast("long")
+      def zeros(n: Int) = "0" * n
+      val matrix = "00010000" + zeros(24) + "00010000" + zeros(24) + "40000000"
+      val mp4Hex = concat(
+        lit("000000106674797069736F6D00000000" + "000000D86D6F6F76" +
+          "0000006C6D76686400000000" + zeros(16) + "000003E8"),
+        lpad(hex(dur), 8, "0"),
+        lit("00010000" + "01000000" + zeros(16) + matrix + zeros(48) + "00000002" +
+          "000000647472616B" +
+          "0000005C746B686400000003" + zeros(16) + "00000001" + zeros(48) + matrix),
+        lpad(hex(w), 4, "0"), lit("0000"), lpad(hex(h), 4, "0"), lit("0000"))
+      val payload = when(kind === 0, unhex(pngHex))
+        .when(kind === 1, unhex(wavHex))
+        .when(kind === 2, unhex(mp4Hex))
+        .otherwise(concat(lit("TXT:"), col("text")).cast("binary"))
+      val img = ImageMeta(payload)
+      val aud = AudioMeta(payload)
+      val vid = VideoMeta(payload)
+      Tables(s, dir, "documents")
+        .select(id,
+          when(img.isNotNull, lit("image"))
+            .when(aud.isNotNull, lit("audio"))
+            .when(vid.isNotNull, lit("video"))
+            .otherwise(lit("text")).as("media_type"),
+          coalesce(img.getField("width"), vid.getField("width")).as("width"),
+          coalesce(img.getField("height"), vid.getField("height")).as("height"),
+          coalesce(aud.getField("duration_ms"), vid.getField("duration_ms"))
+            .as("duration_ms"))
+        .orderBy("doc_id")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -596,6 +652,20 @@ object TextQueries {
         | CAST(160 + (doc_id * 7) % 1760 AS INT) AS width,
         | CAST(90 + (doc_id * 13) % 990 AS INT) AS height,
         | CAST((doc_id + 1) * 471 % 7200000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_route" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   WHEN 2 THEN 'video' ELSE 'text' END AS media_type,
+        | CASE WHEN doc_id % 4 IN (0, 2) THEN CAST(16 + doc_id % 2048 AS INT)
+        |   END AS width,
+        | CASE WHEN doc_id % 4 IN (0, 2) THEN CAST(16 + (doc_id * 31) % 1536 AS INT)
+        |   END AS height,
+        | CASE WHEN doc_id % 4 = 1
+        |     THEN CAST((doc_id + 1) * 977 % 100000 * 1000 // 8000 AS BIGINT)
+        |   WHEN doc_id % 4 = 2 THEN CAST((doc_id + 1) * 471 % 7200000 AS BIGINT)
+        |   END AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
