@@ -303,13 +303,20 @@ object Dedup {
     val cands = minhashLshPairs(docs, idCol, textCol, candidateK, bands, rowsPerBand,
         minEstPpm = estFloorPpm, maxBucket = maxBucket)
       .select("doc1", "doc2")
-    // NOT exchange-pinned like lshSignatures: the shingle table is
-    // corpus-sized (packed arrays ~ text length), so a pinning shuffle
-    // would move the whole corpus to save one recompute — measured a wash
-    // at sf0.1 and the wrong trade at 100 TB, where corpus-sized shuffles
-    // are the thing every other stage here is shaped to avoid.
-    val sh = docs.select(col(idCol).as("doc"),
-      array_sort(TextAnalysis.shinglesPacked(col(textCol), verifyK)).as("sh"))
+    // Exact-verify shingles are computed ONLY for documents that appear in
+    // a surviving candidate pair: near-dup pairs are sparse, so the
+    // semi-join (candidate ids are small → broadcast, map-side filter on
+    // the corpus scan) skips the per-doc shingle sort for almost the whole
+    // corpus. The candidate subplan ends in a dropDuplicates exchange, so
+    // AQE's runtime stage dedup computes it once across its consumers.
+    // (NOT exchange-pinned like lshSignatures: the shingle table is
+    // corpus-sized, and a pinning shuffle would move the whole corpus.)
+    val pairDocs = cands
+      .select(explode(array(col("doc1"), col("doc2"))).as("__pdoc")).distinct()
+    val sh = docs
+      .join(pairDocs, col(idCol) === col("__pdoc"), "left_semi")
+      .select(col(idCol).as("doc"),
+        array_sort(TextAnalysis.shinglesPacked(col(textCol), verifyK)).as("sh"))
     val withSh = cands
       .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
