@@ -24,12 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AudioHeader {
 
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-  private def tag(b: Array[Byte], i: Int): String =
-    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+  import ByteReads.{le16, le32L => le32, tag}
 
   /** (codec, channels, sampleRate, bitsPerSample, durationMs) or null. */
   def parse(b: Array[Byte]): (String, Int, Int, Int, Long) = {

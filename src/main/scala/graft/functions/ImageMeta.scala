@@ -31,14 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageHeader {
 
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  import ByteReads.{be16, be32, le16, le32}
 
   /** (format, width, height) or null when the payload is not a recognized
     * image container. Reads header bytes only. */
@@ -58,11 +51,22 @@ object ImageHeader {
       val w = le16(b, 6); val h = le16(b, 8)
       if (w > 0 && h > 0) return ("gif", w, h) else return null
     }
-    // BMP: "BM" + BITMAPINFOHEADER (width @18, height @22; height may be
-    // negative for top-down rows — report magnitude)
+    // BMP: "BM" + DIB header. Validate the DIB header-size field before
+    // trusting offsets: BITMAPINFOHEADER family (40/52/56/64/108/124) has
+    // 32-bit dims at 18/22 (height may be negative for top-down rows —
+    // report magnitude); the OS/2 BITMAPCOREHEADER (12) has 16-bit dims at
+    // 18/20; anything else is not a layout we can read → null, never
+    // garbage dimensions.
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
-      val w = le32(b, 18); val h = math.abs(le32(b, 22))
-      if (w > 0 && h > 0) return ("bmp", w, h) else return null
+      val dib = le32(b, 14)
+      if (dib == 12) {
+        val w = le16(b, 18); val h = le16(b, 20)
+        if (w > 0 && h > 0) return ("bmp", w, h) else return null
+      } else if (dib == 40 || dib == 52 || dib == 56 || dib == 64 ||
+          dib == 108 || dib == 124) {
+        val w = le32(b, 18); val h = math.abs(le32(b, 22))
+        if (w > 0 && h > 0) return ("bmp", w, h) else return null
+      } else return null
     }
     // JPEG: SOI then marker segments until the first frame header (SOFn).
     if (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
@@ -72,7 +76,8 @@ object ImageHeader {
         // skip fill bytes (padding FFs before a marker)
         var j = i + 1
         while (j < b.length && b(j) == 0xff.toByte) j += 1
-        if (j + 1 >= b.length) return null
+        // marker byte + 2 length bytes must all be readable
+        if (j + 2 >= b.length) return null
         val m = b(j) & 0xff
         if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
           i = j + 1 // standalone marker, no length field

@@ -51,7 +51,11 @@ object MinHashKernels {
 
   /** Count of positions where the two long arrays agree (positional, up to
     * the shorter length) — the MinHash signature-agreement estimator,
-    * replacing the per-pair interpreted `size(filter(zip_with(...)))`. */
+    * replacing the per-pair interpreted `size(filter(zip_with(...)))`.
+    *
+    * Caller contract (same as [[SortedIntersectCount]]): null elements are
+    * not expected — signature arrays are containsNull=false by
+    * construction; a null slot reaching the unsafe path would read as 0. */
   def positionalEqCount(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var c = 0L

@@ -23,12 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VideoHeader {
 
-  private def be32(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-  private def be64(b: Array[Byte], i: Int): Long =
-    (be32(b, i) << 32) | be32(b, i + 4)
-  private def tag(b: Array[Byte], i: Int): String =
-    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+  import ByteReads.{be32L => be32, be64, tag}
 
   private final class Acc {
     var brand: String = null
@@ -61,6 +56,7 @@ object VideoHeader {
         case "moov" | "trak" =>
           if (!walk(b, body, end, depth + 1, acc)) return false
         case "mvhd" =>
+          if (body + 4 > end) return false // version+flags must exist
           val v = b(body) & 0xff
           if (v == 1) {
             if (body + 32 + 8 > end) return false

@@ -39,10 +39,10 @@ object Multimodal {
   /** ======= STUB ======= deterministic fake decode: real systems replace
     * this body with an image/audio codec call; everything around it (batch
     * iteration, output schema, partitioning) is production-shaped. */
-  private def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+  private def decodeStub(docId: Long, bytes: Array[Byte],
+      md: java.security.MessageDigest): MediaFeatures = {
     val n = bytes.length.toLong
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map("%02x".format(_)).mkString
+    val digest = md.digest(bytes).map("%02x".format(_)).mkString
     MediaFeatures(
       doc_id = docId,
       n_bytes = n,
@@ -63,15 +63,15 @@ object Multimodal {
     val idIdx = payloads.schema.fieldIndex(idCol)
     val payloadIdx = payloads.schema.fieldIndex("payload")
     payloads.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // one per partition
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val img = graft.functions.ImageHeader.parse(bytes)
         if (img != null) {
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map("%02x".format(_)).mkString
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
           MediaFeatures(id, bytes.length.toLong, digest, img._2, img._3, 1)
-        } else decodeStub(id, bytes)
+        } else decodeStub(id, bytes, md)
       }
     }
   }

@@ -109,6 +109,10 @@ object Similarity {
     * buckets — for self-dedup: ordered pairs (id1 < id2) so the symmetric
     * candidate space is halved, and no per-query ranking window.
     *
+    * Caller contract: `idCol` must be unique per row (it is the join key
+    * for the post-dedup vector re-attach; duplicate ids would re-multiply
+    * pairs). Same precondition as every dedup operator here.
+    *
     * Shuffle discipline (same as MinHash's slim-pair pattern): the bucket
     * self-join and the pair dedup carry ONLY (id, chunk, cv) — never the
     * embeddings — so the candidate stage shuffles ~20 bytes/row instead of

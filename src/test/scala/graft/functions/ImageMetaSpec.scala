@@ -23,9 +23,16 @@ class ImageMetaSpec extends SparkTestBase {
     s"GIF8${version}a".getBytes ++ bytes(w, w >>> 8, h, h >>> 8) ++ bytes(0xf7, 0, 0)
 
   private def bmp(w: Int, h: Int): Array[Byte] =
-    "BM".getBytes ++ new Array[Byte](16) ++
+    "BM".getBytes ++ new Array[Byte](12) ++
+      bytes(40, 0, 0, 0) ++ // BITMAPINFOHEADER size field
       bytes(w, w >>> 8, w >>> 16, w >>> 24) ++
       bytes(h, h >>> 8, h >>> 16, h >>> 24) ++ bytes(1, 0)
+
+  private def bmpCore(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ new Array[Byte](12) ++
+      bytes(12, 0, 0, 0) ++ // BITMAPCOREHEADER: 16-bit dims
+      bytes(w, w >>> 8) ++ bytes(h, h >>> 8) ++ bytes(1, 0, 24, 0) ++
+      new Array[Byte](4)
 
   private def segment(marker: Int, payload: Array[Byte]): Array[Byte] = {
     val len = payload.length + 2
@@ -48,6 +55,7 @@ class ImageMetaSpec extends SparkTestBase {
     assert(ImageHeader.parse(gif(320, 200, '7')) == ("gif", 320, 200))
     assert(ImageHeader.parse(gif(65535, 1)) == ("gif", 65535, 1))
     assert(ImageHeader.parse(bmp(1024, 768)) == ("bmp", 1024, 768))
+    assert(ImageHeader.parse(bmpCore(320, 200)) == ("bmp", 320, 200))
     assert(ImageHeader.parse(jpeg(1920, 1080)) == ("jpeg", 1920, 1080))
   }
 
@@ -76,6 +84,13 @@ class ImageMetaSpec extends SparkTestBase {
     assert(ImageHeader.parse(bytes(0xff, 0xd8, 0xff, 0xd9)) == null) // SOI+EOI, no frame
     assert(ImageHeader.parse(bytes(0xff, 0xd8, 0x00, 0x11)) == null) // desync
     assert(ImageHeader.parse(gif(0, 10)) == null)          // zero dimension
+    // segment cut between the fill byte and its length field (regression:
+    // this threw instead of returning null)
+    assert(ImageHeader.parse(bytes(0xff, 0xd8, 0xff, 0xff, 0xe0, 0x00)) == null)
+    // unknown DIB header size: never trust BITMAPINFOHEADER offsets
+    val weirdDib = "BM".getBytes ++ new Array[Byte](12) ++
+      bytes(99, 0, 0, 0) ++ new Array[Byte](12)
+    assert(ImageHeader.parse(weirdDib) == null)
   }
 
   test("ImageMeta column matches the static parser through codegen") {

@@ -79,6 +79,9 @@ class VideoMetaSpec extends SparkTestBase {
     assert(VideoHeader.parse(
       ftyp("isom") ++ box("moov", box("trak", tkhd(0, 1, 1)))) == null) // no mvhd
     assert(VideoHeader.parse(mp4(0, 640, 480, 0, 9000)) == null) // zero timescale
+    // empty (size-8) mvhd box ending at the buffer end (regression: this
+    // threw on the version-byte read instead of returning null)
+    assert(VideoHeader.parse(ftyp("isom") ++ box("mvhd", Array.emptyByteArray)) == null)
   }
 
   test("VideoMeta column matches the static parser through codegen") {
