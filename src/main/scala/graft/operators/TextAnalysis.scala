@@ -109,25 +109,22 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
       i => md5(text.substr(i, lit(k)).cast("binary"))))
 
-  /** k-char shingle set (distinct) of a text column. */
+  /** k-char shingle set (distinct, first-occurrence order) of a text
+    * column. Native one-pass kernel ([[graft.functions.ShingleSet]]) —
+    * the former `array_distinct(transform(...))` ran one interpreted
+    * substr per shingle (bit-identical replacement, ShingleKernelsSpec). */
   def shingles(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
-      i => text.substr(i, lit(k))))
+    graft.functions.ShingleSet(text, k)
 
   /** k-char shingle set packed into longs (base-256 per char — ASCII text
     * only, k ≤ 7). Long-array set ops are several times cheaper than
     * string-array ones in the pairwise intersect, and the encoding is
     * injective so Jaccard over packed shingles is EXACTLY Jaccard over
-    * string shingles (and is mirrored 1:1 by the SQL oracle). */
-  def shinglesPacked(text: Column, k: Int): Column = {
-    require(k <= 7, "packed shingles support k <= 7 (ASCII)")
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
-      i => (0 until k).map { j =>
-        ascii(text.substr(i + lit(j), lit(1))).cast("long") * lit(1L << (8 * (k - 1 - j)))
-      }.reduce(_ + _)))
-  }
+    * string shingles (and is mirrored 1:1 by the SQL oracle). Native
+    * one-pass kernel ([[graft.functions.PackedShingleSet]]) — the former
+    * formulation ran k interpreted ascii×substr evals per shingle. */
+  def shinglesPacked(text: Column, k: Int): Column =
+    graft.functions.PackedShingleSet(text, k)
 
   /** Exact Jaccard similarity of two shingle arrays, in ppm (integer —
     * exact on both engines). */
