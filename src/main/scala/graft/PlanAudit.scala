@@ -77,6 +77,8 @@ object PlanAudit {
     check("q_media_route", "3-parser classify in one stage; no UDF, no shuffle")(p =>
       !p.contains("ScalaUDF") && !"Exchange hashpartitioning".r.findAllIn(p).hasNext &&
         p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    check("q_repetition", "repetition ratio is a pure projection (kernel replaced 2 shuffles)")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document text kernels that collapse whole aggregation subplans into
+  * single-pass projections. */
+object TextKernels {
+
+  /** Repetition ratio: occurrences of the most repeated k-char shingle
+    * over all shingle occurrences, floor-scaled to ppm. Replaces an
+    * explode + two shuffled hash aggregates with one per-row pass — the
+    * result is identical (counts per gram → max; total = shingle count)
+    * and the two corpus-wide shuffles disappear from the plan. */
+  def repetitionPpm(text: UTF8String, k: Int): Long = {
+    val n = math.max(text.numChars() - k + 1, 1)
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var maxC = 0
+    var i = 1
+    while (i <= n) {
+      val s = text.substringSQL(i, k)
+      val prev = counts.get(s)
+      val c = if (prev == null) 1 else prev + 1
+      counts.put(s, c)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    maxC.toLong * 1000000L / n
+  }
+
+  /** 64-bit SimHash of a space-tokenized text in ONE byte-level pass:
+    * tokens are maximal runs between 0x20 bytes (0x20 never occurs inside
+    * a UTF-8 multi-byte sequence, so byte split == char split), each
+    * hashed with xxhash64 (seed 42, like Spark's `xxhash64(token)`), each
+    * voting ±1 per bit. Replaces `simhash64(transform(split(text, " "),
+    * xxhash64))` — the transform ran interpreted per token and
+    * materialized the hash array. Split semantics mirror Spark's
+    * `split(text, " ")` (Java split with -1 limit): empty tokens between
+    * adjacent/leading spaces ARE hashed; the empty text is one empty
+    * token; trailing empty tokens are DROPPED only when Java would drop
+    * them — Spark keeps them (limit -1), so we keep them too. */
+  def simhashText(text: UTF8String): Long = {
+    val base = text.getBaseObject
+    val offset = text.getBaseOffset
+    val nBytes = text.numBytes()
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= nBytes) {
+      val atEnd = i == nBytes
+      if (atEnd || org.apache.spark.unsafe.Platform.getByte(base, offset + i) == 0x20.toByte) {
+        val h = XXH64.hashUnsafeBytes(base, offset + start, i - start, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** `repetition_ppm(text)` → `long` (k baked into the plan). */
+case class RepetitionPpm(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "repetition_ppm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionPpm(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionPpm($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionPpm =
+    copy(child = newChild)
+}
+
+object RepetitionPpm {
+  /** Column wrapper. */
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(RepetitionPpm(ColumnBridge.expression(text), k))
+}
+
+/** `simhash_text(text)` → `long`: fused tokenize + hash + vote. */
+case class SimHashText(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhashText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhashText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
+object SimHashText {
+  /** Column wrapper. */
+  def apply(text: Column): Column =
+    ColumnBridge.column(SimHashText(ColumnBridge.expression(text)))
+}

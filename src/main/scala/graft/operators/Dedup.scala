@@ -459,9 +459,11 @@ object Dedup {
   def simHashFromHashes(hashesCol: Column): Column =
     graft.functions.SimHash64(hashesCol)
 
-  /** 64-bit SimHash over whitespace tokens. */
+  /** 64-bit SimHash over whitespace tokens — fused tokenize + hash + vote
+    * in one byte-level pass ([[graft.functions.SimHashText]]; the former
+    * `transform(split(...), xxhash64)` ran interpreted per token). */
   def simHash(textCol: Column): Column =
-    simHashFromHashes(transform(split(textCol, " "), t => xxhash64(t)))
+    graft.functions.SimHashText(textCol)
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, banded
     * into `maxHamming + 1` disjoint bit chunks: two 64-bit hashes within
@@ -491,9 +493,7 @@ object Dedup {
     val widths = Seq.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
     val hashed = docs
-      .select(col(idCol).as("doc"),
-        transform(split(col(textCol), " "), t => xxhash64(t)).as("__hs"))
-      .select(col("doc"), simHashFromHashes(col("__hs")).as("sh"))
+      .select(col(idCol).as("doc"), simHash(col(textCol)).as("sh"))
     val chunked = hashed.select(col("doc"), col("sh"),
       explode(array((0 until nChunks).map { c =>
         val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1

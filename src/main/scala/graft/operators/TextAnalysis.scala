@@ -36,15 +36,11 @@ object TextAnalysis {
     * scores near 1e6. Two hash aggregates, both with map-side combine. */
   def repetitionPpm(docs: org.apache.spark.sql.DataFrame,
                     idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    // one-pass per-row kernel — the former explode + two shuffled hash
+    // aggregates computed the same per-doc counts with two corpus-wide
+    // exchanges (result-identical, TextKernelsSpec)
     docs.select(col(idCol),
-        explode(transform(
-          sequence(lit(1), greatest(length(col(textCol)) - lit(k - 1), lit(1))),
-          i => col(textCol).substr(i, lit(k)))).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(max("__c").as("__max_c"), sum("__c").as("__n"))
-      .select(col(idCol),
-        expr("(__max_c * 1000000) div __n").as("rep_ppm"))
+      graft.functions.RepetitionPpm(col(textCol), k).as("rep_ppm"))
 
   /** Corpus term table over the BPE-ish token regex: per token, document
     * frequency and total occurrences — the vocabulary/IDF building block

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Result-exactness proofs for the per-document text kernels against the
+  * aggregation/higher-order formulations they replaced.
+  */
+class TextKernelsSpec extends SparkTestBase {
+
+  /** The former explode + two-aggregate repetition formulation. */
+  private def repetitionReference(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - lit(k - 1), lit(1))),
+          i => col("text").substr(i, lit(k)))).as("__g"))
+      .groupBy(col("doc"), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc"))
+      .agg(max("__c").as("__max_c"), sum("__c").as("__n"))
+      .select(col("doc"), expr("(__max_c * 1000000) div __n").as("rep_ppm"))
+
+  /** The former per-token transform+xxhash64 simhash formulation. */
+  private def simhashReference(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    (0 until 64).map { j =>
+      val mask = lit(1L << j)
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= lit(0L), lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "héllo wörld — 日本語のテキスト mixed in"),
+    (3L, "aa"), (4L, ""), (5L, "aaaaaaaaaaaa"), (6L, "abcabcabcabc"),
+    (7L, "double  spaces  here"), (8L, " leading and trailing "),
+    (9L, "   "), (10L, "one"))
+
+  test("RepetitionPpm kernel equals the explode+aggregate formulation") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc", "text")
+    for (k <- Seq(3, 8)) {
+      val kernel = docs.select(col("doc"),
+        RepetitionPpm(col("text"), k).as("rep_ppm"))
+      val joined = kernel.as("a").join(repetitionReference(docs, k).as("b"), "doc")
+        .filter(col("a.rep_ppm") =!= col("b.rep_ppm"))
+      assert(joined.count() == 0, s"k=$k")
+    }
+  }
+
+  test("SimHashText kernel is bit-identical to transform(split)+vote") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val words = Seq("alpha", "beta", "γάμμα", "", "x", "longword" * 3)
+    val random = (11L to 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val docs = (corpus ++ random).toDF("doc", "text")
+    val mismatches = docs.select(
+        SimHashText(col("text")).as("kernel"),
+        simhashReference(col("text")).as("ref"))
+      .filter(col("kernel") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+}
