@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{AudioMeta, FloatDotProduct, ImageMeta, PositionalEqCount, SimHash64, SortedIntersectCount, VideoMeta}
+import graft.functions.{AudioMeta, FloatDotProduct, ImageMeta, MinHashSig, PackedShingleSet, PositionalEqCount, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions so `spark.sql(...)` users get them too.
@@ -64,6 +64,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "positional_eq_count(arrayA, arrayB)")
         PositionalEqCount(exprs(0), exprs(1))
       }))
+
+    // kernels whose tuning parameter must be a literal (baked into the plan)
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash_text(text)")
+        SimHashText(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "minhash_sig(text, k, perms)")
+        MinHashSig(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "perms"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "shingle_set(text, k)")
+        ShingleSet(exprs.head, intLit(exprs(1), "k"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("packed_shingle_set"),
+      new ExpressionInfo(classOf[PackedShingleSet].getName, "packed_shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "packed_shingle_set(text, k)")
+        PackedShingleSet(exprs.head, intLit(exprs(1), "k"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("repetition_ppm"),
+      new ExpressionInfo(classOf[RepetitionPpm].getName, "repetition_ppm"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "repetition_ppm(text, k)")
+        RepetitionPpm(exprs.head, intLit(exprs(1), "k"))
+      }))
   }
 }
 
@@ -121,9 +163,17 @@ object ExtensionsSmoke {
     // = that hash; positional agreement of identical arrays = length)
     val kern = spark.sql(
       """SELECT simhash64(array(CAST(-1 AS BIGINT))) AS sh,
-        |  positional_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS pe
+        |  positional_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS pe,
+        |  simhash_text('abc abc') AS st,
+        |  size(minhash_sig('abcdef', 3, 16)) AS ms,
+        |  shingle_set('abab', 2) AS ss,
+        |  size(packed_shingle_set('abab', 2)) AS ps,
+        |  repetition_ppm('aaaa', 3) AS rp
         |""".stripMargin).head()
-    val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L
+    val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
+      kern.getInt(3) == 16 &&
+      kern.getSeq[String](4) == Seq("ab", "ba") && kern.getInt(5) == 2 &&
+      kern.getLong(6) == 1000000L
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk
