@@ -165,15 +165,19 @@ object ExtensionsSmoke {
       """SELECT simhash64(array(CAST(-1 AS BIGINT))) AS sh,
         |  positional_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS pe,
         |  simhash_text('abc abc') AS st,
+        |  xxhash64('abc') AS xh,
         |  size(minhash_sig('abcdef', 3, 16)) AS ms,
         |  shingle_set('abab', 2) AS ss,
         |  size(packed_shingle_set('abab', 2)) AS ps,
         |  repetition_ppm('aaaa', 3) AS rp
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
-      kern.getInt(3) == 16 &&
-      kern.getSeq[String](4) == Seq("ab", "ba") && kern.getInt(5) == 2 &&
-      kern.getLong(6) == 1000000L
+      // two identical tokens vote every bit of their hash twice → the
+      // simhash IS the token hash
+      kern.getLong(2) == kern.getLong(3) &&
+      kern.getInt(4) == 16 &&
+      kern.getSeq[String](5) == Seq("ab", "ba") && kern.getInt(6) == 2 &&
+      kern.getLong(7) == 1000000L
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk

@@ -62,8 +62,9 @@ object ImageHeader {
       if (dib == 12) {
         val w = le16(b, 18); val h = le16(b, 20)
         if (w > 0 && h > 0) return ("bmp", w, h) else return null
-      } else if (dib == 40 || dib == 52 || dib == 56 || dib == 64 ||
-          dib == 108 || dib == 124) {
+      } else if (dib >= 16 && dib <= 124) {
+        // BITMAPINFOHEADER family and OS/2 2.x BITMAPCOREHEADER2 (any
+        // declared size 16..64) all share 32-bit dims at offsets 18/22
         val w = le32(b, 18); val h = math.abs(le32(b, 22))
         if (w > 0 && h > 0) return ("bmp", w, h) else return null
       } else return null

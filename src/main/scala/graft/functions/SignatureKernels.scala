@@ -22,21 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 object SignatureKernels {
 
-  /** 64-bit SimHash from token hashes: bit j set iff the sum of ±1 votes
-    * (bit j of each hash) is positive. One pass, 64 counters. */
-  def simhash64(hashes: ArrayData): Long = {
-    val n = hashes.numElements()
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      val h = hashes.getLong(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
+  /** ±1 vote of one hash into the 64 counters (shared between the
+    * array-input and fused-text SimHash kernels so the tie-break rule can
+    * never diverge). */
+  def vote(votes: Array[Int], h: Long): Unit = {
+    var j = 0
+    while (j < 64) {
+      if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+      j += 1
     }
+  }
+
+  /** Collapse vote counters to the signature: bit set iff strictly
+    * positive. */
+  def collapseVotes(votes: Array[Int]): Long = {
     var sig = 0L
     var j = 0
     while (j < 64) {
@@ -44,6 +43,19 @@ object SignatureKernels {
       j += 1
     }
     sig
+  }
+
+  /** 64-bit SimHash from token hashes: bit j set iff the sum of ±1 votes
+    * (bit j of each hash) is positive. One pass, 64 counters. */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      vote(votes, hashes.getLong(i))
+      i += 1
+    }
+    collapseVotes(votes)
   }
 
   /** `planes`-bit random-hyperplane signature of a float vector. Plane p's

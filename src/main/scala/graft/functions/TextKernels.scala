@@ -15,7 +15,12 @@ object TextKernels {
     * over all shingle occurrences, floor-scaled to ppm. Replaces an
     * explode + two shuffled hash aggregates with one per-row pass — the
     * result is identical (counts per gram → max; total = shingle count)
-    * and the two corpus-wide shuffles disappear from the plan. */
+    * and the two corpus-wide shuffles disappear from the plan.
+    *
+    * Memory bound: O(distinct grams) per row, untracked task heap — fine
+    * for bounded documents; corpora with pathological multi-hundred-MB
+    * docs should use `TextAnalysis.repetitionPpmDistributed`, which
+    * shards one doc's grams across partitions and can spill. */
   def repetitionPpm(text: UTF8String, k: Int): Long = {
     val n = math.max(text.numChars() - k + 1, 1)
     val counts = new java.util.HashMap[UTF8String, Integer]()
@@ -42,7 +47,13 @@ object TextKernels {
     * `split(text, " ")` (Java split with -1 limit): empty tokens between
     * adjacent/leading spaces ARE hashed; the empty text is one empty
     * token; trailing empty tokens are DROPPED only when Java would drop
-    * them — Spark keeps them (limit -1), so we keep them too. */
+    * them — Spark keeps them (limit -1), so we keep them too.
+    *
+    * Caveat (documented divergence): text containing INVALID UTF-8 (only
+    * reachable via binary→string casts; parquet strings are valid by
+    * construction) hashes the original bytes here, whereas `split` round-
+    * trips through String and re-encodes bad sequences as U+FFFD first —
+    * such text has an unspecified (but stable) signature. */
   def simhashText(text: UTF8String): Long = {
     val base = text.getBaseObject
     val offset = text.getBaseOffset
@@ -53,23 +64,13 @@ object TextKernels {
     while (i <= nBytes) {
       val atEnd = i == nBytes
       if (atEnd || org.apache.spark.unsafe.Platform.getByte(base, offset + i) == 0x20.toByte) {
-        val h = XXH64.hashUnsafeBytes(base, offset + start, i - start, 42L)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
+        SignatureKernels.vote(votes,
+          XXH64.hashUnsafeBytes(base, offset + start, i - start, 42L))
         start = i + 1
       }
       i += 1
     }
-    var sig = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
+    SignatureKernels.collapseVotes(votes)
   }
 }
 

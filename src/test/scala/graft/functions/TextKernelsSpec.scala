@@ -50,6 +50,19 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("operator: kernel and distributed variants agree; null texts dropped by both " +
+    "(the pre-kernel shape emitted a spurious 1e6 for null text)") {
+    import spark.implicits._
+    val docs = (corpus.map { case (d, t) => (d, Option(t)) } :+ (99L, None))
+      .toDF("doc", "text")
+    val fast = graft.operators.TextAnalysis.repetitionPpm(docs, "doc", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.operators.TextAnalysis.repetitionPpmDistributed(docs, "doc", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(!fast.contains(99L)) // null text keeps the old dropped-row contract
+  }
+
   test("SimHashText kernel is bit-identical to transform(split)+vote") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
