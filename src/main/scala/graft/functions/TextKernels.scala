@@ -72,6 +72,72 @@ object TextKernels {
     }
     SignatureKernels.collapseVotes(votes)
   }
+
+  /** Minimum md5 over k-char shingles as a lowercase hex string (see
+    * [[MinShingleMd5]]). Shingles follow `substr` char semantics with the
+    * usual sub-k clamp; md5 is over the shingle's UTF-8 bytes, matching
+    * `md5(substr(...).cast("binary"))`. */
+  def minShingleMd5(text: UTF8String, k: Int): UTF8String = {
+    val n = math.max(text.numChars() - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var i = 1
+    while (i <= n) {
+      val d = md.digest(text.substringSQL(i, k).getBytes)
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new StringBuilder(32)
+    var b = 0
+    while (b < best.length) {
+      hex.append(Character.forDigit((best(b) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(best(b) & 0xf, 16))
+      b += 1
+    }
+    UTF8String.fromString(hex.toString)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+/** `min_shingle_md5(text)` → `string`: the minimum md5 hex over all
+  * k-char shingles (winnowing-style fingerprint). One pass, one
+  * MessageDigest per row, digests compared as unsigned bytes (hex
+  * lexicographic order == unsigned byte order), only the winner
+  * hex-encoded — the former `array_min(transform(...))` ran an
+  * interpreted md5 per shingle and materialized the hex array. */
+case class MinShingleMd5(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minShingleMd5(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minShingleMd5($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
+    copy(child = newChild)
+}
+
+object MinShingleMd5 {
+  /** Column wrapper. */
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(MinShingleMd5(ColumnBridge.expression(text), k))
 }
 
 /** `repetition_ppm(text)` → `long` (k baked into the plan). */

@@ -124,11 +124,12 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = substring(md5(text.cast("binary")), 1, 16)
 
   /** Winnowing-style shingle fingerprint: the minimum md5 over all k-char
-    * shingles — robust to local edits, cheap to compare. */
+    * shingles — robust to local edits, cheap to compare. Native one-pass
+    * kernel ([[graft.functions.MinShingleMd5]]) — the former
+    * `array_min(transform(...))` ran one interpreted md5 per shingle
+    * (bit-identical replacement, TextKernelsSpec). */
   def minShingleFingerprint(text: Column, k: Int): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
-      i => md5(text.substr(i, lit(k)).cast("binary"))))
+    graft.functions.MinShingleMd5(text, k)
 
   /** k-char shingle set (distinct, first-occurrence order) of a text
     * column. Native one-pass kernel ([[graft.functions.ShingleSet]]) —

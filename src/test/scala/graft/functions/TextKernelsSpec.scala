@@ -63,6 +63,22 @@ class TextKernelsSpec extends SparkTestBase {
     assert(!fast.contains(99L)) // null text keeps the old dropped-row contract
   }
 
+  test("MinShingleMd5 kernel equals array_min(transform(md5)) bit-for-bit") {
+    import spark.implicits._
+    def reference(text: Column, k: Int): Column =
+      array_min(transform(
+        sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+        i => md5(text.substr(i, lit(k)).cast("binary"))))
+    val docs = corpus.toDF("doc", "text")
+    for (k <- Seq(3, 8)) {
+      val mismatches = docs.select(
+          MinShingleMd5(col("text"), k).as("kernel"),
+          reference(col("text"), k).as("ref"))
+        .filter(col("kernel") =!= col("ref")).count()
+      assert(mismatches == 0, s"k=$k")
+    }
+  }
+
   test("SimHashText kernel is bit-identical to transform(split)+vote") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
