@@ -62,9 +62,11 @@ object ImageHeader {
       if (dib == 12) {
         val w = le16(b, 18); val h = le16(b, 20)
         if (w > 0 && h > 0) return ("bmp", w, h) else return null
-      } else if (dib >= 16 && dib <= 124) {
-        // BITMAPINFOHEADER family and OS/2 2.x BITMAPCOREHEADER2 (any
-        // declared size 16..64) all share 32-bit dims at offsets 18/22
+      } else if (dib == 16 || dib == 40 || dib == 52 || dib == 56 ||
+                 dib == 64 || dib == 108 || dib == 124) {
+        // BITMAPINFOHEADER family (40/52/56/64/108/124) and the OS/2 2.x
+        // BITMAPCOREHEADER2 16-byte form all share 32-bit dims at 18/22;
+        // any other declared size is not a layout we know → null
         val w = le32(b, 18); val h = math.abs(le32(b, 22))
         if (w > 0 && h > 0) return ("bmp", w, h) else return null
       } else return null

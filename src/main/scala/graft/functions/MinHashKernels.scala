@@ -53,15 +53,16 @@ object MinHashKernels {
     * the shorter length) — the MinHash signature-agreement estimator,
     * replacing the per-pair interpreted `size(filter(zip_with(...)))`.
     *
-    * Caller contract (same as [[SortedIntersectCount]]): null elements are
-    * not expected — signature arrays are containsNull=false by
-    * construction; a null slot reaching the unsafe path would read as 0. */
+    * Signature arrays are containsNull=false by construction, but the
+    * function is also registered for arbitrary SQL callers, so a null slot
+    * (in either array) is treated as agreeing with nothing — SQL equality
+    * semantics — rather than silently read as 0 on the unsafe path. */
   def positionalEqCount(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var c = 0L
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
       i += 1
     }
     c

@@ -464,7 +464,7 @@ object TextQueries {
       """WITH g AS (
         | SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1)+1),
         |   i -> text[i:i+2])) AS g
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
         |SELECT doc_id,
         | (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS rep_ppm

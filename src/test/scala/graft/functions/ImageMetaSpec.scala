@@ -95,6 +95,12 @@ class ImageMetaSpec extends SparkTestBase {
     val weirdDib = "BM".getBytes ++ new Array[Byte](12) ++
       bytes(99, 0, 0, 0) ++ new Array[Byte](12)
     assert(ImageHeader.parse(weirdDib) == null)
+    // sizes inside the old permissive 16..124 range but not real DIB
+    // layouts (70, 20) must also be rejected — whitelist, not range
+    for (sz <- Seq(20, 70)) {
+      val b = bmp(64, 48); b(14) = sz.toByte
+      assert(ImageHeader.parse(b) == null, s"dib=$sz")
+    }
   }
 
   test("ImageMeta column matches the static parser through codegen") {

@@ -63,4 +63,18 @@ class MinHashKernelsSpec extends SparkTestBase {
       .filter(col("kernel") =!= col("ref")).count()
     assert(mismatches == 0)
   }
+
+  test("PositionalEqCount treats null slots as non-equal (SQL callers)") {
+    import spark.implicits._
+    // arrays with null elements can reach the kernel via the registered
+    // SQL function; a null slot must never count as an agreement
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (2L, Seq[java.lang.Long](null, 2L), Seq[java.lang.Long](0L, 2L)),
+      (3L, Seq[java.lang.Long](7L), Seq[java.lang.Long](null))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), PositionalEqCount(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
 }
