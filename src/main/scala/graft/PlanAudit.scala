@@ -79,6 +79,10 @@ object PlanAudit {
         p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
     check("q_repetition", "repetition ratio is a pure projection (kernel replaced 2 shuffles)")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
+    check("q_doc_profile", "full signal suite = ONE scan, one codegen'd projection, no shuffle")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
+        "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
     spark.stop()
   }
 }

@@ -155,4 +155,41 @@ object TextAnalysis {
     val union = size(a).cast("long") + size(b).cast("long") - inter
     (inter * lit(1000000L) / union).cast("long")
   }
+
+  /** The whole per-document signal suite as ONE projection — at 100 TB the
+    * scan IS the cost, and running the stats / quality / langid /
+    * repetition / fingerprint queries separately reads the corpus five
+    * times for what a single codegen'd pass produces. Every column is an
+    * already-oracle-proven expression (same trees as the per-signal
+    * queries); the plan is a pure map-side projection: no shuffle, no UDF,
+    * scan pruned to (id, text).
+    *
+    * `signatures = true` appends the dedup signature columns (`simhash`,
+    * `minhash_sig`) for pipelines that feed candidate generation from the
+    * same scan — xxhash64-based, so NOT SQL-oracle-expressible (spec-backed
+    * instead; the declared `q_doc_profile` keeps `signatures = false`).
+    *
+    * Null-text rows keep their id with every signal column null (the
+    * kernels are null-propagating), matching a LEFT-join oracle shape —
+    * except `lang_pred`, which falls through to "und" on both engines. */
+  def profile(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+              signatures: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val base = Seq(
+      col(idCol),
+      length(t).cast("long").as("n_chars_calc"),
+      tokenCount(t).as("n_tokens"),
+      bpeTokenCount(t).as("n_tokens_bpe"),
+      punctCount(t).as("n_punct"),
+      qualityScorePpm(t).as("quality_ppm"),
+      langId(t).as("lang_pred"),
+      graft.functions.RepetitionPpm(t, 3).as("rep_ppm"),
+      fingerprint(t).as("fp"),
+      minShingleFingerprint(t, 8).as("shingle_fp"))
+    val sig = if (signatures)
+      Seq(graft.functions.SimHashText(t).as("simhash"),
+          graft.functions.MinHashSig(t, 5, 64).as("minhash_sig"))
+    else Seq.empty
+    docs.select(base ++ sig: _*)
+  }
 }

@@ -147,6 +147,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The full per-doc signal suite in ONE scan (stats + quality + langid
+    // + repetition + fingerprints as a single codegen'd projection) — the
+    // shape a real 100 TB profiling job runs; the per-signal queries above
+    // stay for oracle granularity. No shuffle (PlanAudit-pinned).
+    "q_doc_profile" -> { (s, dir) =>
+      TA.profile(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Exact dedup by content hash.
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
@@ -574,6 +583,50 @@ object TextQueries {
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
         | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Union of the proven per-signal fragments; rep joined LEFT so a
+    // null-text doc keeps its row with null signals (the Spark side is
+    // null-propagating except lang_pred → 'und', mirrored by the CASE).
+    "q_doc_profile" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1)+1),
+        |   i -> text[i:i+2])) AS g
+        | FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |rep AS (
+        | SELECT doc_id,
+        |  (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS rep_ppm
+        | FROM c GROUP BY doc_id),
+        |t AS (
+        | SELECT doc_id, text, ' '||text||' ' AS p,
+        |  CAST(len(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+        | FROM documents),
+        |s AS (
+        | SELECT *,
+        |  (len(p)-len(replace(p,' the ','')))//5 + (len(p)-len(replace(p,' and ','')))//5 + (len(p)-len(replace(p,' of ','')))//4 AS s_en,
+        |  (len(p)-len(replace(p,' der ','')))//5 + (len(p)-len(replace(p,' und ','')))//5 + (len(p)-len(replace(p,' die ','')))//5 AS s_de,
+        |  (len(p)-len(replace(p,' le ','')))//4 + (len(p)-len(replace(p,' et ','')))//4 + (len(p)-len(replace(p,' la ','')))//4 AS s_fr,
+        |  (len(p)-len(replace(p,' el ','')))//4 + (len(p)-len(replace(p,' y ','')))//3 + (len(p)-len(replace(p,' los ','')))//5 AS s_es,
+        |  (len(p)-len(replace(p,' the ','')))//5 + (len(p)-len(replace(p,' and ','')))//5
+        |    + (len(p)-len(replace(p,' of ','')))//4 + (len(p)-len(replace(p,' a ','')))//3 AS stops
+        | FROM t)
+        |SELECT s.doc_id, n_chars_calc, n_tokens, n_tokens_bpe, n_punct,
+        | CAST(floor((least(1.0, CAST(n_chars_calc AS DOUBLE)/500.0)*0.3
+        |   + least(1.0, CAST(stops AS DOUBLE)*10.0/CAST(n_tokens AS DOUBLE))*0.4
+        |   + (1.0 - least(1.0, CAST(n_punct AS DOUBLE)/(CAST(n_chars_calc AS DOUBLE)*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS quality_ppm,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |      WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |      WHEN s_es > 0 THEN 'es'
+        |      ELSE 'und' END AS lang_pred,
+        | rep.rep_ppm,
+        | substr(md5(text), 1, 16) AS fp,
+        | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
+        |FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
