@@ -156,6 +156,57 @@ object TextAnalysis {
     (inter * lit(1000000L) / union).cast("long")
   }
 
+  /** Per-row text normalization — the universal first stage of a
+    * pretraining pipeline: newline canonicalization (CRLF / lone CR → LF),
+    * tabs → spaces, control-character strip (C0 minus LF, plus DEL), space
+    * runs collapsed, and spaces trimmed at line boundaries and string ends.
+    * Pure codegen'd string ops, byte-deterministic → mirrored exactly by
+    * the DuckDB oracle (`regexp_replace` with the same RE2/Java-compatible
+    * patterns). */
+  def normalize(text: Column): Column = {
+    val lfOnly = replace(replace(text, lit("\r\n"), lit("\n")), lit("\r"), lit("\n"))
+    val tabbed = replace(lfOnly, lit("\t"), lit(" "))
+    val noCtrl = regexp_replace(tabbed, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val collapsed = regexp_replace(noCtrl, " +", " ")
+    trim(regexp_replace(collapsed, " *\n *", "\n"), " ")
+  }
+
+  /** Corpus-level cleaning: [[normalize]] every document, split into
+    * lines, drop boilerplate lines — a line is boilerplate when it appears
+    * in more than `maxLineDf` distinct documents (site headers, footers,
+    * nav chrome) — and reassemble the surviving lines in order.
+    *
+    * Scale shape: the line explode is linear in corpus size; the line
+    * document-frequency aggregate has map-side combine; the boilerplate
+    * set (lines with df > threshold) is TINY by construction — Zipf head —
+    * so it broadcast-anti-joins against the line table and the only
+    * corpus-sized shuffle is the per-doc reassembly. Output keeps every
+    * input document (all-boilerplate docs come back as the empty string).
+    *
+    * Returns (idCol, text_clean, n_lines_kept, n_lines_dropped). */
+  def clean(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            maxLineDf: Long): org.apache.spark.sql.DataFrame = {
+    val norm = docs.select(col(idCol), normalize(col(textCol)).as("__t"))
+    val lines = norm.select(col(idCol),
+      posexplode(split(col("__t"), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines.groupBy("__line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxLineDf)
+      .select("__line")
+    val kept = lines.join(broadcast(boiler), Seq("__line"), "left_anti")
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as("__clean"),
+      count(lit(1)).as("__kept"))
+    norm.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("text_clean"),
+        coalesce(col("__kept"), lit(0L)).as("n_lines_kept"),
+        (size(split(col("__t"), "\n")).cast("long")
+          - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
+  }
+
   /** The whole per-document signal suite as ONE projection — at 100 TB the
     * scan IS the cost, and running the stats / quality / langid /
     * repetition / fingerprint queries separately reads the corpus five

@@ -156,6 +156,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus cleaning: normalize (CR/tab/control/space-run handling) then
+    // drop boilerplate lines by line document-frequency. The test corpus
+    // is single-line, so multi-line docs are synthesized IN-QUERY (the
+    // media-header discipline): per-source header + text with a stray
+    // control char + universal footer; header (df=docs/source) and footer
+    // (df=corpus) exceed maxLineDf and must be dropped, the text line
+    // survives. The oracle mirrors the synthesis and derives the cleaned
+    // corpus independently.
+    "q_text_clean" -> { (s, dir) =>
+      val raw = Tables(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("===\t"), col("source"), lit(" ===")),
+          concat(col("text"), lit("\u0001")),
+          lit("Generated by example corpus v1")).as("raw"))
+      TA.clean(raw, "doc_id", "raw", maxLineDf = 20L).orderBy("doc_id")
+    },
+
     // Exact dedup by content hash.
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
@@ -627,6 +644,31 @@ object TextQueries {
         | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
         |FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH raw AS (
+        | SELECT doc_id, '===' || chr(9) || source || ' ===' || chr(10) || text
+        |   || chr(1) || chr(10) || 'Generated by example corpus v1' AS raw
+        | FROM documents),
+        |norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |   replace(replace(replace(raw, chr(13)||chr(10), chr(10)), chr(13), chr(10)), chr(9), ' '),
+        |   '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), ' +', ' ', 'g'), ' *\n *', chr(10), 'g'), ' ') AS t
+        | FROM raw),
+        |lines AS (
+        | SELECT doc_id,
+        |  unnest(string_split(t, chr(10))) AS line,
+        |  unnest(range(1, len(string_split(t, chr(10)))+1)) AS pos
+        | FROM norm),
+        |boiler AS (
+        | SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1) WHERE df > 20),
+        |kept AS (SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, COUNT(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT n.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+        | CAST(len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped
+        |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

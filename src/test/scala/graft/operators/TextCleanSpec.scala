@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Truth tables for the corpus cleaning operators: normalization on
+  * degenerate byte sequences and line-df boilerplate removal semantics. */
+class TextCleanSpec extends SparkTestBase {
+
+  private def norm(s: String): String = {
+    import spark.implicits._
+    Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.normalize(col("t")).as("n"))
+      .collect()(0).getString(0)
+  }
+
+  test("normalize: newline canonicalization, tabs, control chars, space runs") {
+    assert(norm("a\r\nb\rc") == "a\nb\nc")          // CRLF + lone CR → LF
+    assert(norm("a\tb\t\tc") == "a b c")            // tabs → spaces, collapsed
+    assert(norm("a\u0000b\u0001c\u007fd") == "abcd") // C0 + DEL stripped
+    assert(norm("a   b  c") == "a b c")             // space runs collapse
+    assert(norm("  a \n  b  \n c  ") == "a\nb\nc")  // line-edge + end trims
+    assert(norm("") == "")
+    assert(norm("héllo wörld 日本語") == "héllo wörld 日本語") // unicode untouched
+    assert(norm("\u0002\u0003") == "")              // control-only → empty
+  }
+
+  test("clean: drops lines over the df threshold, keeps order, keeps all docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nunique one\nFOOTER"),
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "HEADER\nunique three\nHEADER\nFOOTER"), // dup line in one doc: df counts once
+      (4L, "HEADER\nFOOTER"),                        // all boilerplate → empty
+      (5L, "alpha\nbeta"),                           // nothing boilerplate
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // HEADER df=4, FOOTER df=4 > 2; every other line df=1
+    val out = TextAnalysis.clean(docs, "doc_id", "text", maxLineDf = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) == (("unique one", 1L, 2L)))
+    assert(out(2L) == (("unique two", 1L, 2L)))
+    assert(out(3L) == (("unique three", 1L, 3L))) // both HEADER copies dropped
+    assert(out(4L) == (("", 0L, 2L)))             // all-boilerplate doc kept as row
+    assert(out(5L) == (("alpha\nbeta", 2L, 0L)))
+    assert(out(6L)._1 == "" && out(6L)._2 == 0L)  // null text → empty, no lines
+  }
+
+  test("clean: df threshold is strict (df == maxLineDf survives)") {
+    import spark.implicits._
+    val docs = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
+    val out = TextAnalysis.clean(docs, "doc_id", "text", maxLineDf = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "shared\na", 2L -> "shared\nb"))
+  }
+}
