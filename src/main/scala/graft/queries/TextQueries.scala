@@ -94,20 +94,21 @@ object TextQueries {
     // final budget aggregate. Composability is the point: each stage is an
     // already-oracle-proven operator.
     "q_pipeline_e2e" -> { (s, dir) =>
-      // persisted: the scoring projection is the expensive stage (a large
-      // codegen'd method over many string ops) and BOTH sides of the
-      // keep-join consume it — cache it once instead of compiling and
-      // computing it twice. The cache lives for the session (it is in the
-      // lazy output's lineage, so it cannot be released here); it holds
-      // one slim row per doc, and repeated invocations reuse the same
-      // CacheManager entry rather than stacking copies.
+      // eagerly checkpointed: the scoring projection is the expensive
+      // stage (a large codegen'd method over many string ops) and BOTH
+      // sides of the keep-join consume it — compute it once. A local
+      // checkpoint (the connectedComponents discipline) owns its blocks
+      // and frees them with the reference, unlike the previous persist(),
+      // which pinned a corpus-sized cache entry for the whole session
+      // because the lazy output's lineage held it. On a cluster swap for
+      // checkpoint() to survive executor loss.
       val scored = Tables(s, dir, "documents").select(
         col("doc_id"),
         TA.qualityScorePpm(col("text")).as("q"),
         TA.langId(col("text")).as("lang_pred"),
         TA.bpeTokenCount(col("text")).as("n_tokens"),
         md5(col("text").cast("binary")).as("digest"))
-        .persist()
+        .localCheckpoint(true)
       val filtered = scored.filter(col("q") >= 400000L && col("lang_pred") =!= "und")
       val keep = filtered.groupBy("digest").agg(min("doc_id").as("doc_id"))
       val kept = filtered.join(keep, Seq("digest", "doc_id"))

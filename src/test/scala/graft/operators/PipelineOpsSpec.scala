@@ -78,6 +78,20 @@ class PipelineOpsSpec extends SparkTestBase {
       "connectedComponents must release every DataFrame it persists")
   }
 
+  test("q_pipeline_e2e leaves no entry in the SQL cache manager") {
+    // The scored projection is handed off as an eager localCheckpoint, not
+    // a persist(): repeated invocations must not pin a corpus-sized cache
+    // entry for the session.
+    spark.sharedState.cacheManager.clearCache()
+    for (_ <- 1 to 2) {
+      val rows = graft.SparkEntry.queries("q_pipeline_e2e")(
+        spark, "/root/testdata/sf0.001").collect()
+      assert(rows.nonEmpty)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q_pipeline_e2e must not register with the cache manager")
+  }
+
   test("connectedComponents: pointer jumping converges on a 64-node chain well under maxIter") {
     import spark.implicits._
     // plain neighbor-min needs O(diameter)=63 rounds here; path halving
