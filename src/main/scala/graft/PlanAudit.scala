@@ -83,6 +83,9 @@ object PlanAudit {
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    check("q_canonical_url", "canonicalization is a pure projection: no shuffle, no UDF")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
+        p.contains("ReadSchema: struct<doc_id:bigint>"))
     check("q_text_clean", "boilerplate set broadcast; line drop is an anti-join, no nested loop")(p =>
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&

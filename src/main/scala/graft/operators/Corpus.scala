@@ -25,6 +25,41 @@ object Corpus {
   def idBucket(id: Column, buckets: Int): Column =
     pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(buckets.toLong))
 
+  /** Canonical form of a URL for dedup keying — web corpora dedup by
+    * canonical URL before any content signal. Rules, applied in order:
+    *
+    *  1. fragment stripped (`#...`);
+    *  2. `scheme://host[:port]` prefix lowercased (path/query case kept —
+    *     paths are case-sensitive per RFC 3986, hosts are not);
+    *  3. leading `www.` dropped from the host;
+    *  4. default ports dropped (`:80` for http, `:443` for https);
+    *  5. tracking query params removed (`utm_*`, `gclid`, `fbclid`),
+    *     including separator repair and a now-empty `?` dropped.
+    *
+    * Pure codegen'd string ops; every regex is RE2-safe (anchors, classes,
+    * alternation — no lookaround), so the DuckDB oracle reproduces the
+    * chain exactly. Deliberately NOT done: percent-escape normalization,
+    * path dot-segment resolution, trailing-slash folding — those require
+    * an escape-aware parser and change semantics on real sites. Strings
+    * without a `scheme://` prefix pass through rules 1 and 5 only. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lowercase the scheme://host[:port] prefix, keep the rest verbatim
+    val prefix = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(prefix),
+      substring(noFrag, length(prefix) + lit(1), length(noFrag)))
+    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    val tracker = "(utm_[a-z0-9]+|gclid|fbclid)"
+    val noMid = regexp_replace(noPort, s"&$tracker=[^&#]*", "")
+    val noLead = regexp_replace(
+      regexp_replace(noMid, s"\\?$tracker=[^&#]*&", "?"),
+      s"\\?$tracker=[^&#]*$$", "")
+    regexp_replace(noLead, "\\?$", "")
+  }
+
   /** Reproducible train/val/test assignment by id bucket (permille
     * fractions). A doc's split NEVER changes as the corpus grows —
     * appending data cannot move old docs across splits (the property

@@ -188,22 +188,61 @@ object TextQueries {
     // components by Dedup.connectedComponents (pointer-jumping min-label,
     // O(log n) rounds). component = min doc_id of the cluster (the doc a
     // keep-one dedup pass retains); singletons are their own component.
+    // URL canonicalization — the dedup key web corpora apply before any
+    // content signal. The test corpus has no URL column, so URLs are
+    // synthesized IN-QUERY (media-header discipline) with a rotating flaw
+    // per doc (case, www, default port, tracking params, fragment); the
+    // oracle derives the expected canonical form per variant DIRECTLY —
+    // any canonicalization bug hash-mismatches.
+    "q_canonical_url" -> { (s, dir) =>
+      val id = col("doc_id")
+      val url = when(pmod(id, lit(5)) === 0,
+          concat(lit("https://example.org/p/"), id, lit("?q="), id))
+        .when(pmod(id, lit(5)) === 1,
+          concat(lit("HTTPS://WWW.EXAMPLE.ORG/p/"), id, lit("?q="), id))
+        .when(pmod(id, lit(5)) === 2,
+          concat(lit("http://example.org:80/p/"), id, lit("?utm_source=feed&q="), id))
+        .when(pmod(id, lit(5)) === 3,
+          concat(lit("https://example.org:443/p/"), id, lit("?q="), id, lit("&utm_medium=rss#sec")))
+        .otherwise(
+          concat(lit("https://example.org/p/"), id, lit("?utm_a=1&gclid=x")))
+      Tables(s, dir, "documents")
+        .select(id, url.as("url"))
+        .select(id, col("url"), Corpus.canonicalUrl(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    },
+
     "q_dedup_cluster" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      // persisted: both star() calls and their root aggregations reuse the
+      // persisted: the star() calls and their root aggregations reuse the
       // signature pass (the min-shingle md5 sweep) instead of recomputing
-      // it four times
+      // it six times
+      val id = col("doc_id")
+      // third signal: canonical URL (synthesized in-query — docs with
+      // id%10 in {0,1} share a page behind different surface flaws, so the
+      // canonicalizer must collapse them for the oracle's closure to
+      // match; the other 80% get unique URLs, the realistic shape — a URL
+      // signal that pairs the WHOLE corpus would flood CC with synthetic
+      // components and time nothing real)
+      val pid = (id / 10).cast("long")
+      val url = when(pmod(id, lit(10)) === 0,
+          concat(lit("https://example.org/p/"), pid))
+        .when(pmod(id, lit(10)) === 1,
+          concat(lit("HTTPS://WWW.EXAMPLE.ORG:443/p/"), pid,
+            lit("?utm_source=feed&utm_medium=rss#sec")))
+        .otherwise(concat(lit("https://example.org/u/"), id))
       val sig = d.select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("s_text"),
-        TA.minShingleFingerprint(col("text"), 8).as("s_shingle"))
+        TA.minShingleFingerprint(col("text"), 8).as("s_shingle"),
+        Corpus.canonicalUrl(url).as("s_url"))
         .persist()
       def star(c: String) = {
         val roots = sig.groupBy(col(c)).agg(min("doc_id").as("root"))
         sig.join(roots, c).filter(col("doc_id") =!= col("root"))
           .select(col("doc_id").as("src"), col("root").as("dst"))
       }
-      val edges = star("s_text").union(star("s_shingle"))
+      val edges = star("s_text").union(star("s_shingle")).union(star("s_url"))
       // connectedComponents materializes its labels eagerly (lineage is
       // truncated per round), so the signature cache is consumed by the
       // time it returns — release it before assembling the output
@@ -675,18 +714,40 @@ object TextQueries {
       """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // synthesis mirrored; expected canonical derived DIRECTLY per variant
+    "q_canonical_url" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 5 AS INT)
+        |  WHEN 0 THEN 'https://example.org/p/' || doc_id || '?q=' || doc_id
+        |  WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.ORG/p/' || doc_id || '?q=' || doc_id
+        |  WHEN 2 THEN 'http://example.org:80/p/' || doc_id || '?utm_source=feed&q=' || doc_id
+        |  WHEN 3 THEN 'https://example.org:443/p/' || doc_id || '?q=' || doc_id || '&utm_medium=rss#sec'
+        |  ELSE 'https://example.org/p/' || doc_id || '?utm_a=1&gclid=x' END AS url,
+        | CASE CAST(doc_id % 5 AS INT)
+        |  WHEN 2 THEN 'http://example.org/p/' || doc_id || '?q=' || doc_id
+        |  WHEN 4 THEN 'https://example.org/p/' || doc_id
+        |  ELSE 'https://example.org/p/' || doc_id || '?q=' || doc_id END AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // oracle derives s_url DIRECTLY from the page id (docs 2k/2k+1 share a
+    // canonical URL) — independent of the Spark-side canonicalizer chain
     "q_dedup_cluster" ->
       """WITH RECURSIVE sig AS (
         | SELECT doc_id, md5(text) AS s_text,
         |  list_min(list_transform(range(1, greatest(len(text)-7, 1)+1),
-        |    i -> md5(text[i:i+7]))) AS s_shingle
+        |    i -> md5(text[i:i+7]))) AS s_shingle,
+        |  CASE WHEN doc_id % 10 <= 1 THEN 'https://example.org/p/' || (doc_id // 10)
+        |       ELSE 'https://example.org/u/' || doc_id END AS s_url
         | FROM documents),
         |e1 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_text) AS dst FROM sig),
         |e2 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_shingle) AS dst FROM sig),
+        |e3 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_url) AS dst FROM sig),
         |edges AS (
         | SELECT src, dst FROM e1 WHERE src <> dst
         | UNION
-        | SELECT src, dst FROM e2 WHERE src <> dst),
+        | SELECT src, dst FROM e2 WHERE src <> dst
+        | UNION
+        | SELECT src, dst FROM e3 WHERE src <> dst),
         |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
         |reach AS (
         | SELECT src, dst FROM bi
