@@ -11,18 +11,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * single-pass projections. */
 object TextKernels {
 
+  /** Above this many chars a row routes to the offset-sort fallback: the
+    * hash-map path costs ~80 B of untracked task heap per DISTINCT gram
+    * (map node + boxed count + UTF8String slice), so a pathological
+    * multi-hundred-MB document would allocate tens of GB; the sort path
+    * is exact too and linear-small (~8 B/char). 8M chars ≈ 640 MB map
+    * worst-case — every real document stays on the fast path. */
+  val RepetitionMapMaxChars: Int = 8000000
+
   /** Repetition ratio: occurrences of the most repeated k-char shingle
     * over all shingle occurrences, floor-scaled to ppm. Replaces an
     * explode + two shuffled hash aggregates with one per-row pass — the
     * result is identical (counts per gram → max; total = shingle count)
     * and the two corpus-wide shuffles disappear from the plan.
     *
-    * Memory bound: O(distinct grams) per row, untracked task heap — fine
-    * for bounded documents; corpora with pathological multi-hundred-MB
-    * docs should use `TextAnalysis.repetitionPpmDistributed`, which
-    * shards one doc's grams across partitions and can spill. */
-  def repetitionPpm(text: UTF8String, k: Int): Long = {
-    val n = math.max(text.numChars() - k + 1, 1)
+    * Heap bound holds BY CONSTRUCTION: rows longer than `maxMapChars`
+    * fall back to [[repetitionPpmSorted]] (identical result, ~8 B/char),
+    * so no document can blow the task heap through the gram map. The
+    * explode-shaped `TextAnalysis.repetitionPpmDistributed` remains for
+    * corpora where even 8×(text size) per row is too much. */
+  def repetitionPpm(text: UTF8String, k: Int, maxMapChars: Int): Long = {
+    val nChars = text.numChars()
+    if (nChars > maxMapChars) return repetitionPpmSorted(text, k)
+    val n = math.max(nChars - k + 1, 1)
     val counts = new java.util.HashMap[UTF8String, Integer]()
     var maxC = 0
     var i = 1
@@ -32,6 +43,97 @@ object TextKernels {
       val c = if (prev == null) 1 else prev + 1
       counts.put(s, c)
       if (c > maxC) maxC = c
+      i += 1
+    }
+    maxC.toLong * 1000000L / n
+  }
+
+  /** Exact repetition ratio via offset sort — the memory-light fallback
+    * for oversized rows: instead of a per-gram hash map, sort the gram
+    * START POSITIONS by gram bytes (3-way quicksort, so the degenerate
+    * all-grams-equal spam case partitions in one pass instead of
+    * quadratically) and take the longest equal run. Allocates two int
+    * arrays (~8 B/char) regardless of gram distinctness. */
+  def repetitionPpmSorted(text: UTF8String, k: Int): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes()
+    val nChars = text.numChars()
+    val n = math.max(nChars - k + 1, 1)
+    // char index -> byte offset (nChars+1 entries, last = nBytes)
+    val charOff = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nBytes) {
+      charOff(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
+      ci += 1
+    }
+    charOff(nChars) = nBytes
+    // gram i (0-based) spans bytes [charOff(i), charOff(min(i+k, nChars)))
+    @inline def gramStart(g: Int): Int = charOff(g)
+    @inline def gramEnd(g: Int): Int = charOff(math.min(g + k, nChars))
+    // byte-lexicographic order (any total order works — equal grams just
+    // need to be adjacent after the sort)
+    def cmp(a: Int, b: Int): Int = {
+      var ia = gramStart(a); val ea = gramEnd(a)
+      var ib = gramStart(b); val eb = gramEnd(b)
+      while (ia < ea && ib < eb) {
+        val ba = org.apache.spark.unsafe.Platform.getByte(base, off + ia) & 0xff
+        val bb = org.apache.spark.unsafe.Platform.getByte(base, off + ib) & 0xff
+        if (ba != bb) return ba - bb
+        ia += 1; ib += 1
+      }
+      (ea - gramStart(a)) - (eb - gramStart(b))
+    }
+    val idx = new Array[Int](n)
+    var i = 0
+    while (i < n) { idx(i) = i; i += 1 }
+    // iterative 3-way quicksort (explicit stack — no recursion depth risk)
+    val stack = new java.util.ArrayDeque[Int]()
+    stack.push(0); stack.push(n - 1)
+    while (!stack.isEmpty) {
+      val hi = stack.pop(); val lo = stack.pop()
+      if (lo < hi) {
+        if (hi - lo < 12) {
+          // insertion sort for small ranges
+          var a = lo + 1
+          while (a <= hi) {
+            val v = idx(a); var b = a - 1
+            while (b >= lo && cmp(idx(b), v) > 0) { idx(b + 1) = idx(b); b -= 1 }
+            idx(b + 1) = v; a += 1
+          }
+        } else {
+          // median-of-3 pivot, Dutch-flag partition
+          val mid = lo + (hi - lo) / 2
+          val pivot =
+            if (cmp(idx(lo), idx(mid)) <= 0) {
+              if (cmp(idx(mid), idx(hi)) <= 0) idx(mid)
+              else if (cmp(idx(lo), idx(hi)) <= 0) idx(hi) else idx(lo)
+            } else {
+              if (cmp(idx(lo), idx(hi)) <= 0) idx(lo)
+              else if (cmp(idx(mid), idx(hi)) <= 0) idx(hi) else idx(mid)
+            }
+          var lt = lo; var gt = hi; var p = lo
+          while (p <= gt) {
+            val c = cmp(idx(p), pivot)
+            if (c < 0) { val t = idx(lt); idx(lt) = idx(p); idx(p) = t; lt += 1; p += 1 }
+            else if (c > 0) { val t = idx(gt); idx(gt) = idx(p); idx(p) = t; gt -= 1 }
+            else p += 1
+          }
+          stack.push(lo); stack.push(lt - 1)
+          stack.push(gt + 1); stack.push(hi)
+        }
+      }
+    }
+    // longest equal run = max gram count
+    var maxC = 1
+    var run = 1
+    i = 1
+    while (i < n) {
+      if (cmp(idx(i - 1), idx(i)) == 0) { run += 1; if (run > maxC) maxC = run }
+      else run = 1
       i += 1
     }
     maxC.toLong * 1000000L / n
@@ -141,20 +243,23 @@ object MinShingleMd5 {
 }
 
 /** `repetition_ppm(text)` → `long` (k baked into the plan). */
-case class RepetitionPpm(child: Expression, k: Int)
+case class RepetitionPpm(child: Expression, k: Int,
+    maxMapChars: Int = TextKernels.RepetitionMapMaxChars)
   extends UnaryExpression with ExpectsInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
+  require(maxMapChars >= 0, s"maxMapChars must be non-negative, got $maxMapChars")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "repetition_ppm"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextKernels.repetitionPpm(input.asInstanceOf[UTF8String], k)
+    TextKernels.repetitionPpm(input.asInstanceOf[UTF8String], k, maxMapChars)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionPpm($c, $k)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.repetitionPpm($c, $k, $maxMapChars)")
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionPpm =
     copy(child = newChild)
@@ -164,6 +269,10 @@ object RepetitionPpm {
   /** Column wrapper. */
   def apply(text: Column, k: Int): Column =
     ColumnBridge.column(RepetitionPpm(ColumnBridge.expression(text), k))
+
+  /** Column wrapper with an explicit map-path cap (tests; opt-in tuning). */
+  def apply(text: Column, k: Int, maxMapChars: Int): Column =
+    ColumnBridge.column(RepetitionPpm(ColumnBridge.expression(text), k, maxMapChars))
 }
 
 /** `simhash_text(text)` → `long`: fused tokenize + hash + vote. */

@@ -41,10 +41,15 @@ object TextAnalysis {
     // exchanges (result-identical, TextKernelsSpec). Null-text rows are
     // dropped EXPLICITLY (the old explode shape emitted a spurious
     // rep_ppm=1000000 for them — the NULL gram was counted); ids are
-    // expected unique (per-doc operator). Per-row memory is
-    // O(distinct grams) — for corpora with pathological multi-hundred-MB
-    // documents use repetitionPpmDistributed, which spreads one doc's
-    // grams across partitions and can spill.
+    // expected unique (per-doc operator). The per-row heap bound holds by
+    // construction INSIDE the kernel: rows over
+    // [[graft.functions.TextKernels.RepetitionMapMaxChars]] fall back to
+    // an exact offset-sort (~8 B/char instead of ~80 B/distinct-gram), so
+    // the operator stays a single scan + projection — a threshold UNION
+    // to the distributed variant was measured 2.5-3x slower warm purely
+    // from the second corpus scan its runtime-empty branch plans.
+    // [[repetitionPpmDistributed]] remains for corpora where even
+    // 8×(row size) per task is too much.
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         graft.functions.RepetitionPpm(col(textCol), k).as("rep_ppm"))

@@ -63,6 +63,43 @@ class TextKernelsSpec extends SparkTestBase {
     assert(!fast.contains(99L)) // null text keeps the old dropped-row contract
   }
 
+  test("oversized rows fall back to the offset-sort path with identical results " +
+    "(heap bound holds by construction)") {
+    import spark.implicits._
+    val docs = (corpus.toSeq :+
+      (50L, "spam spam spam " * 40) :+            // degenerate repetition
+      (51L, (1 to 500).mkString(" ")) :+          // mostly-distinct grams
+      (52L, "日本語テキスト" * 100))                // multi-byte, repeated
+      .toDF("doc", "text")
+    for (k <- Seq(3, 8)) {
+      // maxMapChars = 0 forces EVERY row onto the sorted fallback
+      val sorted = docs.select(col("doc"), RepetitionPpm(col("text"), k, 0).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mapped = docs.select(col("doc"), RepetitionPpm(col("text"), k).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sorted == mapped, s"k=$k")
+    }
+    // direct kernel check on the edges the DataFrame above can't carry
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(TextKernels.repetitionPpmSorted(u(""), 3)
+      == TextKernels.repetitionPpm(u(""), 3, Int.MaxValue))
+    assert(TextKernels.repetitionPpmSorted(u("ab"), 3)
+      == TextKernels.repetitionPpm(u("ab"), 3, Int.MaxValue))
+  }
+
+  test("offset-sort path equals the map path on random unicode strings") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab日х €\n"
+    for (trial <- 1 to 200) {
+      val s = (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val k = 1 + rnd.nextInt(6)
+      assert(TextKernels.repetitionPpmSorted(u(s), k)
+        == TextKernels.repetitionPpm(u(s), k, Int.MaxValue),
+        s"trial=$trial k=$k s=${s.take(40)}")
+    }
+  }
+
   test("MinShingleMd5 kernel equals array_min(transform(md5)) bit-for-bit") {
     import spark.implicits._
     def reference(text: Column, k: Int): Column =
