@@ -88,6 +88,16 @@ class StreamBatchParitySpec extends SparkTestBase {
       "UnloadParitySmoke reported a stream/batch unload mismatch")
   }
 
+  test("LLM-pipeline parity: incremental exact dedup through KeyFlowTws equals " +
+    "batch Dedup.exact (q_dedup_exact semantics, forked)") {
+    // the smoke replays sf0.001 documents (plus synthetic re-crawls so
+    // digest groups of size > 1 exist) through KeyFlowTws keyed by content
+    // digest, folding (count, min id) across 4 microbatches with a replay
+    // overlap, and diffs final states against the declared batch operator
+    assert(forkSmoke("graft.streaming.DedupParitySmoke") == 0,
+      "DedupParitySmoke reported a stream/batch dedup mismatch")
+  }
+
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
