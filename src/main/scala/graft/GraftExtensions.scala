@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AudioMeta, FloatDotProduct, ImageMeta, MinHashSig, PackedShingleSet, PositionalEqCount, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
+import graft.functions.{AudioMeta, BpeTokenCountExpr, FloatDotProduct, ImageMeta, MinHashSig, PackedShingleSet, PositionalEqCount, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "repetition_ppm(text, k)")
         RepetitionPpm(exprs.head, intLit(exprs(1), "k"))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCountExpr].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "bpe_token_count(text)")
+        BpeTokenCountExpr(exprs.head)
+      }))
   }
 }
 
@@ -169,7 +176,8 @@ object ExtensionsSmoke {
         |  size(minhash_sig('abcdef', 3, 16)) AS ms,
         |  shingle_set('abab', 2) AS ss,
         |  size(packed_shingle_set('abab', 2)) AS ps,
-        |  repetition_ppm('aaaa', 3) AS rp
+        |  repetition_ppm('aaaa', 3) AS rp,
+        |  bpe_token_count('the query') AS bp
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
       // two identical tokens vote every bit of their hash twice → the
@@ -177,7 +185,8 @@ object ExtensionsSmoke {
       kern.getLong(2) == kern.getLong(3) &&
       kern.getInt(4) == 16 &&
       kern.getSeq[String](5) == Seq("ab", "ba") && kern.getInt(6) == 2 &&
-      kern.getLong(7) == 1000000L
+      kern.getLong(7) == 1000000L &&
+      kern.getLong(8) == 2L // "the"→1, "query"→1 (BpeTokenCountSpec traces)
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk

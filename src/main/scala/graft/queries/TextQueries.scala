@@ -157,6 +157,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TRUE BPE token accounting (classic lowest-rank merge loop over the
+    // BpeFixture table) next to the regex heuristic — what a real
+    // tokenizer would bill per doc vs the approximation the budget
+    // queries use. Rows-only: the data-dependent merge iteration is not
+    // SQL-expressible (BpeTokenCountSpec carries the algorithmic truth
+    // via an independent reference implementation).
+    "q_bpe_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.BpeTokenCount(col("text")).as("n_tokens_bpe_true"),
+        TA.bpeTokenCount(col("text")).as("n_tokens_bpe_approx"))
+        .orderBy("doc_id")
+    },
+
     // Corpus cleaning: normalize (CR/tab/control/space-run handling) then
     // drop boilerplate lines by line document-frequency. The test corpus
     // is single-line, so multi-line docs are synthesized IN-QUERY (the
