@@ -251,10 +251,15 @@ object TextQueries {
         TA.minShingleFingerprint(col("text"), 8).as("s_shingle"),
         Corpus.canonicalUrl(url).as("s_url"))
         .persist()
+      // star edges via a window min — one shuffle per signal and NO join
+      // back (the former groupBy-roots + equi-join shape paid the same
+      // shuffle plus a join per signal; window A/B'd faster, and it is
+      // the oracle's own formulation)
       def star(c: String) = {
-        val roots = sig.groupBy(col(c)).agg(min("doc_id").as("root"))
-        sig.join(roots, c).filter(col("doc_id") =!= col("root"))
-          .select(col("doc_id").as("src"), col("root").as("dst"))
+        import org.apache.spark.sql.expressions.Window
+        sig.select(col("doc_id").as("src"),
+            min("doc_id").over(Window.partitionBy(col(c))).as("dst"))
+          .filter(col("src") =!= col("dst"))
       }
       val edges = star("s_text").union(star("s_shingle")).union(star("s_url"))
       // connectedComponents materializes its labels eagerly (lineage is
