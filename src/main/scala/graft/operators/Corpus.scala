@@ -36,24 +36,39 @@ object Corpus {
     *  5. tracking query params removed (`utm_*`, `gclid`, `fbclid`),
     *     including separator repair and a now-empty `?` dropped.
     *
+    * Userinfo (`user:pass@`) is case-sensitive per RFC 3986 and passes
+    * through verbatim; the www/port rules apply to the host part alone.
+    *
     * Pure codegen'd string ops; every regex is RE2-safe (anchors, classes,
-    * alternation — no lookaround), so the DuckDB oracle reproduces the
-    * chain exactly. Deliberately NOT done: percent-escape normalization,
-    * path dot-segment resolution, trailing-slash folding — those require
-    * an escape-aware parser and change semantics on real sites. Strings
-    * without a `scheme://` prefix pass through rules 1 and 5 only. */
+    * alternation — no lookaround), so a SQL engine can mirror the chain
+    * (the declared oracle goes further and derives expected canonicals
+    * independently per flaw variant). Deliberately NOT done:
+    * percent-escape normalization, path dot-segment resolution,
+    * trailing-slash folding — those require an escape-aware parser and
+    * change semantics on real sites. Strings without a `scheme://` prefix
+    * pass through rules 1 and 5 only. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
-    // lowercase the scheme://host[:port] prefix, keep the rest verbatim
-    val prefix = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
-    val lowered = concat(lower(prefix),
-      substring(noFrag, length(prefix) + lit(1), length(noFrag)))
-    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
-    val noPort = regexp_replace(
-      regexp_replace(noWww, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
-      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    // decompose the authority: userinfo is CASE-SENSITIVE per RFC 3986
+    // and must pass through verbatim — only scheme and host[:port]
+    // lowercase, and the default-port / www rules apply to the host
+    // part alone (an authority-wide regex would stop at the userinfo
+    // colon in "u:p@host:80" and miss the port)
+    val scheme = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val authority = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val userinfo = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)", 1)
+    val hostport = substring(authority, length(userinfo) + lit(1), length(authority))
+    val schemeL = lower(scheme)
+    val hostNoWww = regexp_replace(lower(hostport), "^www\\.", "")
+    val hostNoPort = when(schemeL === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .when(schemeL === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .otherwise(hostNoWww)
+    val rest = substring(noFrag,
+      length(scheme) + lit(3) + length(authority) + lit(1), length(noFrag))
+    val rebuilt = when(schemeL === "", noFrag) // not scheme://… — pass through
+      .otherwise(concat(schemeL, lit("://"), userinfo, hostNoPort, rest))
     val tracker = "(utm_[a-z0-9]+|gclid|fbclid)"
-    val noMid = regexp_replace(noPort, s"&$tracker=[^&#]*", "")
+    val noMid = regexp_replace(rebuilt, s"&$tracker=[^&#]*", "")
     val noLead = regexp_replace(
       regexp_replace(noMid, s"\\?$tracker=[^&#]*&", "?"),
       s"\\?$tracker=[^&#]*$$", "")

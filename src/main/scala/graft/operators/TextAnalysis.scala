@@ -191,7 +191,15 @@ object TextAnalysis {
     * Returns (idCol, text_clean, n_lines_kept, n_lines_dropped). */
   def clean(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
             maxLineDf: Long): org.apache.spark.sql.DataFrame = {
+    // ONE corpus scan: the normalized projection feeds three consumers
+    // (the line-df aggregate, the anti-join's line table, and the final
+    // keep-every-doc left join), so materialize it eagerly — the
+    // connectedComponents / q_pipeline_e2e checkpoint discipline (owns
+    // its blocks, frees them with the reference; swap for checkpoint()
+    // on a cluster). Without it each consumer re-runs the regex-heavy
+    // normalize over the full corpus.
     val norm = docs.select(col(idCol), normalize(col(textCol)).as("__t"))
+      .localCheckpoint(true)
     val lines = norm.select(col(idCol),
       posexplode(split(col("__t"), "\n")).as(Seq("__pos", "__line")))
     val boiler = lines.groupBy("__line")

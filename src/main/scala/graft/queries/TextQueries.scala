@@ -181,9 +181,12 @@ object TextQueries {
     // corpus independently.
     "q_text_clean" -> { (s, dir) =>
       val raw = Tables(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n",
-          concat(lit("===\t"), col("source"), lit(" ===")),
-          concat(col("text"), lit("\u0001")),
+        // concat (not concat_ws): a null text must nullify the whole raw
+        // doc, matching the oracle's || chain — concat_ws would silently
+        // skip the null line and diverge on any corpus with null texts
+        concat(
+          lit("===\t"), col("source"), lit(" ===\n"),
+          col("text"), lit("\u0001\n"),
           lit("Generated by example corpus v1")).as("raw"))
       TA.clean(raw, "doc_id", "raw", maxLineDf = 20L).orderBy("doc_id")
     },
@@ -253,11 +256,15 @@ object TextQueries {
         .persist()
       // star edges via a window min — one shuffle per signal and NO join
       // back (the former groupBy-roots + equi-join shape paid the same
-      // shuffle plus a join per signal; window A/B'd faster, and it is
-      // the oracle's own formulation)
+      // shuffle plus a join per signal; window A/B'd a wash, kept for the
+      // simpler plan that matches the oracle's formulation). NULL
+      // signatures contribute NO edges: a window partition would lump all
+      // NULLs together and dedup docs of UNKNOWN content (the old join
+      // shape dropped null keys by SQL equality — keep that semantics).
       def star(c: String) = {
         import org.apache.spark.sql.expressions.Window
-        sig.select(col("doc_id").as("src"),
+        sig.filter(col(c).isNotNull)
+          .select(col("doc_id").as("src"),
             min("doc_id").over(Window.partitionBy(col(c))).as("dst"))
           .filter(col("src") =!= col("dst"))
       }
@@ -758,9 +765,9 @@ object TextQueries {
         |  CASE WHEN doc_id % 10 <= 1 THEN 'https://example.org/p/' || (doc_id // 10)
         |       ELSE 'https://example.org/u/' || doc_id END AS s_url
         | FROM documents),
-        |e1 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_text) AS dst FROM sig),
-        |e2 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_shingle) AS dst FROM sig),
-        |e3 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_url) AS dst FROM sig),
+        |e1 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_text) AS dst FROM sig WHERE s_text IS NOT NULL),
+        |e2 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_shingle) AS dst FROM sig WHERE s_shingle IS NOT NULL),
+        |e3 AS (SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY s_url) AS dst FROM sig WHERE s_url IS NOT NULL),
         |edges AS (
         | SELECT src, dst FROM e1 WHERE src <> dst
         | UNION

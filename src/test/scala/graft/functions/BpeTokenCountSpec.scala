@@ -32,7 +32,10 @@ class BpeTokenCountSpec extends SparkTestBase {
   }
   private def refCount(text: String): Long =
     "[a-z]+|[0-9]+|[^a-z0-9 ]".r.findAllIn(text).map { tok =>
-      if (tok.head >= 'a' && tok.head <= 'z') refBpeSymbols(tok).toLong else 1L
+      if (tok.head >= 'a' && tok.head <= 'z')
+        // mirror the kernel's heap-bound chunking of oversized runs
+        tok.grouped(BpeTokenCount.MaxRunChars).map(refBpeSymbols(_).toLong).sum
+      else 1L
     }.sum
 
   test("hand-derived merge traces") {
@@ -75,6 +78,17 @@ class BpeTokenCountSpec extends SparkTestBase {
     samples.foreach { s =>
       assert(BpeTokenCount.count(u(s)) == refCount(s), s"text=$s")
     }
+  }
+
+  test("oversized letter runs chunk deterministically (heap bound by construction)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // 6000-char run: chunk 1 = 4096 chars, chunk 2 = 1904; merges never
+    // span the boundary, and the count equals the chunked reference
+    val run = "the" * 2000
+    assert(BpeTokenCount.count(u(run)) == refCount(run))
+    // uniform run (no ranked pairs): count is exactly the char count
+    val flat = "z" * 10000
+    assert(BpeTokenCount.count(u(flat)) == 10000L)
   }
 
   test("hand check: fell") {

@@ -46,6 +46,16 @@ class CanonicalUrlSpec extends SparkTestBase {
       == "https://example.org/p/7")
   }
 
+  test("userinfo passes through verbatim; host rules still apply after it") {
+    // userinfo is case-sensitive (RFC 3986) — never lowercased
+    assert(canon("https://Alice@Example.ORG/x") == "https://Alice@example.org/x")
+    // default port and www are host rules and fire despite the userinfo colon
+    assert(canon("http://u:p@example.org:80/x") == "http://u:p@example.org/x")
+    assert(canon("https://U:P@WWW.Example.ORG:443/x?gclid=1") == "https://U:P@example.org/x")
+    // non-default port after userinfo kept
+    assert(canon("http://u:p@example.org:8080/x") == "http://u:p@example.org:8080/x")
+  }
+
   test("non-URL strings pass through (minus fragment/tracker rules)") {
     assert(canon("not a url") == "not a url")
     assert(canon("") == "")
