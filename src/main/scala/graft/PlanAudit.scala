@@ -83,6 +83,9 @@ object PlanAudit {
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    check("q_pii_redact", "PII redaction is a pure chained-regex projection: no shuffle, no UDF")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
+        p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
     check("q_bpe_tokens", "true-BPE counting is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_token_count"))

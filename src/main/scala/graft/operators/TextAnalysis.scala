@@ -220,6 +220,38 @@ object TextAnalysis {
           - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
   }
 
+  /** PII patterns for [[redactPii]]/[[piiCounts]] — deliberately simple,
+    * deterministic, RE2-safe regexes (no lookaround, no backrefs) of the
+    * kind every public pretraining pipeline ships as its first privacy
+    * pass: emails, IPv4 literals, and international-ish phone numbers.
+    * Order is most-specific-first and matters: emails redact before
+    * anything touches their digit runs, and IPv4 before phones — a dotted
+    * quad is a subset of the phone pattern and would otherwise be
+    * swallowed as <PHONE>. */
+  private[operators] val PiiRules: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\[\\] .-]{6,}[0-9]", "<PHONE>"))
+
+  /** Redact PII spans with typed placeholder tokens — the privacy pass a
+    * training corpus runs before anything else ships. Pure codegen'd
+    * chained `regexp_replace` (one scan, no shuffle); the same patterns
+    * evaluate identically under RE2, so the oracle mirrors the chain. */
+  def redactPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (_, pat, tok)) => regexp_replace(c, pat, tok) }
+
+  /** Per-rule PII hit counts (after upstream rules redact — same order as
+    * [[redactPii]], so counts reflect what redaction would remove). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val redactedUpTo = PiiRules.scanLeft(text) {
+      case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    PiiRules.zip(redactedUpTo).map { case ((name, pat, _), pre) =>
+      name -> size(regexp_extract_all(pre, lit(pat), lit(0))).cast("long")
+    }
+  }
+
   /** The whole per-document signal suite as ONE projection — at 100 TB the
     * scan IS the cost, and running the stats / quality / langid /
     * repetition / fingerprint queries separately reads the corpus five

@@ -157,6 +157,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // PII redaction — the privacy pass a training corpus runs first. The
+    // test corpus carries no PII, so an email + phone + IPv4 are
+    // synthesized IN-QUERY from doc_id (media-header discipline), then
+    // redacted by the chained rules; the oracle mirrors synthesis and the
+    // RE2-identical regex chain, and the typed hit counts must see
+    // exactly one of each.
+    "q_pii_redact" -> { (s, dir) =>
+      val id = col("doc_id")
+      val raw = concat(
+        lit("reach user"), id, lit("@mail.example.com or +1 (555) 01"),
+        lpad(pmod(id, lit(100)).cast("string"), 2, "0"),
+        lit("-4242 via 10.0."), pmod(id, lit(256)).cast("string"),
+        lit(".7 :: "), col("text"))
+      val base = Tables(s, dir, "documents").select(id, raw.as("raw"))
+      val counts = TA.piiCounts(col("raw")).map { case (n, c) => c.as(s"n_$n") }
+      base.select(
+        Seq(id, TA.redactPii(col("raw")).as("text_redacted")) ++ counts: _*)
+        .orderBy("doc_id")
+    },
+
     // TRUE BPE token accounting (classic lowest-rank merge loop over the
     // BpeFixture table) next to the regex heuristic — what a real
     // tokenizer would bill per doc vs the approximation the budget
@@ -710,6 +730,25 @@ object TextQueries {
         | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
         |FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // mirrors the synthesis and the RE2-identical redaction chain; counts
+    // are taken on the text as each rule sees it (post-upstream-redaction)
+    "q_pii_redact" ->
+      """WITH raw AS (
+        | SELECT doc_id, 'reach user' || doc_id || '@mail.example.com or +1 (555) 01'
+        |   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4242 via 10.0.'
+        |   || (doc_id % 256) || '.7 :: ' || text AS raw
+        | FROM documents),
+        |r1 AS (SELECT doc_id, raw,
+        |  regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM raw),
+        |r2 AS (SELECT doc_id, raw, t1,
+        |  regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2 FROM r1)
+        |SELECT doc_id,
+        | regexp_replace(t2, '\+?[0-9][0-9()\[\] .-]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+        | CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        | CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\[\] .-]{6,}[0-9]')) AS BIGINT) AS n_phone
+        |FROM r2 ORDER BY doc_id""".stripMargin,
 
     "q_text_clean" ->
       """WITH raw AS (

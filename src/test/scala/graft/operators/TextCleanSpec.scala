@@ -47,6 +47,29 @@ class TextCleanSpec extends SparkTestBase {
     assert(out(6L)._1 == "" && out(6L)._2 == 0L)  // null text → empty, no lines
   }
 
+  test("redactPii: typed placeholders, rule order, count semantics") {
+    import spark.implicits._
+    def redact(s: String): (String, Long, Long, Long) = {
+      val counts = TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) }
+      val r = Seq(Tuple1(s)).toDF("t")
+        .select(Seq(TextAnalysis.redactPii(col("t")).as("r")) ++ counts: _*)
+        .collect()(0)
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(redact("mail bob.smith+x@sub.example.co.uk now")
+      == (("mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(redact("call +44 (0)20 7946-0958 today")
+      == (("call <PHONE> today", 0L, 0L, 1L)))
+    // a dotted quad is phone-shaped too — the IPv4 rule must win
+    assert(redact("host 192.168.10.250 up")
+      == (("host <IP> up", 0L, 1L, 0L)))
+    assert(redact("a@b.io 1.2.3.4 5551234567")
+      == (("<EMAIL> <IP> <PHONE>", 1L, 1L, 1L)))
+    // short digit runs are not phones; bare words untouched
+    assert(redact("room 404 on floor 12") == (("room 404 on floor 12", 0L, 0L, 0L)))
+    assert(redact("no pii here") == (("no pii here", 0L, 0L, 0L)))
+  }
+
   test("clean: df threshold is strict (df == maxLineDf survives)") {
     import spark.implicits._
     val docs = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
