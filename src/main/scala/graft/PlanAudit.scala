@@ -83,6 +83,9 @@ object PlanAudit {
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    check("q_keyword_search", "retrieval = slim tf projection + broadcast df row + bounded top-k")(p =>
+      p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct") &&
+        !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
     check("q_pii_redact", "PII redaction is a pure chained-regex projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))

@@ -252,6 +252,43 @@ object TextAnalysis {
     }
   }
 
+  /** Keyword relevance search: score every document against a fixed term
+    * set and return the top k — the retrieval building block (dataset
+    * curation "find me docs about X", eval-set mining). Weighting is
+    * tf × reciprocal document frequency, integer-exact:
+    * `w(t) = (N · 10^6) div df(t)`, `score(d) = Σ_t tf(t,d) · w(t)` —
+    * the log-free cousin of tf-idf chosen deliberately so the SQL oracle
+    * reproduces every bit (ln() differs across libms; integer division
+    * does not). tf is the space-padded non-overlapping occurrence count
+    * ([[occurrences]] — the same oracle-proven primitive langid uses).
+    *
+    * Shape at 100 TB: per-doc tfs are ONE codegen'd projection (slim:
+    * id + one long per term, eagerly checkpointed — the df aggregate and
+    * the scorer both consume it); df/N reduce to a single broadcast row;
+    * the top k is a TakeOrderedAndProject, never a global sort. */
+  def keywordSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      occurrences(col(textCol), t).as(s"__tf$i")
+    }
+    val tf = docs.select(Seq(col(idCol)) ++ tfCols: _*).localCheckpoint(true)
+    val dfAgg = tf.agg(
+      count(lit(1)).as("__n"),
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val scored = tf.crossJoin(broadcast(dfAgg))
+    // df can be 0 when a term misses the whole corpus: its weight is then
+    // irrelevant (every tf is 0) — guard the division anyway. SQL `div`
+    // is true integer division (exact on both engines, unlike `/`).
+    val score = expr(terms.indices
+      .map(i => s"__tf$i * ((__n * 1000000L) div greatest(__df$i, 1L))")
+      .mkString(" + "))
+    scored.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The whole per-document signal suite as ONE projection — at 100 TB the
     * scan IS the cost, and running the stats / quality / langid /
     * repetition / fingerprint queries separately reads the corpus five

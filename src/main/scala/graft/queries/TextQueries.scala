@@ -157,6 +157,14 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Keyword relevance retrieval: top-20 docs for a 3-term query under
+    // integer-exact tf × reciprocal-df weighting (log-free tf-idf so the
+    // oracle agrees bit-for-bit); deterministic tiebreak on doc_id.
+    "q_keyword_search" -> { (s, dir) =>
+      TA.keywordSearch(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("query", "table", "stream"), k = 20)
+    },
+
     // PII redaction — the privacy pass a training corpus runs first. The
     // test corpus carries no PII, so an email + phone + IPv4 are
     // synthesized IN-QUERY from doc_id (media-header discipline), then
@@ -730,6 +738,28 @@ object TextQueries {
         | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
         |FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // same space-padded occurrence primitive as langid; reciprocal-df
+    // weights and the top-20 cut are pure integer arithmetic
+    "q_keyword_search" ->
+      """WITH tf AS (
+        | SELECT doc_id,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' query ', ''))) // 7 AS tf0,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' table ', ''))) // 7 AS tf1,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' stream ', ''))) // 8 AS tf2
+        | FROM documents),
+        |d AS (
+        | SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        | FROM tf)
+        |SELECT doc_id,
+        | CAST(tf0 * ((n * 1000000) // greatest(df0, 1))
+        |    + tf1 * ((n * 1000000) // greatest(df1, 1))
+        |    + tf2 * ((n * 1000000) // greatest(df2, 1)) AS BIGINT) AS score
+        |FROM tf, d
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // mirrors the synthesis and the RE2-identical redaction chain; counts
     // are taken on the text as each rule sees it (post-upstream-redaction)
