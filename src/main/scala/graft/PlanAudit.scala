@@ -83,6 +83,9 @@ object PlanAudit {
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    check("q_mix_apply", "weights broadcast to the corpus; shuffles only on the source aggregates")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3 && !p.contains("ScalaUDF"))
     check("q_keyword_search", "retrieval = slim tf projection + broadcast df row + bounded top-k")(p =>
       p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct") &&
         !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))

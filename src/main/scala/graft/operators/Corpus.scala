@@ -25,6 +25,24 @@ object Corpus {
   def idBucket(id: Column, buckets: Int): Column =
     pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(buckets.toLong))
 
+  /** Apply [[uniformMixWeights]]-style sampling weights to the corpus:
+    * per document, the integer number of copies a weighted epoch would
+    * train on — `floor(w/10^6)` whole epochs plus one more iff the doc's
+    * id-hash bucket falls under the fractional remainder. Deterministic
+    * and append-stable (same Knuth id-hash as [[withSplit]]): a doc's
+    * multiplicity never changes as the corpus grows, downsampling
+    * (w < 10^6) keeps exactly the hash-selected fraction with
+    * `n_copies = 1`, upsampling repeats docs. Callers filter
+    * `n_copies > 0` for the sampled corpus; all arithmetic is integer
+    * (oracle-exact). The weights side is per-group tiny — broadcast. */
+  def applyMixWeights(docs: DataFrame, idCol: String, groupCol: String,
+                      weights: DataFrame, weightCol: String = "weight_ppm"): DataFrame =
+    docs.join(broadcast(weights.select(col(groupCol), col(weightCol))), groupCol)
+      .withColumn("n_copies",
+        expr(s"$weightCol div 1000000L") +
+          when(idBucket(col(idCol), 1000000) < pmod(col(weightCol), lit(1000000L)), lit(1L))
+            .otherwise(lit(0L)))
+
   /** Canonical form of a URL for dedup keying — web corpora dedup by
     * canonical URL before any content signal. Rules, applied in order:
     *

@@ -128,6 +128,27 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Applying the mix weights: per-source doc multiplicities under the
+    // uniform-token-budget weights (floor epochs + hash-fraction extra
+    // copy — deterministic, append-stable) and the resulting token
+    // budget. Closes the loop q_mix_weights opens: weights are not a
+    // report, they are a sampling plan, and this is the plan applied.
+    "q_mix_apply" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.bpeTokenCount(col("text")).as("n_tokens"))
+      val weights = Corpus.uniformMixWeights(
+        d.groupBy("source").agg(sum("n_tokens").as("n_tokens")),
+        "source", "n_tokens")
+      Corpus.applyMixWeights(d, "doc_id", "source", weights)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_copies") > 0, 1L).otherwise(0L)).as("n_kept"),
+          sum("n_copies").as("total_copies"),
+          sum(col("n_tokens") * col("n_copies")).as("tokens_out"))
+        .orderBy("source")
+    },
+
     // Eval-set decontamination: distinct 8-gram overlap of every train doc
     // (source <> src0) against the src0 "benchmark" corpus; eval grams
     // broadcast, train side never shuffles text.
@@ -738,6 +759,39 @@ object TextQueries {
         | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
         |FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // weights CTE identical to q_mix_weights' proven oracle; multiplicity
+    // = floor epochs + Knuth-hash fractional copy (same hash as the
+    // corpus-split oracle)
+    "q_mix_apply" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n FROM s),
+        |w AS (
+        | SELECT source,
+        |  CAST(CASE WHEN ((total // n) // greatest(n_tokens, 1)) > 1000 THEN 1000000000
+        |   ELSE least(
+        |    ((total // n) // greatest(n_tokens, 1)) * 1000000
+        |     + (CASE WHEN greatest(n_tokens, 1) > 9223372036854
+        |        THEN ((((total // n) % greatest(n_tokens, 1)) // 1048576) * 1000000)
+        |             // (greatest(n_tokens, 1) // 1048576)
+        |        ELSE (((total // n) % greatest(n_tokens, 1)) * 1000000) // greatest(n_tokens, 1) END),
+        |    1000000000) END AS BIGINT) AS weight_ppm
+        | FROM s, t),
+        |m AS (
+        | SELECT d.doc_id, d.source, d.n_tokens,
+        |  CAST(w.weight_ppm // 1000000 +
+        |   CASE WHEN (d.doc_id % 2147483648 * 2654435761) % 1000000 < w.weight_ppm % 1000000
+        |        THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        | FROM d JOIN w USING (source))
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(n_copies) AS BIGINT) AS total_copies,
+        | CAST(SUM(n_tokens * n_copies) AS BIGINT) AS tokens_out
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same space-padded occurrence primitive as langid; reciprocal-df
     // weights and the top-20 cut are pure integer arithmetic

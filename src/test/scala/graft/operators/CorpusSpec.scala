@@ -91,6 +91,35 @@ class CorpusSpec extends SparkTestBase {
     assert(b("y") == 500250L)     // floor(1000*1e6/1999), un-shifted path
   }
 
+  test("applyMixWeights: floor epochs + hash-fraction copy, deterministic, append-stable") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, if (i < 500) "down" else "up"))
+      .toDF("doc_id", "src")
+    val weights = Seq(("down", 400000L), ("up", 2500000L)).toDF("src", "weight_ppm")
+    val out = Corpus.applyMixWeights(docs, "doc_id", "src", weights)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    // downsampled group: copies in {0, 1}, roughly 40% kept (hash-exact)
+    val downCopies = (0L until 500L).map(out)
+    assert(downCopies.forall(c => c == 0L || c == 1L))
+    val kept = downCopies.count(_ == 1L)
+    assert(kept > 120 && kept < 280, s"kept=$kept of 500 at weight 0.4")
+    // upsampled group: 2 or 3 copies (2.5x), never dropped
+    val upCopies = (500L until 1000L).map(out)
+    assert(upCopies.forall(c => c == 2L || c == 3L))
+    // exact hash semantics: copy iff bucket < remainder (spot-check against
+    // the published formula)
+    def bucket(id: Long): Long = (id % 2147483648L * 2654435761L) % 1000000L
+    (0L until 500L).foreach { id =>
+      assert(out(id) == (if (bucket(id) < 400000L) 1L else 0L), s"id=$id")
+    }
+    // append-stable: the same doc keeps its multiplicity in a bigger corpus
+    val more = (0L until 2000L).map(i => (i, if (i < 500) "down" else "up"))
+      .toDF("doc_id", "src")
+    val out2 = Corpus.applyMixWeights(more, "doc_id", "src", weights)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    (0L until 1000L).foreach(id => assert(out2(id) == out(id)))
+  }
+
   test("contamination: shared shingles counted, clean docs absent, eval broadcast") {
     import spark.implicits._
     val eval = Seq((100L, "abcdefghij")).toDF("doc_id", "text") // 8-grams: abcdefgh, bcdefghi, cdefghij
