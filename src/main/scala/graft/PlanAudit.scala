@@ -102,6 +102,16 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_chunk_docs", "chunking = one generator projection, no shuffle, no UDF")(p =>
+      p.contains("Generate explode") && !"Exchange hashpartitioning".r.findAllIn(p).hasNext &&
+        !p.contains("ScalaUDF") && "FileScan parquet".r.findAllIn(p).size == 1)
+    check("q_stratified_sample", "sample = one window shuffle on the group key")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 && !p.contains("ScalaUDF"))
+    check("q_quality_filter", "rank + group count share ONE window shuffle")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 && !p.contains("ScalaUDF"))
+    check("q_dedup_incremental", "incremental dedup = key equi-joins only, never nested-loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("LeftAnti") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

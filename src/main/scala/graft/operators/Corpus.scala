@@ -93,6 +93,72 @@ object Corpus {
     regexp_replace(noLead, "\\?$", "")
   }
 
+  /** Sliding-window document chunking for fixed-context training: windows
+    * of `chunkChars` characters, one starting every `chunkChars −
+    * overlapChars` characters (the stride), so consecutive chunks share
+    * `overlapChars` of context and no character is ever lost (the last
+    * window may run short). Emits one row per (doc, chunk) with
+    * `chunk_id`, `n_chunks`, and `chunk_text`; `n_chunks` is carried so
+    * downstream packing can budget without re-aggregating. Shape at
+    * scale: a pure per-row generator — no shuffle, output inflation
+    * bounded by chunk/stride. NULL texts produce no rows (nothing to
+    * chunk); an empty string is one empty chunk (a degenerate doc still
+    * survives the pass). All arithmetic integer — oracle-exact. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(chunkChars > 0 && overlapChars >= 0 && overlapChars < chunkChars,
+      "need 0 <= overlapChars < chunkChars")
+    val stride = chunkChars - overlapChars
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("n_chunks", expr(
+        s"""CAST(CASE WHEN length($textCol) <= $chunkChars THEN 1
+           | ELSE 1 + (length($textCol) - $chunkChars + ${stride - 1}) div $stride
+           | END AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk_text",
+        expr(s"substring($textCol, CAST(chunk_id * $stride AS INT) + 1, $chunkChars)"))
+  }
+
+  /** Deterministic stratified sample: up to `n` docs per group, chosen by
+    * ranking the group on (Knuth id-hash, id) and keeping the first `n`.
+    * The hash order makes the pick uniform over the group yet fully
+    * reproducible on any engine (same id-hash as [[withSplit]]); the id
+    * tie-break makes it total. Unlike the hash-FRACTION samplers
+    * ([[withSplit]], [[applyMixWeights]]) a fixed-COUNT sample cannot be
+    * append-stable — a new doc that hashes lower displaces the old rank-n
+    * pick by definition. One shuffle (the per-group window sort); for
+    * tiny n over huge groups the sort is the cost — acceptable because
+    * sampling runs once per corpus snapshot, not per query. */
+  def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
+                       n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(idBucket(col(idCol), 1000000).asc, col(idCol).asc)
+    docs.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Keep the best `keepPpm`/10⁶ fraction of each group by score: rank
+    * within the group on (score DESC, id ASC — a total, engine-agnostic
+    * order) and keep rank ≤ floor(group_size · keepPpm / 10⁶). The
+    * quantile-filter every quality-gated corpus needs when an absolute
+    * threshold would starve weak sources: each group keeps its own top
+    * fraction. Integer arithmetic throughout (exact for groups up to
+    * ~9.2e12 rows); both windows share one hash shuffle on the group.
+    * NULL scores rank behind every non-null score on BOTH engines only
+    * if filtered by the caller — filter them out upstream (Spark DESC
+    * and SQL DESC disagree on null placement across dialects). */
+  def quantileFilter(df: DataFrame, groupCol: String, scoreCol: String,
+                     idCol: String, keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm must be in [0, 1e6]")
+    val part = Window.partitionBy(groupCol)
+    val ranked = part.orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(ranked).cast("long"))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("__rank") <= expr(s"(__n * ${keepPpm}L) div 1000000L"))
+      .drop("__rank", "__n")
+  }
+
   /** Reproducible train/val/test assignment by id bucket (permille
     * fractions). A doc's split NEVER changes as the corpus grows —
     * appending data cannot move old docs across splits (the property

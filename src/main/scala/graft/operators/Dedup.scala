@@ -20,6 +20,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental (cross-corpus) exact dedup by an arbitrary content key —
+    * the web-crawl shape: yesterday's index is `seen`, today's batch
+    * dedups first within itself (keep the min id per key) and then
+    * against everything already ingested (anti-join on the key). The key
+    * is whatever content identity the pipeline dedups on: an md5 digest,
+    * a canonical URL ([[Corpus.canonicalUrl]]), or a near-dup fingerprint
+    * ([[TextAnalysis.minShingleFingerprint]]). NULL keys are dropped on
+    * both sides — unknown content must not dedup against other unknowns
+    * (same policy as the cluster star edges). Shape at scale: every step
+    * is a hash equi-join on the key; the seen side reduces to DISTINCT
+    * keys before joining (slim, but corpus-sized — deliberately NOT
+    * broadcast; at 100 TB the seen-key table is itself TBs and the
+    * anti-join must shuffle both sides on the key). */
+  def exactAgainst(batch: DataFrame, seen: DataFrame,
+                   idCol: String, keyCol: String): DataFrame = {
+    val b = batch.filter(col(keyCol).isNotNull)
+    val keep = b.groupBy(keyCol).agg(min(col(idCol)).as(idCol))
+    b.join(keep, Seq(keyCol, idCol))
+      .join(seen.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+  }
+
   /** Skew guard for bucket self-joins: drop rows whose bucket key holds
     * more than `cap` members. A bucket of size m emits m(m−1)/2 candidate
     * pairs, so one pathologically common band value (boilerplate text, a

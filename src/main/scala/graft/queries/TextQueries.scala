@@ -149,6 +149,57 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Sliding-window chunking: 128-char windows every 96 chars (32-char
+    // overlap). One generator projection — no shuffle; chunk identity
+    // verified by md5 so the oracle checks CONTENT, not just counts.
+    "q_chunk_docs" -> { (s, dir) =>
+      Corpus.chunkDocs(Tables(s, dir, "documents"), "doc_id", "text", 128, 32)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
+          length(col("chunk_text")).cast("long").as("chunk_chars"),
+          md5(col("chunk_text").cast("binary")).as("digest"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Deterministic stratified sample: 10 docs per source in id-hash
+    // order — uniform over the group yet engine-reproducible.
+    "q_stratified_sample" -> { (s, dir) =>
+      Corpus.stratifiedSample(
+          Tables(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", 10)
+        .orderBy("doc_id")
+    },
+
+    // Per-source quality-quantile gate: each source keeps its own top
+    // half by quality score (rank ties broken by doc_id — total order on
+    // both engines), so a weak source is thinned, not starved.
+    "q_quality_filter" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TA.qualityScorePpm(col("text")).as("quality_ppm"))
+      Corpus.quantileFilter(scored, "source", "quality_ppm", "doc_id", 500000L)
+        .orderBy("doc_id")
+    },
+
+    // Incremental (cross-corpus) dedup: src0-src4 play the already-
+    // ingested corpus; the rest is today's batch, deduped first within
+    // itself (keep-min per key) and then against the seen keys by
+    // anti-join. Key = the min-shingle near-dup fingerprint (dup-dense
+    // on this corpus: most batch fingerprints collide with a seen doc).
+    "q_dedup_incremental" -> { (s, dir) =>
+      val sig = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TA.minShingleFingerprint(col("text"), 8).as("fp"))
+      val seenSrc = (0 to 4).map("src" + _)
+      Dedup.exactAgainst(
+          sig.filter(!col("source").isin(seenSrc: _*)),
+          sig.filter(col("source").isin(seenSrc: _*)),
+          "doc_id", "fp")
+        .select(col("doc_id"), col("source"), col("fp"))
+        .orderBy("doc_id")
+    },
+
     // Eval-set decontamination: distinct 8-gram overlap of every train doc
     // (source <> src0) against the src0 "benchmark" corpus; eval grams
     // broadcast, train side never shuffles text.
@@ -792,6 +843,80 @@ object TextQueries {
         | CAST(SUM(n_copies) AS BIGINT) AS total_copies,
         | CAST(SUM(n_tokens * n_copies) AS BIGINT) AS tokens_out
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stride arithmetic mirrored exactly; md5 verifies chunk CONTENT
+    // (substring semantics are 1-based char-counted on both engines)
+    "q_chunk_docs" ->
+      """WITH d AS (
+        | SELECT doc_id, text, len(text) AS l FROM documents WHERE text IS NOT NULL),
+        |n AS (
+        | SELECT doc_id, text,
+        |  CAST(CASE WHEN l <= 128 THEN 1 ELSE 1 + (l - 128 + 95) // 96 END AS BIGINT) AS n_chunks
+        | FROM d),
+        |c AS (
+        | SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS chunk_id, text FROM n)
+        |SELECT doc_id, chunk_id, n_chunks,
+        | CAST(len(substring(text, CAST(chunk_id * 96 + 1 AS INT), 128)) AS BIGINT) AS chunk_chars,
+        | md5(substring(text, CAST(chunk_id * 96 + 1 AS INT), 128)) AS digest
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same Knuth id-hash as the corpus-split oracle; ROW_NUMBER's order
+    // is total (hash, then id), so the cut is deterministic
+    "q_stratified_sample" ->
+      """WITH r AS (
+        | SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |   ORDER BY (doc_id % 2147483648 * 2654435761) % 1000000, doc_id) AS sample_rank
+        | FROM documents)
+        |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin,
+
+    // quality CTE identical to q_quality's proven oracle (plus source);
+    // the gate keeps rank <= floor(n * keep_ppm / 1e6) per source
+    "q_quality_filter" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' a ', ''))) // 3 AS DOUBLE) AS stops,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+        | FROM documents WHERE text IS NOT NULL),
+        |q AS (
+        | SELECT doc_id, source,
+        |  CAST(floor((least(1.0, chars/500.0)*0.3
+        |   + least(1.0, stops*10.0/tokens)*0.4
+        |   + (1.0 - least(1.0, punct/(chars*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS quality_ppm
+        | FROM t),
+        |r AS (
+        | SELECT doc_id, source, quality_ppm,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_ppm DESC, doc_id) AS rnk,
+        |  COUNT(*) OVER (PARTITION BY source) AS n
+        | FROM q)
+        |SELECT doc_id, source, quality_ppm
+        |FROM r WHERE rnk <= (n * 500000) // 1000000 ORDER BY doc_id""".stripMargin,
+
+    // fingerprint CTE identical to the cluster oracle's s_shingle; the
+    // incremental rule is keep-min within the batch, then NOT IN seen
+    "q_dedup_incremental" ->
+      """WITH sig AS (
+        | SELECT doc_id, source,
+        |  list_min(list_transform(range(1, greatest(len(text)-7, 1)+1),
+        |    i -> md5(text[i:i+7]))) AS fp
+        | FROM documents WHERE text IS NOT NULL),
+        |seen AS (
+        | SELECT DISTINCT fp FROM sig
+        | WHERE source IN ('src0','src1','src2','src3','src4') AND fp IS NOT NULL),
+        |b AS (
+        | SELECT doc_id, source, fp FROM sig
+        | WHERE source NOT IN ('src0','src1','src2','src3','src4') AND fp IS NOT NULL),
+        |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.source, b.fp
+        |FROM b JOIN k USING (fp, doc_id)
+        |WHERE b.fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // same space-padded occurrence primitive as langid; reciprocal-df
     // weights and the top-20 cut are pure integer arithmetic

@@ -120,6 +120,59 @@ class CorpusSpec extends SparkTestBase {
     (0L until 1000L).foreach(id => assert(out2(id) == out(id)))
   }
 
+  test("chunkDocs: stride boundaries exact, overlap reconstructs, degenerate docs survive") {
+    import spark.implicits._
+    // chunk=5, overlap=2 -> stride=3; len 5 -> 1 chunk, len 6 -> 2, len 8 -> 2,
+    // len 9 -> 3 (starts 0,3,6); empty string -> one empty chunk; null -> no rows
+    val docs = Seq((1L, "abcde"), (2L, "abcdef"), (3L, "abcdefgh"), (4L, "abcdefghi"),
+      (5L, ""), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(docs, "doc_id", "text", 5, 2)
+      .select("doc_id", "chunk_id", "n_chunks", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+    assert(out(1L).map(_._4) == List("abcde"))
+    assert(out(2L).map(_._4) == List("abcde", "def"))
+    assert(out(3L).map(_._4) == List("abcde", "defgh"))
+    assert(out(4L).map(_._4) == List("abcde", "defgh", "ghi"))
+    assert(out(4L).forall(_._3 == 3L))
+    assert(out(5L).map(_._4) == List(""))
+    assert(!out.contains(6L))
+    // every character of the source is covered, in order, by stride slices
+    out(4L).zipWithIndex.foreach { case ((_, cid, _, txt), i) =>
+      assert(cid == i && "abcdefghi".drop(i * 3).take(5) == txt)
+    }
+  }
+
+  test("stratifiedSample: exact hash order, cap honored, small groups kept whole") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, if (i < 280) "big" else "small"))
+      .toDF("doc_id", "grp")
+    val out = Corpus.stratifiedSample(docs, "doc_id", "grp", 20)
+      .select("doc_id", "grp", "sample_rank")
+      .as[(Long, String, Long)].collect()
+    val big = out.filter(_._2 == "big").sortBy(_._3)
+    val small = out.filter(_._2 == "small")
+    assert(big.length == 20 && small.length == 20) // small group kept whole
+    // ranks are 1..n in (hash, id) order — verify against the published formula
+    def bucket(id: Long): Long = (id % 2147483648L * 2654435761L) % 1000000L
+    val expect = (0L until 280L).sortBy(id => (bucket(id), id)).take(20)
+    assert(big.map(_._1).toList == expect.toList)
+  }
+
+  test("quantileFilter: per-group floor cut, ties broken by id, keepPpm edges") {
+    import spark.implicits._
+    // group a: 5 rows, keep 50% -> floor(2.5)=2; scores tie at 9 -> lower id wins
+    // group b: 1 row, keep 50% -> floor(0.5)=0 rows
+    val df = Seq((1L, "a", 9L), (2L, "a", 9L), (3L, "a", 7L), (4L, "a", 5L),
+      (5L, "a", 3L), (6L, "b", 100L)).toDF("id", "grp", "score")
+    val out = Corpus.quantileFilter(df, "grp", "score", "id", 500000L)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+    // keepPpm = 1e6 keeps everything; 0 keeps nothing
+    assert(Corpus.quantileFilter(df, "grp", "score", "id", 1000000L).count() == 6L)
+    assert(Corpus.quantileFilter(df, "grp", "score", "id", 0L).count() == 0L)
+  }
+
   test("contamination: shared shingles counted, clean docs absent, eval broadcast") {
     import spark.implicits._
     val eval = Seq((100L, "abcdefghij")).toDF("doc_id", "text") // 8-grams: abcdefgh, bcdefghi, cdefghij

@@ -20,6 +20,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out == Set((2L, 1L), (1L, 3L))) // (n_docs, keep_id)
   }
 
+  test("exactAgainst: within-batch keep-min, seen keys excluded, null keys dropped") {
+    import spark.implicits._
+    // batch: key A duplicated (keep 10), key B unique, key C collides with
+    // seen, key D duplicated AND seen (both copies must go), null key out
+    val batch = Seq((10L, "A"), (11L, "A"), (12L, "B"), (13L, "C"),
+      (14L, "D"), (15L, "D"), (16L, null.asInstanceOf[String]))
+      .toDF("doc_id", "key")
+    val seen = Seq((1L, "C"), (2L, "D"), (3L, "D"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "key")
+    val out = Dedup.exactAgainst(batch, seen, "doc_id", "key")
+      .select("doc_id", "key").as[(Long, String)].collect().toSet
+    assert(out == Set((10L, "A"), (12L, "B")))
+    // empty seen side degenerates to plain within-batch keep-one
+    val solo = Dedup.exactAgainst(batch, seen.filter(col("doc_id") < 0), "doc_id", "key")
+      .select("doc_id").as[Long].collect().toSet
+    assert(solo == Set(10L, 12L, 13L, 14L))
+  }
+
   test("connectedComponents: chains, merged stars, disjoint clusters") {
     import spark.implicits._
     // chain 1-2-3-4-5 (worst case for plain neighbor-min), triangle
