@@ -35,11 +35,17 @@ object Dedup {
     * anti-join must shuffle both sides on the key). */
   def exactAgainst(batch: DataFrame, seen: DataFrame,
                    idCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // keep-min via a window min, NOT groupBy+join-back: the batch is
+    // consumed ONCE, so an expensive key projection (a fingerprint
+    // kernel) is evaluated once per row — the join-back shape paid the
+    // same shuffle plus a second evaluation of the batch subtree
+    // (measured 3x the fingerprint sweeps on the declared query)
     val b = batch.filter(col(keyCol).isNotNull)
-    val keep = b.groupBy(keyCol).agg(min(col(idCol)).as(idCol))
-    b.join(keep, Seq(keyCol, idCol))
-      .join(seen.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct(),
-        Seq(keyCol), "left_anti")
+      .withColumn("__min", min(col(idCol)).over(Window.partitionBy(keyCol)))
+      .filter(col(idCol) === col("__min")).drop("__min")
+    b.join(seen.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
   }
 
   /** Skew guard for bucket self-joins: drop rows whose bucket key holds
