@@ -102,6 +102,9 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_bm25_search", "BM25 = slim tf/dl projection + broadcast stats row + bounded top-k")(p =>
+      p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct") &&
+        !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
     check("q_chunk_docs", "chunking = one generator projection, no shuffle, no UDF")(p =>
       p.contains("Generate explode") && !"Exchange hashpartitioning".r.findAllIn(p).hasNext &&
         !p.contains("ScalaUDF") && "FileScan parquet".r.findAllIn(p).size == 1)

@@ -289,6 +289,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 retrieval, integer-exact. Classic Okapi shape (Robertson et al.,
+    * public literature) with three deliberate integer re-derivations so
+    * any engine reproduces the ranking bit-for-bit:
+    *
+    *  - the term weight is the same reciprocal-df `(n·10⁶) div df` as
+    *    [[keywordSearch]] (log-IDF needs floats);
+    *  - avgdl is floored once to the integer `A = max(Σdl div n, 1)`;
+    *  - the length normalization `tf·(k1+1) / (tf + k1·(1−b+b·dl/A))` is
+    *    cleared of fractions by multiplying through by `10⁶·A` and floored
+    *    to per-mille:
+    *    `tfnorm_pm = (tf·(1000+k1m)·10⁶·A) div
+    *                 (tf·10⁶·A + k1m·((1000−bm)·A + bm·dl))`
+    *    with k1, b in milli-units. tfnorm_pm < 1000+k1m by construction.
+    *
+    * Overflow bounds (ANSI-safe by analysis, not luck): the numerator
+    * needs `tf·A < 4·10⁹` (docs to ~10⁹ tokens at avg length 10⁴), the
+    * score product `n·(1000+k1m) < 9·10¹⁵` (corpora to ~10¹² docs) —
+    * both far beyond any real retrieval partition.
+    *
+    * Shape at scale: identical to [[keywordSearch]] — one checkpointed
+    * slim (id, tf…, dl) projection, a broadcast one-row stats frame, and
+    * a bounded top-k; the corpus text never shuffles. */
+  def bm25Search(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, terms: Seq[String], k: Int,
+                 k1Milli: Long = 1200L, bMilli: Long = 750L): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000L, "k1 >= 0, b in [0,1]")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      occurrences(col(textCol), t).as(s"__tf$i")
+    }
+    val tf = docs.select(Seq(col(idCol)) ++ tfCols ++
+        Seq(tokenCount(col(textCol)).as("__dl")): _*)
+      .localCheckpoint(true)
+    val dfAgg = tf.agg(
+      count(lit(1)).as("__n"),
+      Seq(sum(col("__dl")).as("__total")) ++ terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val scored = tf.crossJoin(broadcast(dfAgg))
+    val a = "greatest(__total div __n, 1L)" // floored integer avgdl
+    val score = expr(terms.indices.map { i =>
+      val num = s"(__tf$i * ${(1000L + k1Milli) * 1000000L}L * $a)"
+      val den = s"(__tf$i * 1000000L * $a + ${k1Milli}L * " +
+        s"(${1000L - bMilli}L * $a + ${bMilli}L * __dl))"
+      // den = 0 only when tf = 0 (num = 0 too): greatest() keeps ANSI
+      // division happy without changing any real score
+      s"(((__n * 1000000L) div greatest(__df$i, 1L)) * ($num div greatest($den, 1L))) div 1000L"
+    }.mkString(" + "))
+    scored.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The whole per-document signal suite as ONE projection — at 100 TB the
     * scan IS the cost, and running the stats / quality / langid /
     * repetition / fingerprint queries separately reads the corpus five

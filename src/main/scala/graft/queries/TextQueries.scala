@@ -237,6 +237,14 @@ object TextQueries {
         Seq("query", "table", "stream"), k = 20)
     },
 
+    // BM25 retrieval (integer-exact Okapi, k1=1.2 b=0.75): reciprocal-df
+    // term weight × fraction-cleared length normalization — saturating tf
+    // and a length penalty, what q_keyword_search's raw tf·idf lacks.
+    "q_bm25_search" -> { (s, dir) =>
+      TA.bm25Search(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("query", "table", "stream"), k = 20)
+    },
+
     // PII redaction — the privacy pass a training corpus runs first. The
     // test corpus carries no PII, so an email + phone + IPv4 are
     // synthesized IN-QUERY from doc_id (media-header discipline), then
@@ -939,6 +947,33 @@ object TextQueries {
         |    + tf2 * ((n * 1000000) // greatest(df2, 1)) AS BIGINT) AS score
         |FROM tf, d
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the same tf/df building blocks as q_keyword_search; the BM25
+    // normalization is mirrored with every floor division parenthesized
+    // identically (den = 0 only when tf = 0, where the numerator is 0)
+    "q_bm25_search" ->
+      """WITH tf AS (
+        | SELECT doc_id,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' query ', ''))) // 7 AS tf0,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' table ', ''))) // 7 AS tf1,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' stream ', ''))) // 8 AS tf2,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS dl
+        | FROM documents),
+        |d AS (
+        | SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        | FROM tf)
+        |SELECT doc_id, CAST(
+        |   (((n * 1000000) // greatest(df0, 1)) * ((tf0 * 2200000000 * greatest(total // n, 1))
+        |     // greatest(tf0 * 1000000 * greatest(total // n, 1) + 1200 * (250 * greatest(total // n, 1) + 750 * dl), 1))) // 1000
+        | + (((n * 1000000) // greatest(df1, 1)) * ((tf1 * 2200000000 * greatest(total // n, 1))
+        |     // greatest(tf1 * 1000000 * greatest(total // n, 1) + 1200 * (250 * greatest(total // n, 1) + 750 * dl), 1))) // 1000
+        | + (((n * 1000000) // greatest(df2, 1)) * ((tf2 * 2200000000 * greatest(total // n, 1))
+        |     // greatest(tf2 * 1000000 * greatest(total // n, 1) + 1200 * (250 * greatest(total // n, 1) + 750 * dl), 1))) // 1000
+        | AS BIGINT) AS score
+        |FROM tf, d ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // mirrors the synthesis and the RE2-identical redaction chain; counts
     // are taken on the text as each rule sees it (post-upstream-redaction)
