@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AudioMeta, BpeTokenCountExpr, FloatDotProduct, ImageMeta, MinHashSig, PackedShingleSet, PositionalEqCount, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
+import graft.functions.{AudioMeta, BpeTokenCountExpr, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -113,6 +113,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "bpe_token_count(text)")
         BpeTokenCountExpr(exprs.head)
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "quantize_int8(vec)")
+        QuantizeInt8(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("int_dot_product"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "int_dot_product(arrayA, arrayB)")
+        IntDotProduct(exprs(0), exprs(1))
+      }))
   }
 }
 
@@ -177,7 +191,9 @@ object ExtensionsSmoke {
         |  shingle_set('abab', 2) AS ss,
         |  size(packed_shingle_set('abab', 2)) AS ps,
         |  repetition_ppm('aaaa', 3) AS rp,
-        |  bpe_token_count('the query') AS bp
+        |  bpe_token_count('the query') AS bp,
+        |  quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS qz,
+        |  int_dot_product(array(2, -3), array(4, 5)) AS idp
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
       // two identical tokens vote every bit of their hash twice → the
@@ -186,7 +202,9 @@ object ExtensionsSmoke {
       kern.getInt(4) == 16 &&
       kern.getSeq[String](5) == Seq("ab", "ba") && kern.getInt(6) == 2 &&
       kern.getLong(7) == 1000000L &&
-      kern.getLong(8) == 2L // "the"→1, "query"→1 (BpeTokenCountSpec traces)
+      kern.getLong(8) == 2L && // "the"→1, "query"→1 (BpeTokenCountSpec traces)
+      kern.getSeq[Int](9) == Seq(127, -63) && // floor(±x·127 + 0.5)
+      kern.getLong(10) == -7L
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk

@@ -102,6 +102,10 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_ann_quantized", "quantized ANN: broadcast queries, kernel scoring, no corpus shuffle before rank")(p =>
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 1) // the rank window
     check("q_bm25_search", "BM25 = slim tf/dl projection + broadcast stats row + bounded top-k")(p =>
       p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct") &&
         !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))

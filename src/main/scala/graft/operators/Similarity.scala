@@ -39,6 +39,42 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Per-vector symmetric int8 quantization
+    * ([[graft.functions.QuantKernels]]): the slim (id, qvec, qnorm)
+    * projection an ANN index stores — 1/4 the bytes of float32, and the
+    * self-norm is precomputed so pair scoring never re-walks a vector
+    * for its own magnitude. Pure map-side projection, no shuffle. */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qv = graft.functions.QuantizeInt8(col(vecCol))
+    df.select(col(idCol), qv.as("qvec"),
+      graft.functions.IntDotProduct(qv, qv).as("qnorm"))
+  }
+
+  /** Exact top-k over int8-QUANTIZED vectors (self-matches excluded by
+    * id). The scales cancel in cosine, so the score is an INTEGER dot
+    * product (engine-exact, oracle-checkable — unlike float cosine)
+    * divided by the precomputed integer self-norms; only the final two
+    * sqrt/divides touch floating point. Same broadcast shape as
+    * [[bruteForceTopK]], but each pair walks 64 ints instead of 64
+    * floats and the candidate side ships 1/4 the vector bytes. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm")))
+    val scored = quantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("qvec").as("c_qvec"), col("qnorm").as("c_qnorm"))
+      .join(q, col("cand_id") =!= col("qid"))
+      .select(col("qid"), col("cand_id"),
+        graft.functions.IntDotProduct(col("q_qvec"), col("c_qvec")).as("dot"),
+        col("q_qnorm"), col("c_qnorm"))
+      .withColumn("sim", col("dot").cast("double")
+        / sqrt(col("q_qnorm").cast("double")) / sqrt(col("c_qnorm").cast("double")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("cand_id"), col("rnk"), col("dot"), col("sim"))
+  }
+
   /** `planes`-bit random-hyperplane signature. Plane p's component for
     * dimension d is ±1 by the parity of xxhash64(p, d) — deterministic
     * across executors with no materialized plane matrix. Native one-pass

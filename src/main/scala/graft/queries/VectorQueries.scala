@@ -51,6 +51,20 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Exact top-5 over int8-QUANTIZED vectors: the scales cancel in
+    // cosine, so the score's core is an integer dot product — unlike
+    // float cosine, fully oracle-checkable (the quantized values, dots
+    // and norms are engine-exact integers; only the final sqrt/divide
+    // is float, mirrored verbatim). 1/4 the vector bytes at 100 TB.
+    "q_ann_quantized" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("cand_id"), col("rnk"), col("dot"),
+          floor(col("sim") * 1000000).cast("long").as("sim_ppm"))
+        .orderBy("qid", "rnk")
+    },
+
     // Embedding near-duplicate pairs above a cosine threshold via LSH
     // buckets (rows-only; threshold set to this corpus's similarity scale).
     "q_embedding_dedup" -> { (s, dir) =>
@@ -75,6 +89,39 @@ object VectorQueries {
         | SELECT qid, cand_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cand_id) AS rnk, sim
         | FROM pairs)
         |SELECT qid, cand_id, rnk, CAST(floor(sim*1000000) AS BIGINT) AS sim_ppm
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // quantization mirrored exactly: floor(x*127/maxabs + 0.5) per
+    // element (mult before div, the order the kernel uses), integer dot
+    // and norms, then the identical float sqrt/divide chain
+    "q_ann_quantized" ->
+      """WITH ma AS (
+        | SELECT vec_id, embedding,
+        |  coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0) AS m
+        | FROM embeddings),
+        |q8 AS (
+        | SELECT vec_id,
+        |  CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / m + 0.5) AS INT)) END AS qv
+        | FROM ma),
+        |n8 AS (
+        | SELECT vec_id, qv,
+        |  CAST(list_sum(list_transform(list_zip(qv, qv), p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS nrm
+        | FROM q8),
+        |pairs AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+        |  CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot,
+        |  q.nrm AS qn, c.nrm AS cn
+        | FROM n8 q, n8 c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        | SELECT qid, cand_id, dot,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(cn AS DOUBLE)) AS sim
+        | FROM pairs),
+        |ranked AS (
+        | SELECT qid, cand_id, dot, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cand_id) AS rnk
+        | FROM scored)
+        |SELECT qid, cand_id, rnk, dot, CAST(floor(sim*1000000) AS BIGINT) AS sim_ppm
         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
   )
 }
