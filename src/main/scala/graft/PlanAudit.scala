@@ -119,6 +119,23 @@ object PlanAudit {
     check("q_dedup_incremental", "incremental dedup = key equi-joins only, never nested-loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         p.contains("LeftAnti") && !p.contains("ScalaUDF"))
+    check("q_pack_manifest", "manifest = pack window + group agg, two shuffles, no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 2 && !p.contains("ScalaUDF"))
+    check("q_length_histogram", "histogram = one partial-agg shuffle on slim keys")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_embedding_cluster", "semantic clusters join the truncated label table, no nested-loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("Scan ExistingRDD") && !p.contains("ScalaUDF"))
+    check("q_embedding_stats", "per-dim stats = explode + one partial-agg shuffle, no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("Generate posexplode") && p.contains("HashAggregate") &&
+        !p.contains("ScalaUDF"))
+    check("q_tfidf_terms", "tf-idf joins post-agg tables only, no nested-loop over tokens")(p =>
+      !p.contains("CartesianProduct") && !p.contains("ScalaUDF") &&
+        p.contains("Generate explode") &&
+        // the scalar N arrives via a 1-row broadcast, never a shuffled join
+        !p.contains("SortMergeJoin Inner"))
     spark.stop()
   }
 }

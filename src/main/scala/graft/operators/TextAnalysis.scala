@@ -87,6 +87,36 @@ object TextAnalysis {
       .agg(countDistinct(col("__doc")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
 
+  /** Top-k characteristic terms per group by log-free tf·idf: per-group
+    * term frequency × integer reciprocal document frequency
+    * `(N * 1e6) div df` (the q_keyword_search weighting, applied to the
+    * whole vocabulary instead of a fixed keyword list). Tokens shorter
+    * than `minLen` are dropped as noise. Shape at 100 TB: the two
+    * aggregations shuffle exploded tokens (map-side partial combine on
+    * both), then the vocabulary-sized df table joins the
+    * (group, token)-sized tf table — both post-agg, orders of magnitude
+    * smaller than the corpus — and the window ranks within groups. */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String, groupCol: String,
+                    minLen: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("__doc"), col(groupCol),
+        explode(regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0))).as("token"))
+      .filter(length(col("token")) >= minLen)
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val df = toks.groupBy("token").agg(countDistinct(col("__doc")).as("df"))
+    val tf = toks.groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df, "token").crossJoin(n)
+      .select(col(groupCol), col("token"), col("tf"), col("df"),
+        expr("tf * ((__n * 1000000) div df)").as("score_ppm"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(groupCol)
+        .orderBy(col("score_ppm").desc, col("token"))))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col("token"), col("tf"), col("df"),
+        col("score_ppm"))
+  }
+
   /** Non-overlapping occurrences of `word` with space padding. */
   def occurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))

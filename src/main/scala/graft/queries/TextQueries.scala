@@ -67,6 +67,16 @@ object TextQueries {
         .limit(100)
     },
 
+    // Characteristic vocabulary per source — log-free tf·idf (integer
+    // reciprocal-df, the q_keyword_search weighting over the WHOLE vocab)
+    // so the ranking is engine-exact; the report every mix-design pass
+    // reads to see what distinguishes each corpus slice.
+    "q_tfidf_terms" -> { (s, dir) =>
+      TA.tfIdfTopTerms(Tables(s, dir, "documents"), "doc_id", "text",
+        "source", minLen = 3, k = 10)
+        .orderBy("source", "rnk")
+    },
+
     // Reproducible train/val/test split (id-hash buckets: append-stable,
     // engine-independent) — data-budget report per (source, split).
     "q_corpus_split" -> { (s, dir) =>
@@ -85,6 +95,34 @@ object TextQueries {
           TA.bpeTokenCount(col("text")).as("n_tokens"))
       Corpus.packSequences(withTok, "source", "doc_id", "n_tokens", 512L)
         .orderBy("doc_id")
+    },
+
+    // Pack manifest: the contents of each training pack (which docs, how
+    // many tokens) — what the trainer's data loader actually consumes.
+    // Doc identity travels as a zero-padded id list so BOTH engines sort
+    // it identically as strings (no higher-order functions).
+    "q_pack_manifest" -> { (s, dir) =>
+      val withTok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.bpeTokenCount(col("text")).as("n_tokens"))
+      Corpus.packSequences(withTok, "source", "doc_id", "n_tokens", 512L)
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("pack_tokens"),
+          concat_ws(",", sort_array(collect_list(
+            lpad(col("doc_id").cast("string"), 6, "0")))).as("ids"))
+        .orderBy("source", "pack_id")
+    },
+
+    // Char-length histogram per source (floor-of-100 buckets) — the
+    // distribution profile every corpus intake report starts with.
+    "q_length_histogram" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("source"),
+          expr("length(text) div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("source", "bucket")
     },
 
     // The whole preprocessing pass as ONE declarative plan — quality
@@ -679,6 +717,26 @@ object TextQueries {
         |ORDER BY n_occurrences DESC, n_docs DESC, token
         |LIMIT 100""".stripMargin,
 
+    // same tokenizer regex as the Spark side ('[a-z]+' is identical in
+    // Java regex and RE2); every arithmetic step is BIGINT floor division
+    "q_tfidf_terms" ->
+      """WITH t AS (
+        | SELECT doc_id, source, unnest(regexp_extract_all(text, '[a-z]+')) AS token
+        | FROM documents),
+        |f AS (SELECT * FROM t WHERE len(token) >= 3),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM f GROUP BY token),
+        |tf AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM f GROUP BY source, token),
+        |s AS (SELECT source, tf.token AS token, tf, df,
+        |        CAST(tf * ((n * 1000000) // df) AS BIGINT) AS score_ppm
+        |      FROM tf JOIN df USING (token), n),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY score_ppm DESC, token) AS INT) AS rnk FROM s)
+        |SELECT source, rnk, token, tf, df, score_ppm
+        |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+
     "q_corpus_split" ->
       """SELECT source,
         | CASE WHEN (doc_id % 2147483648 * 2654435761) % 1000 < 900 THEN 'train'
@@ -698,6 +756,30 @@ object TextQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
         |   // 512 AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // pack assignment CTE identical to q_pack_sequences' proven oracle;
+    // ids zero-padded so the string sort matches sort_array exactly
+    "q_pack_manifest" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, source, n_tokens,
+        |  CAST((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+        |    // 512 AS BIGINT) AS pack_id
+        | FROM t)
+        |SELECT source, pack_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        | string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0'), ','
+        |   ORDER BY lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS ids
+        |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+
+    "q_length_histogram" ->
+      """SELECT source, len(text) // 100 AS bucket, COUNT(*) AS n_docs,
+        | CAST(SUM(len(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_pipeline_e2e" ->
       """WITH t AS (

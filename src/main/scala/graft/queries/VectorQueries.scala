@@ -74,6 +74,43 @@ object VectorQueries {
           floor(col("sim") * 1000000).cast("long").as("sim_ppm"))
         .orderBy("qid", "cand_id")
     },
+
+    // Semantic-dedup clusters (the public SemDeDup recipe): connected
+    // components over the embedding near-dup pair graph, so a keep-one
+    // pass retains the min vec_id per cluster of semantic duplicates.
+    // Composition of two proven pieces — LSH near-dup pairs (bucketed
+    // equi-join) and the pointer-jumping CC — and the edge list is the
+    // PAIR list, already linear in near-dup density. Rows-only (xxhash64
+    // planes); cluster truth vs brute-force pairs in QuantizationSpec.
+    "q_embedding_cluster" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.3)
+        .select(col("qid").as("src"), col("cand_id").as("dst"))
+      val comp = graft.operators.Dedup.connectedComponents(pairs, "src", "dst")
+      emb.select(col("vec_id"))
+        .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("component"))
+        .orderBy("vec_id")
+    },
+
+    // Embedding-health report: per-(label, dimension) component stats — the
+    // sanity pass run before any ANN index build (collapsed dims, dead
+    // labels, range drift all show up here). Components are floor-scaled to
+    // integer ppm BEFORE aggregation so the sums are order-independent and
+    // engine-exact (float-sum order is not). One shuffle on slim
+    // (label, dim, ppm) triples with map-side partial aggregation.
+    "q_embedding_stats" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("v").cast("double") * 1000000).cast("long").as("ppm"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum("ppm").as("sum_ppm"),
+          min("ppm").as("min_ppm"),
+          max("ppm").as("max_ppm"))
+        .orderBy("label", "dim")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +160,19 @@ object VectorQueries {
         | FROM scored)
         |SELECT qid, cand_id, rnk, dot, CAST(floor(sim*1000000) AS BIGINT) AS sim_ppm
         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // generate_subscripts + unnest expand in lockstep (1-based, matching
+    // pos+1); the float→double widening and *1e6 floor are the identical
+    // IEEE ops on both engines, and all aggregation is over BIGINTs
+    "q_embedding_stats" ->
+      """WITH e AS (
+        | SELECT label,
+        |  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS ppm
+        | FROM embeddings)
+        |SELECT label, dim, COUNT(*) AS n,
+        | CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+        | MIN(ppm) AS min_ppm, MAX(ppm) AS max_ppm
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
   )
 }

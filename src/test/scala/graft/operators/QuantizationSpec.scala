@@ -61,6 +61,31 @@ class QuantizationSpec extends SparkTestBase {
     quant.foreach { case (k, s) => assert(math.abs(s - exact(k)) < 0.03, s"$k") }
   }
 
+  test("semantic-dedup clusters: CC over LSH near-dup pairs recovers the planted clusters") {
+    import spark.implicits._
+    def v(base: Array[Float], eps: Float, d: Int) = {
+      val a = base.clone(); a(d) = a(d) + eps; a
+    }
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, v(e1, 0.01f * i, 3))) ++
+        (10 until 15).map(i => (i.toLong, v(e2, 0.01f * i, 4))) ++
+        Seq((20L, Array.tabulate(8)(i => if (i == 2) 1.0f else 0.0f))) // singleton
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.9)
+      .select(col("qid").as("src"), col("cand_id").as("dst"))
+    val comp = Dedup.connectedComponents(pairs, "src", "dst")
+    val labels = emb.select(col("vec_id"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("component"))
+      .as[(Long, Long)].collect().toMap
+    // each planted cluster collapses to its min id; the singleton stays itself
+    (0L until 5L).foreach(i => assert(labels(i) == 0L, s"vec $i"))
+    (10L until 15L).foreach(i => assert(labels(i) == 10L, s"vec $i"))
+    assert(labels(20L) == 20L)
+  }
+
   test("quantized top-k equals full-precision top-k on separated clusters") {
     import spark.implicits._
     def v(base: Array[Float], eps: Float, d: Int) = {
