@@ -136,6 +136,11 @@ object PlanAudit {
         p.contains("Generate explode") &&
         // the scalar N arrives via a 1-row broadcast, never a shuffled join
         !p.contains("SortMergeJoin Inner"))
+    check("q_url_keep_best", "keep-best rank + crawl count share ONE window shuffle")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 && !p.contains("ScalaUDF"))
+    check("q_fuzzy_contamination", "eval band keys broadcast; train text never joins nested-loop")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

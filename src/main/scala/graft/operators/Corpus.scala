@@ -159,6 +159,24 @@ object Corpus {
       .drop("__rank", "__n")
   }
 
+  /** Keep the single best row per group — max `scoreCol`, ties broken by
+    * min `idCol` — and report the group population as `n_group`. The
+    * keep-best twin of exact dedup's keep-min: re-crawls of one canonical
+    * page (or members of one dedup cluster) collapse to their
+    * highest-quality representative instead of the arbitrary first. Rank
+    * and count share ONE window shuffle (same partition spec). NULL group
+    * keys collapse together per SQL window semantics — pre-filter them
+    * when NULL means "unknown", as the dedup-cluster star pass does. */
+  def keepBest(df: DataFrame, groupCol: String, scoreCol: String,
+               idCol: String): DataFrame = {
+    val part = Window.partitionBy(groupCol)
+    val ranked = part.orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(ranked))
+      .withColumn("n_group", count(lit(1)).over(part))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+  }
+
   /** Reproducible train/val/test assignment by id bucket (permille
     * fractions). A doc's split NEVER changes as the corpus grows —
     * appending data cannot move old docs across splits (the property

@@ -292,6 +292,52 @@ object Dedup {
       .filter(col("est_jacc_ppm") >= minEstPpm)
   }
 
+  /** Cross-corpus fuzzy decontamination: MinHash-LSH candidate join
+    * BETWEEN corpora (train × eval, not a self-join) with the signature
+    * Jaccard estimate — the scale path when [[Corpus.contamination]]'s
+    * exact broadcast-gram check outgrows the eval set. A train doc that
+    * near-duplicates any eval doc is flagged even when no single 8-gram
+    * survives verbatim (paraphrase drift), which exact gram matching
+    * misses.
+    *
+    * Scale shape: the train corpus stays put — signatures are a pure
+    * kernel projection, band keys of the (small by nature) eval side are
+    * BROADCAST to the train band table, and only surviving candidate ids
+    * shuffle for the pair dedup. The eval signature table re-attaches by
+    * broadcast as well, so the one shuffle that touches train-sized data
+    * carries 2 longs per band hit. If an eval set ever outgrows broadcast,
+    * drop the hints and the band join degrades gracefully to sort-merge on
+    * (band, bh).
+    */
+  def minhashContamination(
+      train: DataFrame, trainIdCol: String, trainTextCol: String,
+      eval: DataFrame, evalIdCol: String, evalTextCol: String,
+      k: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minEstPpm: Long = 500000L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val perms = bands * rowsPerBand
+    val tSigs = lshSignatures(train, trainIdCol, trainTextCol, k, perms)
+      .repartition(col("doc"))
+    val eSigs = lshSignatures(eval, evalIdCol, evalTextCol, k, perms)
+    val tBand = dropHotBuckets(
+      lshBanded(tSigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
+    val eBand = lshBanded(eSigs, bands, rowsPerBand)
+    val pairs = tBand.as("l")
+      .join(broadcast(eBand.as("r")),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.doc").as("train_id"), col("r.doc").as("eval_id"))
+      .dropDuplicates("train_id", "eval_id")
+    pairs
+      .join(tSigs.select(col("doc").as("train_id"), col("sig").as("sig1")), "train_id")
+      .join(broadcast(eSigs.select(col("doc").as("eval_id"), col("sig").as("sig2"))), "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        (graft.functions.PositionalEqCount(col("sig1"), col("sig2"))
+          * lit(1000000L) / lit(perms.toLong)).cast("long").as("est_jacc_ppm"))
+      .filter(col("est_jacc_ppm") >= minEstPpm)
+  }
+
   /** Scale-safe exact near-dup: MinHash-LSH candidate generation → EXACT
     * k-shingle Jaccard verification with the codegen'd merge-pass
     * intersect. This is the recommended big-corpus path, replacing blocked

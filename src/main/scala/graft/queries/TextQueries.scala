@@ -375,6 +375,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Keep-best re-crawl selection: docs sharing a canonical URL (the
+    // q_dedup_cluster synthesis — id%10 in {0,1} are two crawls of one
+    // page) collapse to the highest-quality copy, ties to the earliest
+    // id. The keep-BEST twin of exact dedup's keep-min: dedup should
+    // retain the best version, not the arbitrary first.
+    "q_url_keep_best" -> { (s, dir) =>
+      val id = col("doc_id")
+      val pid = (id / 10).cast("long")
+      val url = when(pmod(id, lit(10)) === 0,
+          concat(lit("https://example.org/p/"), pid))
+        .when(pmod(id, lit(10)) === 1,
+          concat(lit("HTTPS://WWW.EXAMPLE.ORG:443/p/"), pid,
+            lit("?utm_source=feed&utm_medium=rss#sec")))
+        .otherwise(concat(lit("https://example.org/u/"), id))
+      val scored = Tables(s, dir, "documents").select(id,
+        Corpus.canonicalUrl(url).as("canonical"),
+        TA.qualityScorePpm(col("text")).as("quality_ppm"))
+      Corpus.keepBest(scored, "canonical", "quality_ppm", "doc_id")
+        .withColumnRenamed("n_group", "n_crawls")
+        .orderBy("doc_id")
+    },
+
+    // Fuzzy eval-set decontamination — the MinHash scale path next to
+    // q_contamination's exact broadcast-gram check: flags train docs that
+    // NEAR-duplicate an eval doc (paraphrase drift) instead of requiring
+    // a verbatim 8-gram. Rows-only (xxhash64 signatures); the estimate
+    // quality is spec-proven against exact Jaccard in PipelineOpsSpec.
+    "q_fuzzy_contamination" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      Dedup.minhashContamination(
+        d.filter(col("source") =!= "src0"), "doc_id", "text",
+        d.filter(col("source") === "src0"), "doc_id", "text",
+        minEstPpm = 500000L)
+        .orderBy("train_id", "eval_id")
+    },
+
     "q_dedup_cluster" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       // persisted: the star() calls and their root aggregations reuse the
@@ -1119,6 +1155,36 @@ object TextQueries {
         |  WHEN 4 THEN 'https://example.org/p/' || doc_id
         |  ELSE 'https://example.org/p/' || doc_id || '?q=' || doc_id END AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // quality CTE = q_quality's proven oracle; canonical derived DIRECTLY
+    // from the page id (independent of the canonicalizer chain); rank and
+    // count windows share the partition exactly as keepBest does
+    "q_url_keep_best" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' a ', ''))) // 3 AS DOUBLE) AS stops,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 10 <= 1 THEN 'https://example.org/p/' || (doc_id // 10)
+        |       ELSE 'https://example.org/u/' || doc_id END AS canonical,
+        |  CAST(floor((least(1.0, chars/500.0)*0.3
+        |    + least(1.0, stops*10.0/tokens)*0.4
+        |    + (1.0 - least(1.0, punct/(chars*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS quality_ppm
+        | FROM t),
+        |r AS (
+        | SELECT doc_id, canonical, quality_ppm,
+        |  ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY quality_ppm DESC, doc_id) AS rnk,
+        |  CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_crawls
+        | FROM q)
+        |SELECT doc_id, canonical, quality_ppm, n_crawls
+        |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 
     // oracle derives s_url DIRECTLY from the page id (docs 2k/2k+1 share a
     // canonical URL) — independent of the Spark-side canonicalizer chain

@@ -173,6 +173,22 @@ class CorpusSpec extends SparkTestBase {
     assert(Corpus.quantileFilter(df, "grp", "score", "id", 0L).count() == 0L)
   }
 
+  test("keepBest: max score wins, ties to min id, n_group counts the whole group") {
+    import spark.implicits._
+    // group a: 3 crawls, best score 9 held by ids 2 and 3 -> id 2 wins, n=3
+    // group b: singleton survives with n=1
+    val df = Seq((1L, "a", 5L), (3L, "a", 9L), (2L, "a", 9L), (4L, "b", 1L))
+      .toDF("id", "grp", "score")
+    val out = Corpus.keepBest(df, "grp", "score", "id")
+      .select("id", "grp", "score", "n_group")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((2L, "a", 9L, 3L), (4L, "b", 1L, 1L)))
+    // exactly one survivor per group, total preserved in n_group
+    val again = Corpus.keepBest(df, "grp", "score", "id")
+    assert(again.count() == 2L)
+    assert(again.agg(sum("n_group")).as[Long].head() == 4L)
+  }
+
   test("contamination: shared shingles counted, clean docs absent, eval broadcast") {
     import spark.implicits._
     val eval = Seq((100L, "abcdefghij")).toDF("doc_id", "text") // 8-grams: abcdefgh, bcdefghi, cdefghij

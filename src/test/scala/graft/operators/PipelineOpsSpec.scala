@@ -136,6 +136,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.getOrElse((1L, 3L), 0L) < 400000L)
   }
 
+  test("minhashContamination: near-dup train docs flagged, clean absent, eval broadcast") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val train = docsDf(
+      1L -> (base + " extra"), // near-dup of eval 100
+      2L -> "completely different words describing an unrelated subject entirely",
+      3L -> base) // exact dup of eval 100
+    val eval = docsDf(100L -> base,
+      101L -> "another evaluation prompt with its own private phrasing nobody shares")
+    val out = Dedup.minhashContamination(
+      train, "doc_id", "text", eval, "doc_id", "text", minEstPpm = 500000L)
+    val hits = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the exact dup estimates 1.0; the near-dup clears the 0.5 floor
+    assert(hits((3L, 100L)) == 1000000L)
+    assert(hits.contains((1L, 100L)) && hits((1L, 100L)) >= 500000L)
+    // the clean doc and the unshared eval prompt flag nothing
+    assert(!hits.keys.exists { case (t, e) => t == 2L || e == 101L })
+    // eval side broadcasts: the train corpus never shuffles for candidates
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval band keys must broadcast, got:\n$plan")
+  }
+
   test("dropHotBuckets skew guard: no-op above max population, hot buckets excised below") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"
     // 10 identical docs (every band bucket they share has 10 members) plus
