@@ -141,6 +141,9 @@ object PlanAudit {
     check("q_fuzzy_contamination", "eval band keys broadcast; train text never joins nested-loop")(p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
+    check("q_source_overlap", "vocab self-join is a token equi-join, never nested-loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -159,6 +159,20 @@ object Corpus {
       .drop("__rank", "__n")
   }
 
+  /** Range-clustered parquet layout: rows are range-partitioned on
+    * `clusterCols` into `numFiles` buckets and sorted within each file, so
+    * every file owns a disjoint key range and min/max footer pruning skips
+    * all but the matching files on a point or range read. The layout step
+    * of a 100 TB corpus: a reader's partition pruning is only free if the
+    * writer paid for clustering once. (Range partitioning samples the key
+    * distribution, so skewed keys still land in balanced files —
+    * hash-bucketing would need a separate skew guard.) */
+  def writeClustered(df: DataFrame, path: String, numFiles: Int,
+                     clusterCols: String*): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Keep the single best row per group — max `scoreCol`, ties broken by
     * min `idCol` — and report the group population as `n_group`. The
     * keep-best twin of exact dedup's keep-min: re-crawls of one canonical

@@ -77,6 +77,31 @@ object TextQueries {
         .orderBy("source", "rnk")
     },
 
+    // Inter-source vocabulary overlap matrix — the redundancy diagnostic a
+    // mix design reads next to tf-idf: how much of each pair of corpus
+    // slices is the same vocabulary. The (source, token) vocab table is
+    // pinned behind one token exchange so the self-join's two sides and
+    // the size aggregate share a single compute; pair fan-out per token is
+    // bounded by sources², never corpus-sized.
+    "q_source_overlap" -> { (s, dir) =>
+      val v = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("token"))
+        .filter(length(col("token")) >= 3)
+        .distinct()
+        .repartition(col("token"))
+      val sizes = v.groupBy("source").agg(count(lit(1)).as("n"))
+      v.as("a").join(v.as("b"),
+          col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+          expr("(n_shared * 1000000) div (n_a + n_b - n_shared)").as("jacc_ppm"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Reproducible train/val/test split (id-hash buckets: append-stable,
     // engine-independent) — data-budget report per (source, split).
     "q_corpus_split" -> { (s, dir) =>
@@ -772,6 +797,22 @@ object TextQueries {
         |        ORDER BY score_ppm DESC, token) AS INT) AS rnk FROM s)
         |SELECT source, rnk, token, tf, df, score_ppm
         |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+
+    // vocab = DISTINCT post-unnest rows; jaccard is pure BIGINT floor math
+    "q_source_overlap" ->
+      """WITH v AS (
+        | SELECT source, unnest(regexp_extract_all(text, '[a-z]+')) AS token
+        | FROM documents),
+        |f AS (SELECT DISTINCT source, token FROM v WHERE len(token) >= 3),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared
+        |      FROM f a JOIN f b ON a.token = b.token AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, x.n AS n_a, y.n AS n_b,
+        | CAST((n_shared * 1000000) // (x.n + y.n - n_shared) AS BIGINT) AS jacc_ppm
+        |FROM i JOIN sz x ON i.src_a = x.source JOIN sz y ON i.src_b = y.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q_corpus_split" ->
       """SELECT source,

@@ -173,6 +173,36 @@ class CorpusSpec extends SparkTestBase {
     assert(Corpus.quantileFilter(df, "grp", "score", "id", 0L).count() == 0L)
   }
 
+  test("writeClustered: files own disjoint sorted key ranges, rows preserved, pruning skips files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString
+    try {
+      // deliberately shuffled insert order: clustering must impose the layout
+      val df = scala.util.Random.shuffle((0L until 1000L).toList)
+        .map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      Corpus.writeClustered(df, dir, 4, "doc_id")
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 1000L)
+      // per-file [min, max] doc_id ranges must be pairwise disjoint
+      val ranges = back.groupBy(input_file_name().as("f"))
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).sortBy(_._1)
+      assert(ranges.length == 4, s"expected 4 files, got ${ranges.length}")
+      ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping file ranges: $hi >= $lo")
+      case _ => }
+      // a point read prunes to one file's row groups: parquet min/max keeps
+      // the scan's output correct and the filter pushes to the scan
+      val one = back.filter(col("doc_id") === 7L)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+        s"filter must push to parquet, got:\n$scan")
+      assert(one.count() == 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("keepBest: max score wins, ties to min id, n_group counts the whole group") {
     import spark.implicits._
     // group a: 3 crawls, best score 9 held by ids 2 and 3 -> id 2 wins, n=3
