@@ -371,6 +371,25 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard hybrid-
+    * retrieval combiner): each input list contributes `1e6 div (k0 + rank)`
+    * per doc, summed across lists — all integer arithmetic, so a SQL
+    * oracle is engine-exact. Lists are ranked top-k DataFrames with
+    * (`idCol`, `rankCol`); docs absent from a list simply contribute
+    * nothing (the top-k-list semantics real rerankers use). Shape: the
+    * union is k·lists rows — driver-free, one tiny aggregate. */
+  def rrfFuse(lists: Seq[org.apache.spark.sql.DataFrame], idCol: String,
+              rankCol: String, k0: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(lists.nonEmpty && topK > 0 && k0 >= 0)
+    lists.map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(expr(s"1000000L div (${k0}L + __r)")).as("rrf_ppm"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_ppm").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** The whole per-document signal suite as ONE projection — at 100 TB the
     * scan IS the cost, and running the stats / quality / langid /
     * repetition / fingerprint queries separately reads the corpus five

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{AudioMeta, ImageMeta, VideoMeta}
-import graft.operators.{Corpus, Dedup, Multimodal, TextAnalysis => TA}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -306,6 +306,29 @@ object TextQueries {
     "q_bm25_search" -> { (s, dir) =>
       TA.bm25Search(Tables(s, dir, "documents"), "doc_id", "text",
         Seq("query", "table", "stream"), k = 20)
+    },
+
+    // Hybrid retrieval: BM25 top-20 and embedding-cosine top-20 (query =
+    // vec 0, a 1-row broadcast; docs and embeddings are 1:1 by id) fused
+    // by reciprocal-rank fusion — the standard lexical+semantic combiner,
+    // and fully integer-exact so the oracle composes the two PROVEN
+    // retrieval oracles.
+    "q_hybrid_search" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      // the 20-row bm25 result re-ranks in one partition — a window over
+      // top-k output, never over the corpus
+      val bm = TA.bm25Search(docs, "doc_id", "text",
+          Seq("query", "table", "stream"), k = 20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rnk"))
+      val cos = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("cand_id").as("doc_id"), col("rnk"))
+      TA.rrfFuse(Seq(bm, cos), "doc_id", "rnk", k0 = 60L, topK = 10)
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
     },
 
     // PII redaction — the privacy pass a training corpus runs first. The
@@ -1084,6 +1107,51 @@ object TextQueries {
         |FROM b JOIN k USING (fp, doc_id)
         |WHERE b.fp NOT IN (SELECT fp FROM seen)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // composes the two PROVEN retrieval oracles (q_bm25_search's CTEs and
+    // q_knn_brute's cosine chain) and fuses with pure BIGINT floor math;
+    // rank orderings are identical across engines because the underlying
+    // doubles are bit-identical IEEE chains (q_knn_brute's hash-match)
+    "q_hybrid_search" ->
+      """WITH tf AS (
+        | SELECT doc_id,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' query ', ''))) // 7 AS tf0,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' table ', ''))) // 7 AS tf1,
+        |  (len(' '||text||' ') - len(replace(' '||text||' ', ' stream ', ''))) // 8 AS tf2,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS dl
+        | FROM documents),
+        |d AS (
+        | SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        | FROM tf),
+        |bms AS (
+        | SELECT doc_id, CAST(
+        |    (((n * 1000000) // greatest(df0, 1)) * ((tf0 * 2200000000 * greatest(total // n, 1))
+        |      // greatest(tf0 * 1000000 * greatest(total // n, 1) + 1200 * (250 * greatest(total // n, 1) + 750 * dl), 1))) // 1000
+        |  + (((n * 1000000) // greatest(df1, 1)) * ((tf1 * 2200000000 * greatest(total // n, 1))
+        |      // greatest(tf1 * 1000000 * greatest(total // n, 1) + 1200 * (250 * greatest(total // n, 1) + 750 * dl), 1))) // 1000
+        |  + (((n * 1000000) // greatest(df2, 1)) * ((tf2 * 2200000000 * greatest(total // n, 1))
+        |      // greatest(tf2 * 1000000 * greatest(total // n, 1) + 1200 * (250 * greatest(total // n, 1) + 750 * dl), 1))) // 1000
+        |  AS BIGINT) AS score
+        | FROM tf, d ORDER BY score DESC, doc_id LIMIT 20),
+        |bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bms),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        | SELECT vec_id AS doc_id,
+        |  list_sum(list_transform(list_zip(qvec, embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(list_zip(qvec, qvec), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+        |   / sqrt(list_sum(list_transform(list_zip(embedding, embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))) AS sim
+        | FROM q, embeddings WHERE vec_id <> 0),
+        |cos AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rnk FROM pairs),
+        |u AS (
+        | SELECT doc_id, rnk FROM bm
+        | UNION ALL
+        | SELECT doc_id, rnk FROM cos WHERE rnk <= 20)
+        |SELECT doc_id, CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm,
+        | CAST(COUNT(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin,
 
     // same space-padded occurrence primitive as langid; reciprocal-df
     // weights and the top-20 cut are pure integer arithmetic

@@ -69,6 +69,25 @@ class RetrievalSpec extends SparkTestBase {
     assert(out(4L) == 0L && out(6L) == 0L)
   }
 
+  test("rrfFuse: hand-computed fusion, overlap boosted, absent docs contribute nothing") {
+    import spark.implicits._
+    // list A ranks 1,2,3 -> docs 10,11,12; list B ranks 1,2 -> docs 12,13
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rnk")
+    val b = Seq((12L, 1L), (13L, 2L)).toDF("id", "rnk")
+    val out = TA.rrfFuse(Seq(a, b), "id", "rnk", k0 = 60L, topK = 10)
+      .select("id", "rrf_ppm", "n_lists")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def c(r: Long) = 1000000L / (60L + r)
+    assert(out(10L) == ((c(1), 1L)))
+    assert(out(11L) == ((c(2), 1L)))
+    assert(out(12L) == ((c(3) + c(1), 2L))) // in both lists: contributions add
+    assert(out(13L) == ((c(2), 1L)))
+    // the overlap doc outranks every single-list doc
+    val top = TA.rrfFuse(Seq(a, b), "id", "rnk", 60L, 1)
+      .select("id").as[Long].head()
+    assert(top == 12L)
+  }
+
   test("keywordSearch and bm25Search agree on WHICH docs match, not on order") {
     import spark.implicits._
     val df = corpus.toDF("doc_id", "text")
