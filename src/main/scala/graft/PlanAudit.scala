@@ -144,6 +144,8 @@ object PlanAudit {
     check("q_source_overlap", "vocab self-join is a token equi-join, never nested-loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_sentence_stats", "sentence stats are a pure projection: no shuffle, no UDF")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
     check("q_hybrid_search", "hybrid fuse = two bounded top-k lists, 1-row query broadcast")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))

@@ -77,6 +77,22 @@ object TextQueries {
         .orderBy("source", "rnk")
     },
 
+    // Sentence segmentation stats — mean sentence length is a classic
+    // fluency/quality signal (spam and tables segment degenerately).
+    // Sentence count = terminator runs ([.!?]+) so "..." counts once;
+    // docs with no terminator count as one sentence. Pure projection.
+    "q_sentence_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("__chars"),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long").as("__t"))
+        .select(col("doc_id"),
+          greatest(col("__t"), lit(1L)).as("n_sentences"),
+          expr("__chars div greatest(__t, 1L)").as("chars_per_sentence"))
+        .orderBy("doc_id")
+    },
+
     // Inter-source vocabulary overlap matrix — the redundancy diagnostic a
     // mix design reads next to tf-idf: how much of each pair of corpus
     // slices is the same vocabulary. The (source, token) vocab table is
@@ -820,6 +836,17 @@ object TextQueries {
         |        ORDER BY score_ppm DESC, token) AS INT) AS rnk FROM s)
         |SELECT source, rnk, token, tf, df, score_ppm
         |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+
+    // terminator-run counting and floor division are engine-identical;
+    // len() of the regexp_extract_all list mirrors size()
+    "q_sentence_stats" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(text) AS BIGINT) AS chars,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS nt
+        | FROM documents)
+        |SELECT doc_id, greatest(nt, 1) AS n_sentences,
+        | chars // greatest(nt, 1) AS chars_per_sentence
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // vocab = DISTINCT post-unnest rows; jaccard is pure BIGINT floor math
     "q_source_overlap" ->

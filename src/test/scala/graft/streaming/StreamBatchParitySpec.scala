@@ -98,6 +98,17 @@ class StreamBatchParitySpec extends SparkTestBase {
       "DedupParitySmoke reported a stream/batch dedup mismatch")
   }
 
+  test("LLM-pipeline parity: incremental token accounting through KeyFlowTws equals " +
+    "batch q_token_stats (forked)") {
+    // the smoke replays sf0.001 documents through KeyFlowTws keyed by
+    // SOURCE (low-cardinality hot keys, the opposite regime of the
+    // per-digest dedup smoke), folding (n_docs, n_tokens, n_chars) across
+    // 4 microbatches with a replay overlap, and diffs the running ledger
+    // against the declared q_token_stats batch aggregate
+    assert(forkSmoke("graft.streaming.TokenStatsParitySmoke") == 0,
+      "TokenStatsParitySmoke reported a stream/batch token-ledger mismatch")
+  }
+
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
