@@ -58,6 +58,9 @@ object PlanAudit {
         p.contains("Scan ExistingRDD"))
     check("q_contamination", "eval gram set broadcast; train side never shuffles text")(p =>
       p.contains("BroadcastHashJoin"))
+    check("q_contamination_bloom", "bloom bits reject train grams map-side before the broadcast verify join")(p =>
+      p.contains("bloom_might_contain") && p.contains("BroadcastHashJoin") &&
+        !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
     check("q_pack_sequences", "packing = one shuffle on the partition key")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1)
     check("q_vocab", "vocab head = partial agg + bounded top-k, no global sort")(p =>
@@ -102,6 +105,9 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_line_dedup", "intra-doc line dedup = two id-keyed aggregations, no join, no UDF")(p =>
+      !p.contains("Join") && !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 2)
     check("q_ann_quantized", "quantized ANN: broadcast queries, kernel scoring, no corpus shuffle before rank")(p =>
       p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
         !p.contains("ScalaUDF") &&

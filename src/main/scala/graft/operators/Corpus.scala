@@ -283,4 +283,43 @@ object Corpus {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** [[contamination]] with a Bloom-filter prefilter on the train side —
+    * the runtime-filter shape for 100 TB: even with the eval gram set
+    * broadcast, the exact path probes a multi-million-entry hash relation
+    * once PER TRAIN GRAM; here a few-hundred-KB bit table (built from the
+    * eval grams in one tiny aggregate, carried in the plan) rejects almost
+    * every train gram with two xxhash64 evaluations FIRST, and only the
+    * survivors (true overlaps + the ~0.2% false positives) reach the
+    * broadcast verify join. False negatives are impossible — build and
+    * probe share one probe-position formula ([[graft.functions.BloomKernels]])
+    * — and false positives are removed by the exact join, so the result
+    * EQUALS [[contamination]] row-for-row (one oracle serves both).
+    *
+    * `bits` must be a power of two; size it ~16× the expected distinct
+    * eval gram count for ~0.2% fpp at `hashes` = 4. */
+  def contaminationBloom(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         bits: Int = 1 << 21, hashes: Int = 4): DataFrame = {
+    import graft.functions.{BloomKernels, BloomMightContain, BloomPositions}
+    // eval grams feed the filter build AND the verify join: materialize
+    // once (the clean()/connectedComponents checkpoint discipline)
+    val evalGrams = eval
+      .select(explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
+      .distinct()
+      .localCheckpoint(true)
+    val words = BloomKernels.emptyWords(bits, hashes)
+    evalGrams
+      .select(explode(BloomPositions(col("g"), bits, hashes)).as("p"))
+      .groupBy(shiftright(col("p"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), p % 64))").as("m"))
+      .collect() // bits/64 rows max — a bounded driver gather, like IVF centroids
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    train
+      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
+      .filter(BloomMightContain(col("g"), words, hashes))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

@@ -250,6 +250,38 @@ object TextAnalysis {
           - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
   }
 
+  /** Intra-document duplicate-line removal — the C4/RefinedWeb "remove
+    * repeated lines within a page" pass: web pages repeat nav chrome,
+    * cookie banners and list fragments INSIDE one document, which
+    * [[clean]]'s corpus-level line-df drop cannot see (a line unique to
+    * one doc never crosses the df threshold however often it repeats
+    * there). Keeps the FIRST occurrence of each distinct line per doc,
+    * preserves original order, and reports kept/dropped counts.
+    *
+    * Scale shape: two shuffles, both corpus-linear and both carrying the
+    * doc id — first-occurrence selection groups on (doc, line), the
+    * reassembly groups on doc. No join back to the corpus: every non-null
+    * doc has >=1 line, so the second aggregate already covers all docs,
+    * and the dropped count falls out of the per-line multiplicities
+    * (sum(cnt) - count). Null-text docs are excluded up front (one
+    * declared null policy on BOTH engines — the q_repetition lesson).
+    *
+    * Returns (idCol, text_dedup, n_lines_kept, n_lines_dropped). */
+  def dedupLines(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val first = lines.groupBy(col(idCol), col("__line"))
+      .agg(min(col("__pos")).as("__pos"), count(lit(1)).as("__cnt"))
+    first.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as("text_dedup"),
+      count(lit(1)).as("n_lines_kept"),
+      (sum(col("__cnt")) - count(lit(1))).as("n_lines_dropped"))
+  }
+
   /** PII patterns for [[redactPii]]/[[piiCounts]] — deliberately simple,
     * deterministic, RE2-safe regexes (no lookaround, no backrefs) of the
     * kind every public pretraining pipeline ships as its first privacy

@@ -290,6 +290,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-prefiltered decontamination — q_contamination's exact result
+    // through the runtime-filter shape: a driver-built bit table rejects
+    // non-eval grams map-side before the broadcast verify join. Same
+    // oracle as q_contamination (bit-identical output by construction —
+    // the strongest possible check that the prefilter loses nothing).
+    "q_contamination_bloom" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      Corpus.contaminationBloom(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+
     // Content + winnowing fingerprints.
     "q_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
@@ -399,6 +412,23 @@ object TextQueries {
           col("text"), lit("\u0001\n"),
           lit("Generated by example corpus v1")).as("raw"))
       TA.clean(raw, "doc_id", "raw", maxLineDf = 20L).orderBy("doc_id")
+    },
+
+    // Intra-doc duplicate-line removal (the C4-style "repeated lines
+    // within a page" pass — invisible to q_text_clean's corpus-level df
+    // drop). Single-line test corpus, so multi-line docs with in-doc
+    // repeats are synthesized IN-QUERY: nav + cookie lines repeat in
+    // every doc, and even ids also repeat their text line while odd ids
+    // carry a unique extra line — kept/dropped counts vary by parity.
+    "q_line_dedup" -> { (s, dir) =>
+      val id = col("doc_id")
+      val mid = when(pmod(id, lit(2)) === 0, concat(lit("\n"), col("text")))
+        .otherwise(concat(lit("\nextra "), id))
+      val raw = Tables(s, dir, "documents").select(id,
+        concat(lit("nav: "), col("source"), lit("\n"), col("text"),
+          lit("\nnav: "), col("source"), lit("\ncookie notice"), mid,
+          lit("\ncookie notice")).as("raw"))
+      TA.dedupLines(raw, "doc_id", "raw").orderBy("doc_id")
     },
 
     // Exact dedup by content hash.
@@ -979,6 +1009,21 @@ object TextQueries {
         |FROM traing JOIN evalg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the bloom prefilter must be invisible in the result: the oracle is
+    // exactly q_contamination's (false positives die in the verify join)
+    "q_contamination_bloom" ->
+      """WITH evalg AS (
+        | SELECT DISTINCT unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(text)-7, 1)+1), i -> text[i:i+7]))) AS g
+        | FROM documents WHERE source = 'src0'),
+        |traing AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(text)-7, 1)+1), i -> text[i:i+7]))) AS g
+        | FROM documents WHERE source <> 'src0')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM traing JOIN evalg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
         | list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i -> md5(text[i:i+7]))) AS shingle_fp
@@ -1272,6 +1317,29 @@ object TextQueries {
         | CAST(len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped
         |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // synthesis mirrored; first-occurrence keep = MIN(pos) per (doc,
+    // line); dropped = per-line multiplicities minus distinct lines.
+    // SUM over BIGINT is HUGEINT in DuckDB -> CAST (the hard rule)
+    "q_line_dedup" ->
+      """WITH raw AS (
+        | SELECT doc_id, 'nav: ' || source || chr(10) || text || chr(10)
+        |   || 'nav: ' || source || chr(10) || 'cookie notice'
+        |   || CASE WHEN doc_id % 2 = 0 THEN chr(10) || text
+        |      ELSE chr(10) || 'extra ' || doc_id END
+        |   || chr(10) || 'cookie notice' AS raw
+        | FROM documents WHERE text IS NOT NULL),
+        |lines AS (
+        | SELECT doc_id, unnest(string_split(raw, chr(10))) AS line,
+        |  unnest(range(1, len(string_split(raw, chr(10)))+1)) AS pos
+        | FROM raw),
+        |fst AS (
+        | SELECT doc_id, line, MIN(pos) AS pos, COUNT(*) AS cnt
+        | FROM lines GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        | CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+        | CAST(SUM(cnt) AS BIGINT) - COUNT(*) AS n_lines_dropped
+        |FROM fst GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

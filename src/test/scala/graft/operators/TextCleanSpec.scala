@@ -70,6 +70,27 @@ class TextCleanSpec extends SparkTestBase {
     assert(redact("no pii here") == (("no pii here", 0L, 0L, 0L)))
   }
 
+  test("dedupLines: keeps first occurrence, preserves order, counts drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nbody\nnav\nfooter\nbody\nfooter"), // interleaved repeats
+      (2L, "only line"),                            // nothing to drop
+      (3L, "x\nx\nx\nx"),                           // one survivor
+      (4L, ""),                                     // empty doc = one empty line
+      (5L, "a\n\nb\n\na"),                          // blank lines dedup too
+      (6L, null.asInstanceOf[String]))              // null text excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("nav\nbody\nfooter", 3L, 3L)))
+    assert(out(2L) == (("only line", 1L, 0L)))
+    assert(out(3L) == (("x", 1L, 3L)))
+    assert(out(4L) == (("", 1L, 0L)))
+    assert(out(5L) == (("a\n\nb", 3L, 2L)))
+    assert(!out.contains(6L)) // declared null policy: null docs excluded
+  }
+
   test("clean: df threshold is strict (df == maxLineDf survives)") {
     import spark.implicits._
     val docs = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
