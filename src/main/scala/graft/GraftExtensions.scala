@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AudioMeta, BpeTokenCountExpr, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
+import graft.functions.{AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -114,6 +114,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeTokenCountExpr(exprs.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "deflate_len(text)")
+        DeflateLen(exprs.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
       (exprs: Seq[Expression]) => {
@@ -193,7 +200,8 @@ object ExtensionsSmoke {
         |  repetition_ppm('aaaa', 3) AS rp,
         |  bpe_token_count('the query') AS bp,
         |  quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS qz,
-        |  int_dot_product(array(2, -3), array(4, 5)) AS idp
+        |  int_dot_product(array(2, -3), array(4, 5)) AS idp,
+        |  deflate_len(repeat('a', 200)) AS dl
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
       // two identical tokens vote every bit of their hash twice → the
@@ -204,7 +212,9 @@ object ExtensionsSmoke {
       kern.getLong(7) == 1000000L &&
       kern.getLong(8) == 2L && // "the"→1, "query"→1 (BpeTokenCountSpec traces)
       kern.getSeq[Int](9) == Seq(127, -63) && // floor(±x·127 + 0.5)
-      kern.getLong(10) == -7L
+      kern.getLong(10) == -7L &&
+      // 200 repeated bytes must deflate to a handful (LZ77 back-reference)
+      kern.getLong(11) > 0L && kern.getLong(11) < 40L
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk

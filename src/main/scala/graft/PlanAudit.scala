@@ -98,6 +98,9 @@ object PlanAudit {
     check("q_bpe_tokens", "true-BPE counting is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_token_count"))
+    check("q_compression_ratio", "deflate signal is a pure codegen'd projection: no shuffle, no UDF")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
+        p.contains("deflate_len"))
     check("q_canonical_url", "canonicalization is a pure projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("ReadSchema: struct<doc_id:bigint>"))

@@ -394,6 +394,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Compressibility signal: raw-DEFLATE byte count and floor-scaled
+    // ratio per doc — the band-pass quality heuristic (template spam
+    // compresses to almost nothing, binary junk not at all) every public
+    // web-corpus pipeline runs next to the length/punct scores. Rows-only:
+    // DEFLATE's LZ77+Huffman stream is not SQL-expressible (the BPE
+    // precedent); CompressionSpec carries the algorithmic truth against
+    // java.util.zip directly.
+    "q_compression_ratio" -> { (s, dir) =>
+      val raw = octet_length(col("text")).cast("long")
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.DeflateLen(col("text")).as("deflate_bytes"),
+          raw.as("raw_bytes"))
+        .select(col("doc_id"), col("deflate_bytes"), col("raw_bytes"),
+          (col("deflate_bytes") * lit(1000000L) / greatest(col("raw_bytes"), lit(1L)))
+            .cast("long").as("compression_ppm"))
+        .orderBy("doc_id")
+    },
+
     // Corpus cleaning: normalize (CR/tab/control/space-run handling) then
     // drop boilerplate lines by line document-frequency. The test corpus
     // is single-line, so multi-line docs are synthesized IN-QUERY (the
