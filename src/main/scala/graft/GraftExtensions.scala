@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
+import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -114,6 +114,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeTokenCountExpr(exprs.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("adjacent_join"),
+      new ExpressionInfo(classOf[AdjacentJoin].getName, "adjacent_join"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "adjacent_join(arr, sep)")
+        val sep = exprs(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"sep must be a string literal, got $other")
+        }
+        AdjacentJoin(exprs.head, sep)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (exprs: Seq[Expression]) => {
@@ -201,7 +213,8 @@ object ExtensionsSmoke {
         |  bpe_token_count('the query') AS bp,
         |  quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS qz,
         |  int_dot_product(array(2, -3), array(4, 5)) AS idp,
-        |  deflate_len(repeat('a', 200)) AS dl
+        |  deflate_len(repeat('a', 200)) AS dl,
+        |  adjacent_join(array('a', 'b', 'c'), ' ') AS aj
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
       // two identical tokens vote every bit of their hash twice → the
@@ -214,7 +227,8 @@ object ExtensionsSmoke {
       kern.getSeq[Int](9) == Seq(127, -63) && // floor(±x·127 + 0.5)
       kern.getLong(10) == -7L &&
       // 200 repeated bytes must deflate to a handful (LZ77 back-reference)
-      kern.getLong(11) > 0L && kern.getLong(11) < 40L
+      kern.getLong(11) > 0L && kern.getLong(11) < 40L &&
+      kern.getSeq[String](12) == Seq("a b", "b c")
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk

@@ -209,6 +209,25 @@ object TextKernels {
     }
     a.length < b.length
   }
+
+  /** Adjacent element pairs of a string array, each joined by `sep` —
+    * the [[AdjacentJoin]] kernel. Pairs touching a null slot are skipped
+    * (token arrays are containsNull=false in every declared path; the
+    * guard covers arbitrary SQL callers). */
+  def adjacentJoin(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   sep: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new java.util.ArrayList[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      if (!a.isNullAt(i) && !a.isNullAt(i + 1))
+        out.add(UTF8String.concat(a.getUTF8String(i), sep, a.getUTF8String(i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** `min_shingle_md5(text)` → `string`: the minimum md5 hex over all
@@ -297,4 +316,41 @@ object SimHashText {
   /** Column wrapper. */
   def apply(text: Column): Column =
     ColumnBridge.column(SimHashText(ColumnBridge.expression(text)))
+}
+
+/** `adjacent_join(arr, sep)` → `array<string>` of each adjacent element
+  * pair joined by `sep` — the bigram builder: adjacent-pair enumeration as
+  * a codegen'd projection instead of an interpreted `zip_with`/`transform`
+  * (this runs inside the corpus scan, where the HOF ban applies) or a
+  * lead()-window (which would shuffle the corpus). Null elements produce
+  * no pair. */
+case class AdjacentJoin(child: Expression, sep: String)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "adjacent_join"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.adjacentJoin(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      UTF8String.fromString(sep))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", UTF8String.fromString(sep),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.adjacentJoin($c, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentJoin =
+    copy(child = newChild)
+}
+
+object AdjacentJoin {
+  /** Column wrapper. */
+  def apply(arr: Column, sep: String): Column =
+    ColumnBridge.column(AdjacentJoin(ColumnBridge.expression(arr), sep))
 }

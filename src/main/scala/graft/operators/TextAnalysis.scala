@@ -117,6 +117,48 @@ object TextAnalysis {
         col("score_ppm"))
   }
 
+  /** Top-k adjacent-bigram collocations with an integer-exact lift score —
+    * the corpus-statistics table a tokenizer/mix design reads to spot
+    * multi-word units and template phrases (classic collocation analysis;
+    * lift = observed pair rate over the independence expectation, the
+    * log-free cousin of PMI so the oracle agrees bit-for-bit):
+    * `lift_ppm = (((1e6 * c_xy) div c_x) * N) div c_y`.
+    *
+    * Scale shape: ONE corpus scan materializes the token arrays (the
+    * clean() checkpoint discipline — unigram and bigram counts both read
+    * them); both counts are hash aggregates with map-side combine; the
+    * top-k is a bounded TakeOrdered on the post-agg bigram table; the two
+    * unigram probe joins broadcast the K-ROW side, so the vocabulary
+    * table never shuffles. Bigram enumeration is the codegen'd
+    * [[graft.functions.AdjacentJoin]] kernel — no interpreted HOF, no
+    * lead()-window shuffle. Overflow bound: the first factor is <= 1e6
+    * (c_xy <= c_x), so the product stays in BIGINT while N <= 9.2e12
+    * tokens (~35 TB of text) — shard the analysis beyond that. */
+  def collocations(docs: org.apache.spark.sql.DataFrame,
+                   idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val t = docs.select(
+        regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)).as("__toks"))
+      .localCheckpoint(true)
+    val uni = t.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the total and both probe joins
+    val tot = uni.agg(sum(col("c")).as("__n"))
+    val top = t.select(
+        explode(graft.functions.AdjacentJoin(col("__toks"), " ")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .orderBy(col("c_xy").desc, col("bigram"))
+      .limit(k)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val j1 = broadcast(top)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
+    broadcast(j1)
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("(((1000000 * c_xy) div c_x) * __n) div c_y").as("lift_ppm"))
+  }
+
   /** Non-overlapping occurrences of `word` with space padding. */
   def occurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))

@@ -394,6 +394,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Adjacent-bigram collocation table: top-30 pairs by count with the
+    // integer-exact lift score (log-free PMI) — the corpus statistic a
+    // tokenizer/mix design reads for multi-word units and template
+    // phrases. Bigrams via the codegen'd adjacent_join kernel.
+    "q_ngram_colloc" -> { (s, dir) =>
+      TA.collocations(Tables(s, dir, "documents"), "doc_id", "text", k = 30)
+        .orderBy(col("c_xy").desc, col("bigram"))
+    },
+
     // Compressibility signal: raw-DEFLATE byte count and floor-scaled
     // ratio per doc — the band-pass quality heuristic (template spam
     // compresses to almost nothing, binary junk not at all) every public
@@ -1028,6 +1037,29 @@ object TextQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         |FROM traing JOIN evalg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigrams = list_transform over 1-based positions (mirrors the
+    // adjacent_join kernel); every floor division parenthesized
+    // identically to the Spark expr; counts CAST per the HUGEINT rule
+    "q_ngram_colloc" ->
+      """WITH t AS (
+        | SELECT regexp_extract_all(text, '[a-z]+') AS toks FROM documents),
+        |uc AS (
+        | SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        | FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM uc),
+        |bc AS (
+        | SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+        | FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |         i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+        | GROUP BY 1),
+        |top AS (SELECT bigram, c_xy FROM bc ORDER BY c_xy DESC, bigram LIMIT 30)
+        |SELECT top.bigram, top.c_xy, u1.c AS c_x, u2.c AS c_y,
+        | (((1000000 * top.c_xy) // u1.c) * (SELECT nn FROM n)) // u2.c AS lift_ppm
+        |FROM top
+        |JOIN uc u1 ON split_part(top.bigram, ' ', 1) = u1.w
+        |JOIN uc u2 ON split_part(top.bigram, ' ', 2) = u2.w
+        |ORDER BY top.c_xy DESC, top.bigram""".stripMargin,
 
     // the bloom prefilter must be invisible in the result: the oracle is
     // exactly q_contamination's (false positives die in the verify join)
