@@ -136,6 +136,9 @@ object PlanAudit {
     check("q_length_histogram", "histogram = one partial-agg shuffle on slim keys")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_dedup_semantic", "keep-best flagging = one window on the component key, no nested-loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF") && p.contains("Window"))
     check("q_embedding_cluster", "semantic clusters join the truncated label table, no nested-loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         p.contains("Scan ExistingRDD") && !p.contains("ScalaUDF"))

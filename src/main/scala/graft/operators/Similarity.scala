@@ -229,4 +229,46 @@ object Similarity {
         (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * cluster the embedding space by near-duplicate cosine (LSH candidate
+    * pairs → connected components, the [[lshNearDupPairs]] +
+    * `Dedup.connectedComponents` machinery), then within each cluster keep
+    * ONE representative — the highest `scoreCol` (ties to the smallest
+    * id), so the dedup pass retains the best-quality copy rather than an
+    * arbitrary one (the keep-best twin of exact dedup's keep-min, applied
+    * to SEMANTIC duplicates that share no bytes).
+    *
+    * `scores` carries (idCol, scoreCol) for every embedding row — e.g.
+    * the documents table's quality score through the 1:1 doc/vec id map.
+    * Rows with no cluster edge are singletons: their own component, kept.
+    *
+    * Scale shape: everything up to the component table is the proven
+    * near-dup pipeline (slim bucketed pair joins, hot-bucket cap, CC
+    * shuffle-bounded by |E|); the flagging pass is ONE window shuffle on
+    * the component key (rank + cluster-size share the partition — the
+    * keepBest pattern), and the score attach is an id equi-join of two
+    * slim projections.
+    *
+    * Returns (idCol, component, n_cluster, scoreCol, kept). */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      scores: DataFrame, scoreCol: String,
+      minCosine: Double, planes: Int = 16,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = lshNearDupPairs(emb, idCol, vecCol, minCosine, planes, maxBucket)
+      .select(col("qid").as("src"), col("cand_id").as("dst"))
+    val comp = Dedup.connectedComponents(pairs, "src", "dst")
+    val labeled = emb.select(col(idCol))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
+    val part = Window.partitionBy("component")
+    labeled
+      .withColumn("n_cluster", count(lit(1)).over(part))
+      .withColumn("kept", row_number().over(
+        part.orderBy(col(scoreCol).desc, col(idCol).asc)) === 1)
+      .select(col(idCol), col("component"), col("n_cluster"),
+        col(scoreCol), col("kept"))
+  }
 }

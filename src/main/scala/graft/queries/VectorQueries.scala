@@ -93,6 +93,21 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // SemDeDup: q_embedding_cluster's semantic clusters resolved to a
+    // KEEP/DROP decision — one survivor per cluster, the highest-quality
+    // doc (docs and embeddings are 1:1 by id), ties to the smallest id.
+    // Rows-only like the cluster query (LSH buckets + float cosine);
+    // SemanticDedupSpec carries the planted-cluster truth.
+    "q_dedup_semantic" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val quality = Tables(s, dir, "documents").select(
+        col("doc_id").as("vec_id"),
+        graft.operators.TextAnalysis.qualityScorePpm(col("text")).as("quality_ppm"))
+      graft.operators.Similarity.semanticDedup(
+          emb, "vec_id", "embedding", quality, "quality_ppm", minCosine = 0.3)
+        .orderBy("vec_id")
+    },
+
     // Embedding-health report: per-(label, dimension) component stats — the
     // sanity pass run before any ANN index build (collapsed dims, dead
     // labels, range drift all show up here). Components are floor-scaled to
