@@ -98,6 +98,9 @@ object PlanAudit {
     check("q_bpe_tokens", "true-BPE counting is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_token_count"))
+    check("q_containment", "containment demo: block equi-join + kernel intersect, no nested-loop, no UDF")(p =>
+      p.contains("sorted_intersect_count") && !p.contains("CartesianProduct") &&
+        !p.contains("ScalaUDF"))
     check("q_ngram_colloc", "bigrams via codegen'd kernel; bounded top-k; k-row side broadcast to the vocab probes")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("adjacent_join") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))

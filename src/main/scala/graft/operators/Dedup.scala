@@ -218,6 +218,52 @@ object Dedup {
       .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
   }
 
+  /** Exact k-shingle CONTAINMENT pairs (Broder 1997's asymmetric measure):
+    * `cont_ppm = |A∩B| / min(|A|, |B|)` — 1.0 whenever the smaller
+    * shingle set sits entirely inside the larger, however different the
+    * sizes. This is the subset-duplication detector Jaccard structurally
+    * misses: a quote, a mirrored section, or a doc embedded in a larger
+    * page has J = |A|/|B| (arbitrarily small) but containment = 1.
+    *
+    * Same blocked-all-pairs shape and caveat as [[ngramJaccardPairs]]:
+    * quadratic in block population, the oracle-exact demo; production
+    * candidates come from the LSH paths. Note there is deliberately NO
+    * size-ratio prefilter here — the size-asymmetric pairs a Jaccard
+    * blocker may discard are exactly containment's targets (so block on
+    * size-independent keys, e.g. language, not length bands). The
+    * denominator is exact on both engines; the expensive intersect is
+    * pinned above the join by the pushdown barrier. */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      k: Int,
+      minPpm: Long,
+      packedAscii: Boolean = true): DataFrame = {
+    val shingleExpr =
+      if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
+      else TextAnalysis.shingles(col(textCol), k)
+    val withShingles = docs.select(
+      (col(idCol) +: blockCols.map(col)) :+ shingleExpr.as("__sh"): _*)
+    val a = withShingles.select(
+      col(idCol).as("doc1") +: col("__sh").as("sh1") +: blockCols.map(col): _*)
+    val b = withShingles.select(
+      col(idCol).as("doc2") +: col("__sh").as("sh2") +:
+        blockCols.map(c => col(c).as(s"${c}_r")): _*)
+    val joinCond = blockCols.map(c => col(c) === col(s"${c}_r"))
+      .foldLeft(col("doc1") < col("doc2"))(_ && _)
+    val inter =
+      if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+      else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+    val minSize =
+      greatest(least(size(col("sh1")), size(col("sh2"))).cast("long"), lit(1L))
+    a.join(b, joinCond)
+      .select(col("doc1"), col("doc2"),
+        floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
+      .filter(graft.functions.PushdownBarrier.long(col("cont_ppm")) >= minPpm)
+  }
+
   /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
     * matching signature slots, in ppm). `bands` × `rowsPerBand` = perms.
     *

@@ -394,6 +394,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Containment pairs (Broder's asymmetric measure): the subset-dup
+    // detector — a doc quoted/embedded inside a larger one scores 1.0
+    // where Jaccard sees almost nothing. Language-blocked (deliberately
+    // size-INDEPENDENT blocking: cross-size pairs are the point), the
+    // oracle-exact quadratic demo like q_dedup_ngram; LSH paths are the
+    // production candidate source.
+    "q_containment" -> { (s, dir) =>
+      Dedup.ngramContainmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang"), k = 3, minPpm = 900000L)
+        .orderBy("doc1", "doc2")
+    },
+
     // Adjacent-bigram collocation table: top-30 pairs by count with the
     // integer-exact lift score (log-free PMI) — the corpus statistic a
     // tokenizer/mix design reads for multi-word units and template
@@ -1037,6 +1049,25 @@ object TextQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         |FROM traing JOIN evalg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same packed-shingle CTE as q_dedup_ngram; containment denominator =
+    // least(); floor division mirrored; threshold repeated verbatim
+    "q_containment" ->
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(1, greatest(len(text)-2,1)+1),
+        |    i -> CAST(ascii(text[i:i]) AS BIGINT)*65536
+        |       + CAST(ascii(text[i+1:i+1]) AS BIGINT)*256
+        |       + CAST(ascii(text[i+2:i+2]) AS BIGINT))) AS sh
+        | FROM documents)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        | CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+        |   // greatest(least(len(a.sh), len(b.sh)), 1) AS BIGINT) AS cont_ppm
+        |FROM s a JOIN s b
+        | ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+        |   // greatest(least(len(a.sh), len(b.sh)), 1) AS BIGINT) >= 900000
+        |ORDER BY doc1, doc2""".stripMargin,
 
     // bigrams = list_transform over 1-based positions (mirrors the
     // adjacent_join kernel); every floor division parenthesized

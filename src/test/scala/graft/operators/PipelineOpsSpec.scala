@@ -208,6 +208,39 @@ class PipelineOpsSpec extends SparkTestBase {
     lsh.keys.foreach(p => assert(exact.contains(p))) // precision is exact too
   }
 
+  test("Containment pairs: subset duplication scores 1.0 where Jaccard misses it; " +
+    "brute-force set equality") {
+    import org.apache.spark.sql.functions._
+    val small = "the quick brown fox jumps over the lazy dog"
+    val docs = docsDf(
+      1L -> small,
+      2L -> (small + " and then a very long continuation follows with many additional " +
+        "sentences about completely unrelated topics stretching the document out far"),
+      3L -> "entirely different content with no overlap at all whatsoever here",
+      4L -> small)
+      .withColumn("blk", lit(0))
+    val out = Dedup.ngramContainmentPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // independent brute force over char-trigram sets
+    def sh(t: String) =
+      (0 until math.max(t.length - 2, 1)).map(i => t.substring(i, math.min(i + 3, t.length))).toSet
+    val texts = Map(1L -> small, 2L -> docs.filter(col("doc_id") === 2)
+      .collect()(0).getString(1), 3L -> "entirely different content with no overlap at all whatsoever here", 4L -> small)
+    for (a <- texts.keys; b <- texts.keys if a < b) {
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val expect = (sa & sb).size.toLong * 1000000L / math.max(math.min(sa.size, sb.size), 1)
+      assert(out((a, b)) == expect, s"pair ($a,$b)")
+    }
+    // the headline property: 1 ⊂ 2 → containment 1.0, Jaccard far below
+    assert(out((1L, 2L)) == 1000000L)
+    val jacc = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(jacc((1L, 2L)) < 500000L, s"jaccard unexpectedly high: ${jacc((1L, 2L))}")
+    assert(out((1L, 4L)) == 1000000L) // identical docs contain each other
+  }
+
   test("Prefix-filtered pairs EQUAL the all-pairs truth set, blocked and global") {
     // a corpus with near-dups at varied similarity, spread over two blocks
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
