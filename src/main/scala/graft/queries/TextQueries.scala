@@ -394,6 +394,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Mergeable vocabulary sketches: per-source distinct-token HLL
+    // (DataSketches, lgK=12 → ~1.6% rse) UNIONED into the corpus estimate
+    // WITHOUT re-scanning — the 100 TB distinct-counting shape (per-slice
+    // sketches persist; any slice combination answers by merge). The
+    // exact countDistinct column is the in-query verification at test SF.
+    // Rows-only: sketch registers are engine-internal; VocabSketchSpec
+    // carries the mergeability identity + error-bound truth.
+    "q_vocab_sketch" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
+      val perSrc = toks.groupBy("source").agg(
+        expr("hll_sketch_agg(w, 12)").as("__sk"),
+        countDistinct(col("w")).as("exact_distinct"))
+      val srcRows = perSrc.select(col("source"), col("exact_distinct"),
+        expr("hll_sketch_estimate(__sk)").cast("long").as("est_distinct"))
+      val unioned = perSrc.agg(
+        expr("hll_sketch_estimate(hll_union_agg(__sk))").cast("long")
+          .as("est_distinct"))
+      val allRow = toks.agg(countDistinct(col("w")).as("exact_distinct"))
+        .crossJoin(broadcast(unioned))
+        .select(lit("__ALL__").as("source"), col("exact_distinct"),
+          col("est_distinct"))
+      srcRows.unionByName(allRow)
+        .select(col("source"), col("exact_distinct"), col("est_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct")) * lit(1000000L) /
+            greatest(col("exact_distinct"), lit(1L))).cast("long").as("err_ppm"))
+        .orderBy("source")
+    },
+
     // Containment pairs (Broder's asymmetric measure): the subset-dup
     // detector — a doc quoted/embedded inside a larger one scores 1.0
     // where Jaccard sees almost nothing. Language-blocked (deliberately
