@@ -101,9 +101,9 @@ object PlanAudit {
     check("q_vocab_sketch", "distinct counting via mergeable HLL sketches, no UDF, no nested-loop beyond the 1-row attach")(p =>
       p.contains("hll_union_agg") && !p.contains("ScalaUDF") &&
         !p.contains("CartesianProduct"))
-    check("q_containment", "containment demo: block equi-join + kernel intersect, no nested-loop, no UDF")(p =>
-      p.contains("sorted_intersect_count") && !p.contains("CartesianProduct") &&
-        !p.contains("ScalaUDF"))
+    check("q_containment", "containment demo: early-exit threshold kernel above the join, exact count only for survivors")(p =>
+      p.contains("containment_at_least") && p.contains("sorted_intersect_count") &&
+        !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
     check("q_ngram_colloc", "bigrams via codegen'd kernel; bounded top-k; k-row side broadcast to the vocab probes")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("adjacent_join") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))

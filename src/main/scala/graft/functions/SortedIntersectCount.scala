@@ -75,3 +75,70 @@ object SortedIntersectCount {
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Early-exit containment threshold over two SORTED long arrays:
+  * `true` iff `floor(|a∩b| * 1e6 / max(min(|a|,|b|), 1)) >= minPpm` —
+  * EXACTLY the predicate `floor-div(intersect) >= minPpm`, but the merge
+  * aborts the moment the bound `matched + min(remaining)` can no longer
+  * reach the needed count (and succeeds the moment it is reached). On the
+  * dominant non-qualifying pairs of a high-threshold containment join the
+  * pass touches a small fraction of the arrays instead of all of both, so
+  * the expensive exact count runs only for the few survivors.
+  *
+  * Same caller contract as [[SortedIntersectCount]]: distinct ascending
+  * arrays, no null elements. */
+case class ContainmentAtLeast(left: Expression, right: Expression, minPpm: Long)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  require(minPpm >= 0L && minPpm <= 1000000L,
+    s"minPpm must be in [0, 1000000], got $minPpm")
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "containment_at_least"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ContainmentAtLeast.atLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], minPpm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ContainmentAtLeast.atLeast($a, $b, ${minPpm}L)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ContainmentAtLeast =
+    copy(left = newLeft, right = newRight)
+}
+
+object ContainmentAtLeast {
+  /** Column wrapper. */
+  def apply(a: Column, b: Column, minPpm: Long): Column =
+    ColumnBridge.column(ContainmentAtLeast(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), minPpm))
+
+  /** The merge pass with two-sided early exit. Pass condition
+    * `inter * 1e6 >= minPpm * minSize` (⟺ the floor-div predicate for
+    * non-negative ints) becomes `inter >= need`, `need =
+    * ceil(minPpm * minSize / 1e6)`. */
+  def atLeast(x: ArrayData, y: ArrayData, minPpm: Long): Boolean = {
+    val n = x.numElements()
+    val m = y.numElements()
+    val minSize = math.min(n, m).toLong
+    if (minSize == 0L) return minPpm <= 0L // inter=0, denominator clamps to 1
+    val need = (minPpm * minSize + 999999L) / 1000000L
+    if (need <= 0L) return true
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      if (c >= need) return true
+      if (c + math.min(n - i, m - j) < need) return false
+      val u = x.getLong(i)
+      val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c >= need
+  }
+}

@@ -258,10 +258,24 @@ object Dedup {
       else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
     val minSize =
       greatest(least(size(col("sh1")), size(col("sh2"))).cast("long"), lit(1L))
-    a.join(b, joinCond)
-      .select(col("doc1"), col("doc2"),
-        floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
-      .filter(graft.functions.PushdownBarrier.long(col("cont_ppm")) >= minPpm)
+    if (packedAscii) {
+      // two-phase: the early-exit threshold kernel (provably ⟺ the
+      // floor-div predicate) rejects the dominant non-qualifying pairs
+      // after touching a fraction of the arrays; the exact count then
+      // runs only for the few survivors. Barrier pins the kernel filter
+      // ABOVE the join (the ngramJaccardPairs discipline).
+      a.join(b, joinCond)
+        .filter(graft.functions.PushdownBarrier.long(
+          graft.functions.ContainmentAtLeast(col("sh1"), col("sh2"), minPpm)
+            .cast("long")) === 1L)
+        .select(col("doc1"), col("doc2"),
+          floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
+    } else {
+      a.join(b, joinCond)
+        .select(col("doc1"), col("doc2"),
+          floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
+        .filter(graft.functions.PushdownBarrier.long(col("cont_ppm")) >= minPpm)
+    }
   }
 
   /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of

@@ -241,6 +241,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out((1L, 4L)) == 1000000L) // identical docs contain each other
   }
 
+  test("Containment threshold kernel: exact boundary, early exits, degenerate arrays") {
+    import graft.functions.ContainmentAtLeast.atLeast
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    // inter=4, min=5 → cont = 800000 exactly: >= 800000 passes, >= 800001 fails
+    assert(atLeast(arr(1, 2, 3, 4, 5), arr(1, 2, 3, 4, 6), 800000L))
+    assert(!atLeast(arr(1, 2, 3, 4, 5), arr(1, 2, 3, 4, 6), 800001L))
+    assert(atLeast(arr(1, 2, 3), arr(1, 2, 3), 1000000L))       // identical
+    assert(!atLeast(arr(1, 2, 3), arr(4, 5, 6), 1L))            // disjoint
+    assert(atLeast(arr(1, 2, 3), arr(4, 5, 6), 0L))             // zero threshold
+    assert(atLeast(arr(), arr(1, 2), 0L) && !atLeast(arr(), arr(1, 2), 1L)) // empty side
+    // tiny set fully inside a big one: containment 1.0 despite the size gap
+    assert(atLeast(arr(10, 20), arr(1L to 100L: _*), 1000000L))
+    assert(!atLeast(arr(10, 200), arr(1L to 100L: _*), 1000000L)) // one miss → 0.5
+  }
+
+  test("Containment threshold path equals the plain filter path at a real threshold") {
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog and then some more words"
+    val docs = docsDf(
+      1L -> base,
+      2L -> (base + " with a very long continuation of entirely new material following here"),
+      3L -> "unrelated text that shares nothing with the others at all in any way",
+      4L -> base,
+      5L -> (base.take(30) + " zzz divergent tail material entirely"))
+      .withColumn("blk", lit(0))
+    def run(packed: Boolean) =
+      Dedup.ngramContainmentPairs(docs, "doc_id", "text", Seq("blk"),
+          k = 3, minPpm = 700000L, packedAscii = packed)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val threshold = run(packed = true)   // early-exit kernel path
+    val plain = run(packed = false)      // full-intersect filter path
+    assert(threshold.nonEmpty)
+    assert(threshold == plain)
+  }
+
   test("Prefix-filtered pairs EQUAL the all-pairs truth set, blocked and global") {
     // a corpus with near-dups at varied similarity, spread over two blocks
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
