@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta}
+import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -114,6 +114,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeTokenCountExpr(exprs.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "winnow_fps(text, k, w)")
+        WinnowFps(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("adjacent_join"),
       new ExpressionInfo(classOf[AdjacentJoin].getName, "adjacent_join"),
       (exprs: Seq[Expression]) => {
@@ -214,7 +221,8 @@ object ExtensionsSmoke {
         |  quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS qz,
         |  int_dot_product(array(2, -3), array(4, 5)) AS idp,
         |  deflate_len(repeat('a', 200)) AS dl,
-        |  adjacent_join(array('a', 'b', 'c'), ' ') AS aj
+        |  adjacent_join(array('a', 'b', 'c'), ' ') AS aj,
+        |  size(winnow_fps(repeat('ab', 40), 8, 16)) AS wf
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
       // two identical tokens vote every bit of their hash twice → the
@@ -228,7 +236,9 @@ object ExtensionsSmoke {
       kern.getLong(10) == -7L &&
       // 200 repeated bytes must deflate to a handful (LZ77 back-reference)
       kern.getLong(11) > 0L && kern.getLong(11) < 40L &&
-      kern.getSeq[String](12) == Seq("a b", "b c")
+      kern.getSeq[String](12) == Seq("a b", "b c") &&
+      // period-2 text: one hash dominates every window -> one fingerprint
+      kern.getInt(13) == 1
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk

@@ -98,6 +98,9 @@ object PlanAudit {
     check("q_bpe_tokens", "true-BPE counting is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_token_count"))
+    check("q_winnow_pairs", "winnowed fps = kernel projection; one fp exchange feeds the self-join; no nested-loop")(p =>
+      p.contains("winnow_fps") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     check("q_vocab_sketch", "distinct counting via mergeable HLL sketches, no UDF, no nested-loop beyond the 1-row attach")(p =>
       p.contains("hll_union_agg") && !p.contains("ScalaUDF") &&
         !p.contains("CartesianProduct"))

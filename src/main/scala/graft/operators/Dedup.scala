@@ -278,6 +278,37 @@ object Dedup {
     }
   }
 
+  /** Winnowed-fingerprint candidate pairs — the PRODUCTION path for
+    * local/subset duplication (the quadratic [[ngramContainmentPairs]]
+    * demo's scale twin, exactly as the LSH paths are for Jaccard):
+    * [[graft.functions.WinnowFps]] selects ~n/w fingerprints per doc with
+    * the Schleimer-Wilkerson-Aiken guarantee that ANY shared substring of
+    * length >= w + k - 1 produces at least one shared fingerprint, so a
+    * corpus-linear explode + fingerprint equi-join surfaces every
+    * substantial local overlap — quotes, mirrored sections, embedded
+    * docs — without enumerating pairs.
+    *
+    * Scale shape: fingerprint table is a pure kernel projection (no
+    * shuffle); ONE exchange on the fingerprint key feeds both sides of
+    * the self-join (the lshNearDupPairs pattern); `maxBucket` caps
+    * boilerplate fingerprints exactly like the LSH band joins; the pair
+    * aggregate carries two ids. Returns (doc1, doc2, n_shared_fps),
+    * doc1 < doc2, n_shared_fps >= minShared. */
+  def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int, minShared: Long,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowFps(col(textCol), k, w)).as("fp"))
+    val capped = dropHotBuckets(fps, Seq("fp"), maxBucket)
+      .repartition(col("fp"))
+    val l = capped.select(col("id").as("doc1"), col("fp"))
+    val r = capped.select(col("id").as("doc2"), col("fp").as("fp_r"))
+    l.join(r, col("fp") === col("fp_r") && col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
     * matching signature slots, in ppm). `bands` × `rowsPerBand` = perms.
     *

@@ -394,6 +394,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Winnowed-fingerprint candidate pairs — q_containment's production
+    // twin (MOSS winnowing): ~n/w fingerprints per doc, corpus-linear
+    // bucket self-join, guarantee that any >= w+k-1-char shared substring
+    // yields a shared fingerprint. Rows-only (xxhash64 fingerprints);
+    // WinnowSpec carries the reference-equality and guarantee truths.
+    "q_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowedPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 16, minShared = 3L, maxBucket = 32)
+        .orderBy("doc1", "doc2")
+    },
+
     // Mergeable vocabulary sketches: per-source distinct-token HLL
     // (DataSketches, lgK=12 → ~1.6% rse) UNIONED into the corpus estimate
     // WITHOUT re-scanning — the 100 TB distinct-counting shape (per-slice
