@@ -25,7 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinHashKernels {
 
   def minhashSig(text: UTF8String, k: Int, perms: Int): ArrayData = {
-    val n = math.max(text.numChars() - k + 1, 1)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes()
+    val nChars = text.numChars()
+    val n = math.max(nChars - k + 1, 1)
     val mins = new Array[Long](perms)
     val seeds = new Array[Long](perms)
     var p = 0
@@ -34,10 +38,27 @@ object MinHashKernels {
       seeds(p) = XXH64.hashInt(p, 42L)
       p += 1
     }
-    var i = 1
-    while (i <= n) {
-      val s = text.substringSQL(i, k)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    // char index -> byte offset: hash each shingle's bytes in place
+    // instead of substringSQL per shingle (which re-walks from byte 0
+    // every call — O(n²) in doc length; WinnowKernels/repetitionPpmSorted
+    // use the same offset-table pattern). Bit-identical hashes: the byte
+    // span IS the substring's bytes (MinHashKernelsSpec's reference
+    // equality pins it).
+    val charOff = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nBytes) {
+      charOff(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
+      ci += 1
+    }
+    charOff(nChars) = nBytes
+    var i = 0
+    while (i < n) {
+      val s = charOff(i)
+      val e = charOff(math.min(i + k, nChars))
+      val h = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
       p = 0
       while (p < perms) {
         val hp = XXH64.hashLong(h, seeds(p))

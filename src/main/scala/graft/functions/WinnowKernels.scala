@@ -26,13 +26,31 @@ import org.apache.spark.unsafe.types.UTF8String
 object WinnowKernels {
 
   def winnowFps(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes()
     val nChars = text.numChars()
     val n = math.max(nChars - k + 1, 1)
+    // char index -> byte offset so each shingle hashes its bytes in place
+    // (substringSQL per shingle walks from byte 0 every call — O(n²) in
+    // doc length; the repetitionPpmSorted offset-table pattern keeps the
+    // whole pass O(n), ~4 B/char)
+    val charOff = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nBytes) {
+      charOff(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
+      ci += 1
+    }
+    charOff(nChars) = nBytes
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val s = text.substringSQL(i + 1, k)
-      h(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val s = charOff(i)
+      val e = charOff(math.min(i + k, nChars))
+      h(i) = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
       i += 1
     }
     if (n <= w) {

@@ -170,17 +170,16 @@ object Dedup {
     out
   }
 
-  /** Exact k-shingle Jaccard pairs above `minPpm`, blocked by (lang,
-    * length band) to bound the candidate set. Returns (doc1, doc2,
-    * jacc_ppm) with doc1 < doc2. */
-  def ngramJaccardPairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      blockCols: Seq[String],
-      k: Int,
-      minPpm: Long,
-      packedAscii: Boolean = true): DataFrame = {
+  /** Shared scaffolding of the blocked all-pairs builders
+    * ([[ngramJaccardPairs]], [[ngramContainmentPairs]]): shingle
+    * projection, (doc1, sh1) / (doc2, sh2) sides with block columns
+    * renamed on the right, the block-equality + doc1<doc2 join condition,
+    * and the intersect-cardinality expression (merge-pass kernel for
+    * packed shingles, array_intersect otherwise). */
+  private def blockedPairScaffold(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], k: Int, packedAscii: Boolean)
+      : (DataFrame, DataFrame, Column, Column) = {
     // packed + sorted shingles unlock the merge-pass intersect expression
     val shingleExpr =
       if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
@@ -192,6 +191,27 @@ object Dedup {
     val b = withShingles.select(
       col(idCol).as("doc2") +: col("__sh").as("sh2") +:
         blockCols.map(c => col(c).as(s"${c}_r")): _*)
+    val joinCond = blockCols.map(c => col(c) === col(s"${c}_r"))
+      .foldLeft(col("doc1") < col("doc2"))(_ && _)
+    val inter =
+      if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+      else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+    (a, b, joinCond, inter)
+  }
+
+  /** Exact k-shingle Jaccard pairs above `minPpm`, blocked by (lang,
+    * length band) to bound the candidate set. Returns (doc1, doc2,
+    * jacc_ppm) with doc1 < doc2. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      k: Int,
+      minPpm: Long,
+      packedAscii: Boolean = true): DataFrame = {
+    val (a, b, blockCond, inter) =
+      blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii)
     // size-ratio prefilter: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so
     // pairs failing the ratio can never reach minPpm — provably
     // result-equivalent, and it skips the expensive intersect for most
@@ -199,14 +219,7 @@ object Dedup {
     val sizeGuard =
       size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
         size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
-    val joinCond = blockCols.map(c => col(c) === col(s"${c}_r"))
-      .foldLeft(col("doc1") < col("doc2") && sizeGuard)(_ && _)
-    // Intersection cardinality: a codegen'd merge pass over the sorted
-    // packed arrays (graft.functions.SortedIntersectCount) instead of
-    // size(array_intersect(...)) — the latter builds a hash set per pair.
-    val inter =
-      if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
-      else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+    val joinCond = blockCond && sizeGuard
     val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
     // Barrier pins the expensive jaccard filter ABOVE the join — otherwise
     // the optimizer pushes it into the join condition ahead of the cheap
@@ -241,21 +254,8 @@ object Dedup {
       k: Int,
       minPpm: Long,
       packedAscii: Boolean = true): DataFrame = {
-    val shingleExpr =
-      if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
-      else TextAnalysis.shingles(col(textCol), k)
-    val withShingles = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+ shingleExpr.as("__sh"): _*)
-    val a = withShingles.select(
-      col(idCol).as("doc1") +: col("__sh").as("sh1") +: blockCols.map(col): _*)
-    val b = withShingles.select(
-      col(idCol).as("doc2") +: col("__sh").as("sh2") +:
-        blockCols.map(c => col(c).as(s"${c}_r")): _*)
-    val joinCond = blockCols.map(c => col(c) === col(s"${c}_r"))
-      .foldLeft(col("doc1") < col("doc2"))(_ && _)
-    val inter =
-      if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
-      else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+    val (a, b, joinCond, inter) =
+      blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii)
     val minSize =
       greatest(least(size(col("sh1")), size(col("sh2"))).cast("long"), lit(1L))
     if (packedAscii) {

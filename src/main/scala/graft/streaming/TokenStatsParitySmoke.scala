@@ -55,19 +55,26 @@ object TokenStatsParitySmoke {
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
 
-    // ---- streaming: replay keyed by source, offset = doc id (unique)
+    // ---- streaming: replay keyed by source, offset = doc id (unique).
+    // Null text rides as empty bytes: the batch SUMs skip the null row
+    // (add nothing) while n_docs still counts it — the empty-string
+    // measure (1, 0, 0) reproduces exactly that.
     val feed = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text")).collect()
       .map(r => Record("documents", 0, r.getLong(0), new Timestamp(0L), 0,
-        r.getString(1), r.getString(2).getBytes("UTF-8"), Map.empty))
+        r.getString(1),
+        (if (r.isNullAt(2)) "" else r.getString(2)).getBytes("UTF-8"), Map.empty))
       .sortBy(_.offset)
 
     // local vals only: the fold closure ships to executors, and a method
-    // reference would drag this (non-serializable) object along with it
+    // reference would drag this (non-serializable) object along with it.
+    // Char count = CODE POINTS (Spark's length()), not UTF-16 units —
+    // String.length would diverge on any non-BMP char.
     val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
     val measure: Record => (Long, Long, Long) = { r =>
       val t = new String(r.value, "UTF-8")
-      (1L, tokenRe.findAllIn(t).size.toLong, t.length.toLong)
+      (1L, tokenRe.findAllIn(t).size.toLong,
+        t.codePointCount(0, t.length).toLong)
     }
     val fold = FoldOption.of[(Long, Long, Long), Record](measure) { (st, r) =>
       val m = measure(r)

@@ -32,6 +32,21 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     Process(cmd).!
   }
 
+  /** Deterministic pseudo-random text (xorshift64) — high-entropy by
+    * construction, unlike periodic `i*K%m` patterns which compress /
+    * collide trivially. `span` chars starting at `'a'` (e.g. span=26 →
+    * lowercase letters, span=91 from ' ' → printable ASCII via `from`). */
+  def noiseText(n: Int, seed: Long = 0x9e3779b97f4a7c15L,
+                from: Char = 'a', span: Int = 26): String = {
+    var x = seed
+    val sb = new StringBuilder(n)
+    (0 until n).foreach { _ =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      sb.append((from + java.lang.Long.remainderUnsigned(x, span)).toChar)
+    }
+    sb.toString
+  }
+
   override def afterAll(): Unit = super.afterAll()
 }
 

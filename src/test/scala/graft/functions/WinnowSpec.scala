@@ -32,15 +32,7 @@ class WinnowSpec extends SparkTestBase {
   }
 
   test("kernel equals the naive per-window reference on varied inputs") {
-    var x = 0x2545f4914f6cdd1dL
-    def noise(n: Int): String = {
-      val sb = new StringBuilder(n)
-      (0 until n).foreach { _ =>
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        sb.append(('a' + java.lang.Long.remainderUnsigned(x, 26)).toChar)
-      }
-      sb.toString
-    }
+    def noise(n: Int): String = noiseText(n, seed = 0x2545f4914f6cdd1dL + n)
     val samples = Seq(
       "short",                       // fewer shingles than the window
       "a" * 40,                      // all hashes equal
@@ -52,15 +44,8 @@ class WinnowSpec extends SparkTestBase {
   }
 
   test("guarantee: a shared substring of length >= w+k-1 shares a fingerprint") {
-    var x = 0x9e3779b97f4a7c15L
-    def noise(n: Int): String = {
-      val sb = new StringBuilder(n)
-      (0 until n).foreach { _ =>
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        sb.append(('a' + java.lang.Long.remainderUnsigned(x, 26)).toChar)
-      }
-      sb.toString
-    }
+    var salt = 0L
+    def noise(n: Int): String = { salt += 1; noiseText(n, seed = 0x9e3779b97f4a7c15L + salt) }
     val (k, w) = (8, 16)
     val shared = noise(w + k - 1) // exactly the guarantee length
     for (_ <- 0 until 20) {
@@ -73,15 +58,8 @@ class WinnowSpec extends SparkTestBase {
 
   test("winnowedPairs: planted containment found, disjoint docs not paired") {
     import spark.implicits._
-    var x = 0x6a09e667f3bcc909L
-    def noise(n: Int): String = {
-      val sb = new StringBuilder(n)
-      (0 until n).foreach { _ =>
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        sb.append(('a' + java.lang.Long.remainderUnsigned(x, 26)).toChar)
-      }
-      sb.toString
-    }
+    var salt = 0L
+    def noise(n: Int): String = { salt += 1; noiseText(n, seed = 0x6a09e667f3bcc909L + salt) }
     val embedded = noise(120)
     val docs = Seq(
       (1L, embedded),                               // the small doc
