@@ -120,6 +120,11 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_html_extract", "HTML extraction is a pure chained-regex projection: no shuffle, no UDF")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
+    check("q_filter_report", "filter cascade = one kernel projection, count agg + source-share window, <=2 shuffles")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        p.contains("repetition_ppm") && !p.contains("ScalaUDF"))
     check("q_line_dedup", "intra-doc line dedup = two id-keyed aggregations, no join, no UDF")(p =>
       !p.contains("Join") && !p.contains("ScalaUDF") &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 2)

@@ -292,6 +292,36 @@ object TextAnalysis {
           - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
   }
 
+  /** HTML-to-text extraction — the stage BEFORE any cleaning/scoring in a
+    * web-corpus pipeline: drop script/style blocks (content and all),
+    * strip remaining tags, decode the ubiquitous named/numeric entities,
+    * collapse whitespace. Pure chained codegen'd `regexp_replace` /
+    * `replace` (one scan, no shuffle), byte-deterministic and RE2-safe →
+    * mirrored exactly by the DuckDB oracle.
+    *
+    * Entity order is the classic single-decode rule: specific entities
+    * first, `&amp;` LAST — decoding the ampersand first would turn
+    * `&amp;lt;` into `&lt;` and then into `<` (double decode); this chain
+    * yields the correct literal `&lt;`. Whitespace class is explicit
+    * (`[ \t\r\n]`) because Java's `\s` and RE2's `\s` disagree on
+    * vertical tab. */
+  def extractHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val decoded = replace(ent, lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** Count of angle-bracket tag spans in raw markup (diagnostic column
+    * next to [[extractHtml]]; over-counts bare `<`/`>` pairs in script
+    * text — deterministic and mirrored, which is what matters). */
+  def htmlTagCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("<[^>]+>"), lit(0))).cast("long")
+
   /** Intra-document duplicate-line removal — the C4/RefinedWeb "remove
     * repeated lines within a page" pass: web pages repeat nav chrome,
     * cookie banners and list fragments INSIDE one document, which

@@ -496,6 +496,50 @@ object TextQueries {
       TA.clean(raw, "doc_id", "raw", maxLineDf = 20L).orderBy("doc_id")
     },
 
+    // HTML extraction — the stage before any cleaning: script/style
+    // blocks dropped, tags stripped, entities single-decoded (&amp; LAST
+    // so &amp;lt; yields the literal "&lt;", not "<"), whitespace
+    // collapsed. Markup synthesized IN-QUERY around the plain-text corpus
+    // (media-header discipline), with planted entity/flag/lazy-quantifier
+    // corners; the oracle mirrors every regex and the replace chain.
+    "q_html_extract" -> { (s, dir) =>
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style type=\"text/css\">body { margin: 0; }</style>"),
+        lit("<SCRIPT>var n = 1 < 2 && 3 > 2;</SCRIPT></head><body><h1 class=\"t\">Doc "), id,
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Tom &amp; Jerry &lt;3 say &quot;hi&quot; &amp;lt; &#39;q&#39;&nbsp;end</p></body></html>"))
+      Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(id, html.as("__h"))
+        .select(id,
+          TA.extractHtml(col("__h")).as("text_extracted"),
+          TA.htmlTagCount(col("__h")).as("n_tags"))
+        .orderBy("doc_id")
+    },
+
+    // Filter-cascade report — the C4-style quality gate as ONE projection
+    // over proven oracle-exact signals (length, kernel repetition ppm,
+    // quality ppm), with first-failing-rule verdicts and per-source pass
+    // shares. Thresholds sit at the corpus's p5/p95 tails so every
+    // verdict class is populated at test SF.
+    "q_filter_report" -> { (s, dir) =>
+      val sig = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          length(col("text")).cast("long").as("__chars"),
+          graft.functions.RepetitionPpm(col("text"), 3).as("__rep"),
+          TA.qualityScorePpm(col("text")).as("__q"))
+      val verdict = when(col("__chars") < 100, "too_short")
+        .when(col("__rep") > 35000, "repetitive")
+        .when(col("__q") < 400000, "low_quality")
+        .otherwise("pass")
+      sig.select(col("source"), verdict.as("verdict"))
+        .groupBy("source", "verdict").agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_ppm",
+          expr("(n_docs * 1000000) div sum(n_docs) over (partition by source)"))
+        .orderBy("source", "verdict")
+    },
+
     // Intra-doc duplicate-line removal (the C4-style "repeated lines
     // within a page" pass — invisible to q_text_clean's corpus-level df
     // drop). Single-line test corpus, so multi-line docs with in-doc
@@ -1441,6 +1485,73 @@ object TextQueries {
         | CAST(len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped
         |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // synthesis + regex chain mirrored 1:1; entity replaces in the same
+    // order (&amp; last); explicit whitespace class (Java \s and RE2 \s
+    // disagree on vertical tab)
+    "q_html_extract" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><style type="text/css">body { margin: 0; }</style>' ||
+        |  '<SCRIPT>var n = 1 < 2 && 3 > 2;</SCRIPT></head><body><h1 class="t">Doc ' || doc_id ||
+        |  '</h1><p>' || text ||
+        |  '</p><p>Tom &amp; Jerry &lt;3 say &quot;hi&quot; &amp;lt; &#39;q&#39;&nbsp;end</p></body></html>' AS h
+        | FROM documents WHERE text IS NOT NULL),
+        |x AS (
+        | SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(h,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t,
+        |  CAST(len(regexp_extract_all(h, '<[^>]+>')) AS BIGINT) AS n_tags
+        | FROM h)
+        |SELECT doc_id, trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS text_extracted,
+        | n_tags
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // verdict CASE repeats the proven q_quality / q_repetition formulas
+    // in CTEs; windowed SUM CAST per the HUGEINT rule
+    "q_filter_report" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' a ', ''))) // 3 AS DOUBLE) AS stops,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+        | FROM documents WHERE text IS NOT NULL),
+        |q AS (
+        | SELECT doc_id, CAST(floor((least(1.0, chars/500.0)*0.3
+        |   + least(1.0, stops*10.0/tokens)*0.4
+        |   + (1.0 - least(1.0, punct/(chars*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS quality_ppm
+        | FROM t),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1)+1),
+        |   i -> text[i:i+2])) AS g
+        | FROM documents WHERE text IS NOT NULL),
+        |cg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |r AS (
+        | SELECT doc_id, (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS rep_ppm
+        | FROM cg GROUP BY doc_id),
+        |v AS (
+        | SELECT d.source,
+        |  CASE WHEN len(d.text) < 100 THEN 'too_short'
+        |       WHEN r.rep_ppm > 35000 THEN 'repetitive'
+        |       WHEN q.quality_ppm < 400000 THEN 'low_quality'
+        |       ELSE 'pass' END AS verdict
+        | FROM documents d JOIN q USING (doc_id) JOIN r USING (doc_id)
+        | WHERE d.text IS NOT NULL),
+        |c AS (SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM v GROUP BY 1, 2)
+        |SELECT source, verdict, n_docs,
+        | (n_docs * 1000000) // CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY source, verdict""".stripMargin,
 
     // synthesis mirrored; first-occurrence keep = MIN(pos) per (doc,
     // line); dropped = per-line multiplicities minus distinct lines.

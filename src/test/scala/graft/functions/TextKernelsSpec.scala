@@ -100,6 +100,20 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("ASCII packed-gram path equals the offset-sort path, k in 1..8") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdef gh.\n"
+    for (trial <- 1 to 300) {
+      val s = (0 until rnd.nextInt(200))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val k = 1 + rnd.nextInt(8) // every k on the packed path
+      assert(TextKernels.repetitionPpmSorted(u(s), k)
+        == TextKernels.repetitionPpm(u(s), k, Int.MaxValue),
+        s"trial=$trial k=$k s=${s.take(40)}")
+    }
+  }
+
   test("MinShingleMd5 kernel equals array_min(transform(md5)) bit-for-bit") {
     import spark.implicits._
     def reference(text: Column, k: Int): Column =

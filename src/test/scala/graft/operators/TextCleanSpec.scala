@@ -70,6 +70,24 @@ class TextCleanSpec extends SparkTestBase {
     assert(redact("no pii here") == (("no pii here", 0L, 0L, 0L)))
   }
 
+  test("extractHtml: tags, script/style content, entity single-decode, whitespace") {
+    import spark.implicits._
+    def ex(s: String): String =
+      Seq(Tuple1(s)).toDF("h")
+        .select(TextAnalysis.extractHtml(col("h")).as("t"))
+        .collect()(0).getString(0)
+    assert(ex("<p>a</p>") == "a")
+    assert(ex("<script>if (x<y) go();</script>hi") == "hi")  // content dropped too
+    assert(ex("<SCRIPT src='x'>a</SCRIPT>ok") == "ok")       // case-insensitive
+    assert(ex("<style>b { c: d; }</style>ok") == "ok")
+    assert(ex("Tom &amp; Jerry") == "Tom & Jerry")
+    assert(ex("&amp;lt;") == "&lt;")                          // SINGLE decode
+    assert(ex("&lt;tag&gt;") == "<tag>")  // encoded markup is content, kept
+    assert(ex("&quot;q&quot; &#39;a&#39;&nbsp;b") == "\"q\" 'a' b")
+    assert(ex("<div>a</div>\n\n <div>b</div>") == "a b")
+    assert(ex("<a href=\"x\">link</a> tail") == "link tail")
+  }
+
   test("dedupLines: keeps first occurrence, preserves order, counts drops") {
     import spark.implicits._
     val docs = Seq(
