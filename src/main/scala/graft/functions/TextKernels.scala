@@ -256,6 +256,28 @@ object TextKernels {
     a.length < b.length
   }
 
+  /** One BPE merge round over a symbol array — the [[MergePair]] kernel:
+    * greedy left-to-right, non-overlapping. Null slots pass through
+    * unmerged (never present in the trainer's arrays). */
+  def mergePair(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                left: UTF8String, right: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && !arr.isNullAt(i) && !arr.isNullAt(i + 1) &&
+          left.equals(arr.getUTF8String(i)) && right.equals(arr.getUTF8String(i + 1))) {
+        out.add(UTF8String.concat(arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+        i += 2
+      } else {
+        out.add(if (arr.isNullAt(i)) null else arr.getUTF8String(i))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Adjacent element pairs of a string array, each joined by `sep` —
     * the [[AdjacentJoin]] kernel. Pairs touching a null slot are skipped
     * (token arrays are containsNull=false in every declared path; the
@@ -362,6 +384,47 @@ object SimHashText {
   /** Column wrapper. */
   def apply(text: Column): Column =
     ColumnBridge.column(SimHashText(ColumnBridge.expression(text)))
+}
+
+/** `merge_pair(arr)` → `array<string>`: one BPE merge round over a symbol
+  * sequence — every adjacent (left, right) occurrence becomes the single
+  * symbol left+right, greedy left-to-right, non-overlapping (canonical
+  * Sennrich et al. 2016 semantics: ["a","a","a"] merging (a,a) →
+  * ["aa","a"]). A kernel rather than a join-string replace because
+  * substring search cannot respect symbol boundaries ("aa"+SEP+"b"
+  * contains the bytes of "a"+SEP+"b") and boundary sentinels break on
+  * back-to-back occurrences. */
+case class MergePair(child: Expression, left: String, right: String)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  // same element nullability as the input: null slots pass through
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "merge_pair"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.mergePair(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      UTF8String.fromString(left), UTF8String.fromString(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("mergeLeft", UTF8String.fromString(left),
+      "org.apache.spark.unsafe.types.UTF8String")
+    val r = ctx.addReferenceObj("mergeRight", UTF8String.fromString(right),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.mergePair($c, $l, $r)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergePair =
+    copy(child = newChild)
+}
+
+object MergePair {
+  /** Column wrapper. */
+  def apply(arr: Column, left: String, right: String): Column =
+    ColumnBridge.column(MergePair(ColumnBridge.expression(arr), left, right))
 }
 
 /** `adjacent_join(arr, sep)` → `array<string>` of each adjacent element

@@ -496,6 +496,19 @@ object TextQueries {
       TA.clean(raw, "doc_id", "raw", maxLineDf = 20L).orderBy("doc_id")
     },
 
+    // Distributed BPE merge LEARNING — train the tokenizer's merge table
+    // on the corpus (the training-side twin of q_bpe_tokens' counter):
+    // one corpus scan to the word-frequency table, then every merge round
+    // iterates on the vocabulary only. Rows-only: the data-dependent
+    // iteration is not SQL-expressible (the BPE precedent);
+    // BpeTrainerSpec pins exact equality with an independent in-memory
+    // reference trainer including the tie rule.
+    "q_bpe_learn" -> { (s, dir) =>
+      graft.operators.BpeTrainer
+        .learnMerges(Tables(s, dir, "documents"), "text", numMerges = 12)
+        .orderBy("rank")
+    },
+
     // HTML extraction — the stage before any cleaning: script/style
     // blocks dropped, tags stripped, entities single-decoded (&amp; LAST
     // so &amp;lt; yields the literal "&lt;", not "<"), whitespace

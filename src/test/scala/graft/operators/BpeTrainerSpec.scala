@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Algorithmic truth for distributed BPE merge learning: exact equality
+  * with an independent in-memory reference trainer (word-frequency
+  * weighted pair counts, deterministic tie rule, greedy left-to-right
+  * merge application), plus the boundary cases the MergePair kernel
+  * exists for. */
+class BpeTrainerSpec extends SparkTestBase {
+
+  private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+
+  /** Independent reference trainer over symbol LISTS (no Spark). */
+  private def reference(texts: Seq[String], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          buf += (a + b); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      buf.toList
+    }
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(t => tokenRe.findAllIn(t))
+      .groupBy(w => w.map(_.toString).toList)
+      .map { case (syms, ws) => syms -> ws.size.toLong }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // the operator's tie rule: count desc, then the joined pair
+        // string (left + \u0001 + right) ascending
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x + "\u0001" + y) }
+        out += ((rank, a, b, a + b, c))
+        vocab = vocab.toSeq
+          .map { case (syms, n) => applyMerge(syms, a, b) -> n }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  private def learned(texts: Seq[String], numMerges: Int) = {
+    import spark.implicits._
+    BpeTrainer.learnMerges(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "text", numMerges)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+  }
+
+  test("learned merges equal the reference trainer on the classic corpus") {
+    // the Sennrich paper's flavor: low/lower/newest/widest frequencies
+    val texts = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest",
+      "new new")
+    assert(learned(texts, 10) == reference(texts, 10))
+  }
+
+  test("merge list is deterministic and respects the tie rule") {
+    val texts = Seq("ab ab", "cd cd") // (a,b) and (c,d) tie at 2 -> smaller joined pair wins
+    val l = learned(texts, 2)
+    assert(l == reference(texts, 2))
+    assert(l.head._2 == "a" && l.head._3 == "b")
+  }
+
+  test("vocabulary exhaustion stops early with fewer rows") {
+    val texts = Seq("ab", "cd") // 2 possible merges, ask for 10
+    val l = learned(texts, 10)
+    assert(l == reference(texts, 10))
+    assert(l.size < 10)
+  }
+
+  test("MergePair kernel: greedy left-to-right, boundary-correct") {
+    import spark.implicits._
+    def merge(arr: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(arr)).toDF("s")
+        .select(graft.functions.MergePair(col("s"), a, b).as("m"))
+        .collect()(0).getSeq[String](0)
+    assert(merge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a")) // greedy, non-overlap
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // the case a join-string replace gets wrong: "aa"+"b" contains the
+    // BYTES of "a"+sep+"b" but no (a, b) symbol pair exists
+    assert(merge(Seq("aa", "b"), "a", "b") == Seq("aa", "b"))
+    assert(merge(Seq.empty, "a", "b") == Seq.empty)
+    assert(merge(Seq("x"), "a", "b") == Seq("x"))
+  }
+}
