@@ -120,6 +120,11 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    // q_bpe_learn and q_dedup_ngram carry no plan-string row by design:
+    // the trainer's driver loop executes during planning (its final plan
+    // is a 12-row parallelize), and the ngram demo is the documented
+    // quadratic oracle check — both are shape-pinned by their specs
+    // (BpeTrainerSpec / PipelineOpsSpec) instead.
     check("q_html_extract", "HTML extraction is a pure chained-regex projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
     check("q_filter_report", "filter cascade = one kernel projection, count agg + source-share window, <=2 shuffles")(p =>

@@ -38,22 +38,10 @@ object MinHashKernels {
       seeds(p) = XXH64.hashInt(p, 42L)
       p += 1
     }
-    // char index -> byte offset: hash each shingle's bytes in place
-    // instead of substringSQL per shingle (which re-walks from byte 0
-    // every call — O(n²) in doc length; WinnowKernels/repetitionPpmSorted
-    // use the same offset-table pattern). Bit-identical hashes: the byte
-    // span IS the substring's bytes (MinHashKernelsSpec's reference
-    // equality pins it).
-    val charOff = new Array[Int](nChars + 1)
-    var ci = 0
-    var bi = 0
-    while (bi < nBytes) {
-      charOff(ci) = bi
-      bi += UTF8String.numBytesForFirstByte(
-        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
-      ci += 1
-    }
-    charOff(nChars) = nBytes
+    // hash each shingle's bytes in place via the shared offset table
+    // (TextKernels.charOffsets) instead of substringSQL per shingle —
+    // bit-identical hashes (MinHashKernelsSpec's reference equality)
+    val charOff = TextKernels.charOffsets(text)
     var i = 0
     while (i < n) {
       val s = charOff(i)

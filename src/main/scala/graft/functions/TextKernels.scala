@@ -19,6 +19,30 @@ object TextKernels {
     * worst-case — every real document stays on the fast path. */
   val RepetitionMapMaxChars: Int = 8000000
 
+  /** Char index → byte offset table (nChars+1 entries, last = nBytes) —
+    * the shared builder behind every kernel that hashes/compares char
+    * shingles in place (repetitionPpmSorted, MinHashKernels.minhashSig,
+    * WinnowKernels.winnowFps): each shingle's bytes are then addressed
+    * directly instead of substringSQL's walk-from-zero (O(n²) in doc
+    * length). */
+  def charOffsets(text: UTF8String): Array[Int] = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes()
+    val nChars = text.numChars()
+    val charOff = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nBytes) {
+      charOff(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
+      ci += 1
+    }
+    charOff(nChars) = nBytes
+    charOff
+  }
+
   /** Repetition ratio: occurrences of the most repeated k-char shingle
     * over all shingle occurrences, floor-scaled to ppm. Replaces an
     * explode + two shuffled hash aggregates with one per-row pass — the
@@ -64,6 +88,11 @@ object TextKernels {
     val nBytes = text.numBytes()
     if (nBytes < k) return 1000000L // one short gram: the whole text, once
     val n = nBytes - k + 1
+    // the table needs 2n slots as an Int power of two; beyond 2^29 grams
+    // (half a GiB of text — far past every maxMapChars default) route to
+    // the sorted path instead of risking `n * 2` Int overflow collapsing
+    // the capacity and turning the probe loop infinite on a full table
+    if (n > (1 << 29)) return repetitionPpmSorted(text, k)
     val mask = if (k == 8) -1L else (1L << (8 * k)) - 1L
     var cap = java.lang.Integer.highestOneBit(math.max(n * 2, 16))
     if (cap < n * 2) cap <<= 1
@@ -106,17 +135,7 @@ object TextKernels {
     val nBytes = text.numBytes()
     val nChars = text.numChars()
     val n = math.max(nChars - k + 1, 1)
-    // char index -> byte offset (nChars+1 entries, last = nBytes)
-    val charOff = new Array[Int](nChars + 1)
-    var ci = 0
-    var bi = 0
-    while (bi < nBytes) {
-      charOff(ci) = bi
-      bi += UTF8String.numBytesForFirstByte(
-        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
-      ci += 1
-    }
-    charOff(nChars) = nBytes
+    val charOff = charOffsets(text)
     // gram i (0-based) spans bytes [charOff(i), charOff(min(i+k, nChars)))
     @inline def gramStart(g: Int): Int = charOff(g)
     @inline def gramEnd(g: Int): Int = charOff(math.min(g + k, nChars))

@@ -31,20 +31,9 @@ object WinnowKernels {
     val nBytes = text.numBytes()
     val nChars = text.numChars()
     val n = math.max(nChars - k + 1, 1)
-    // char index -> byte offset so each shingle hashes its bytes in place
-    // (substringSQL per shingle walks from byte 0 every call — O(n²) in
-    // doc length; the repetitionPpmSorted offset-table pattern keeps the
-    // whole pass O(n), ~4 B/char)
-    val charOff = new Array[Int](nChars + 1)
-    var ci = 0
-    var bi = 0
-    while (bi < nBytes) {
-      charOff(ci) = bi
-      bi += UTF8String.numBytesForFirstByte(
-        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
-      ci += 1
-    }
-    charOff(nChars) = nBytes
+    // each shingle hashes its bytes in place via the shared offset table
+    // (TextKernels.charOffsets — substringSQL per shingle would be O(n²))
+    val charOff = TextKernels.charOffsets(text)
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {

@@ -25,9 +25,13 @@ class BpeTrainerSpec extends SparkTestBase {
       }
       buf.toList
     }
+    // split by CODE POINTS (the operator's split(w, "") semantics), not
+    // UTF-16 units — a surrogate pair must seed ONE symbol, not two
+    def codePointSyms(w: String): List[String] =
+      w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
     var vocab: Map[List[String], Long] = texts
       .flatMap(t => tokenRe.findAllIn(t))
-      .groupBy(w => w.map(_.toString).toList)
+      .groupBy(codePointSyms)
       .map { case (syms, ws) => syms -> ws.size.toLong }
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
@@ -43,9 +47,26 @@ class BpeTrainerSpec extends SparkTestBase {
       if (counts.isEmpty) done = true
       else {
         // the operator's tie rule: count desc, then the joined pair
-        // string (left + \u0001 + right) ascending
-        val ((a, b), c) = counts.toSeq
-          .minBy { case ((x, y), n) => (-n, x + "\u0001" + y) }
+        // string (left + \u0001 + right) ascending in UTF-8 BINARY order
+        // (Spark's string sort order) — Java String order is UTF-16 and
+        // disagrees for supplementary vs U+E000..U+FFFF symbols
+        def utf8Less(pp: String, q: String): Boolean = {
+          val pb = pp.getBytes("UTF-8"); val qb = q.getBytes("UTF-8")
+          var i = 0
+          while (i < pb.length && i < qb.length) {
+            val d = (pb(i) & 0xff) - (qb(i) & 0xff)
+            if (d != 0) return d < 0
+            i += 1
+          }
+          pb.length < qb.length
+        }
+        val ((a, b), c) = counts.toSeq.reduceLeft { (best, cur) =>
+          if (cur._2 > best._2) cur
+          else if (cur._2 == best._2 && utf8Less(
+            cur._1._1 + "\u0001" + cur._1._2,
+            best._1._1 + "\u0001" + best._1._2)) cur
+          else best
+        }
         out += ((rank, a, b, a + b, c))
         vocab = vocab.toSeq
           .map { case (syms, n) => applyMerge(syms, a, b) -> n }
@@ -89,6 +110,14 @@ class BpeTrainerSpec extends SparkTestBase {
     val l = learned(texts, 10)
     assert(l == reference(texts, 10))
     assert(l.size < 10)
+  }
+
+  test("supplementary chars tokenize as single-symbol words; learning still matches") {
+    // the pretokenizer gives multi-symbol words only for [a-z]+/[0-9]+,
+    // so a surrogate-pair char can never join a merge pair — but it must
+    // not corrupt the counts either (code-point splitting on both sides)
+    val texts = Seq("ab ab 😀😀 ab")
+    assert(learned(texts, 3) == reference(texts, 3))
   }
 
   test("MergePair kernel: greedy left-to-right, boundary-correct") {

@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object WarmBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    // strip the flag wherever it appears BEFORE positional parsing, so
+    // `-force` between sfDir and runs cannot reach `.toInt`
+    val force = args.contains("-force")
+    val pos = args.filterNot(_ == "-force")
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = pos.lift(1).map(_.toInt).getOrElse(2)
     // -force: time a checksum over ALL output columns instead of count().
     // count() lets the optimizer PRUNE pure projections (a kernel-only
     // query then times the scan, not the kernel — q_repetition measured
@@ -21,9 +25,8 @@ object WarmBench {
     // is the honest timing for projection queries. Driver Bench counts,
     // so cross-round comparisons stay on count(); use -force when tuning
     // kernels.
-    val force = args.contains("-force")
     val queries = {
-      val qs = args.drop(2).toSeq.filterNot(_ == "-force")
+      val qs = pos.drop(2).toSeq
       if (qs.nonEmpty) qs else Seq("q_offset_dedup", "q_simhash", "q_minhash_lsh")
     }
     val spark = SparkSession.builder()
