@@ -120,6 +120,9 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_snapshot_diff", "diff = slim digest projections into ONE full-outer id equi-join, no nested-loop")(p =>
+      p.contains("FullOuter") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     // q_bpe_learn and q_dedup_ngram carry no plan-string row by design:
     // the trainer's driver loop executes during planning (its final plan
     // is a 12-row parallelize), and the ngram demo is the documented

@@ -266,6 +266,32 @@ object Corpus {
       .select(col(groupCol), col(tokensCol), expr(weight).as("weight_ppm"))
   }
 
+  /** Snapshot diff — the ingest diagnostic run between two crawls of the
+    * same corpus: per (group, status) counts of added / removed / changed
+    * / unchanged docs, change detected by content digest. NULL digests
+    * (null text) on both sides compare as CHANGED — unknown content is
+    * never assumed stable (SQL equality semantics, mirrored by the
+    * oracle's CASE).
+    *
+    * Scale shape: both snapshots reduce to slim (id, group, digest)
+    * projections BEFORE the full-outer equi-join on the id — the only
+    * corpus-sized shuffle carries ~50 bytes/row; the status projection
+    * and the (group, status) aggregate are map-side-combinable. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String, groupCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("__ido"), col(groupCol).as("__go"),
+      md5(col(textCol).cast("binary")).as("__do"))
+    val n = newSnap.select(col(idCol).as("__idn"), col(groupCol).as("__gn"),
+      md5(col(textCol).cast("binary")).as("__dn"))
+    val status = when(col("__ido").isNull, "added")
+      .when(col("__idn").isNull, "removed")
+      .when(col("__do") === col("__dn"), "unchanged")
+      .otherwise("changed")
+    o.join(n, col("__ido") === col("__idn"), "full_outer")
+      .select(coalesce(col("__gn"), col("__go")).as(groupCol), status.as("status"))
+      .groupBy(groupCol, "status").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Eval-set decontamination: for every train doc, the number of distinct
     * k-char shingles it shares with ANY eval doc (0-row absence = clean).
     * The eval side's distinct shingle set is broadcast — eval corpora are

@@ -496,6 +496,21 @@ object TextQueries {
       TA.clean(raw, "doc_id", "raw", maxLineDf = 20L).orderBy("doc_id")
     },
 
+    // Snapshot diff — the between-crawls ingest report: two snapshots
+    // synthesized from the corpus (old drops id%10==9, new drops
+    // id%10==0 and edits id%10==1), diffed by content digest into
+    // per-(source, status) counts. Digest comparison makes the changed/
+    // unchanged split content-based, not metadata-based.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val oldSnap = d.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      val newSnap = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 1,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text", "source")
+        .orderBy("source", "status")
+    },
+
     // Distributed BPE merge LEARNING — train the tokenizer's merge table
     // on the corpus (the training-side twin of q_bpe_tokens' counter):
     // one corpus scan to the word-frequency table, then every merge round
@@ -1498,6 +1513,27 @@ object TextQueries {
         | CAST(len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped
         |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // synthesis mirrored; md5 digests are the proven cross-engine
+    // primitive; NULL-digest rows fall through to 'changed' in BOTH
+    // engines (CASE equality semantics)
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        | SELECT doc_id, source, md5(text) AS d
+        | FROM documents WHERE doc_id % 10 <> 9),
+        |n AS (
+        | SELECT doc_id, source,
+        |  md5(CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END) AS d
+        | FROM documents WHERE doc_id % 10 <> 0),
+        |j AS (
+        | SELECT coalesce(n.source, o.source) AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.d = n.d THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // synthesis + regex chain mirrored 1:1; entity replaces in the same
     // order (&amp; last); explicit whitespace class (Java \s and RE2 \s

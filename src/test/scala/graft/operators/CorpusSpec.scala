@@ -219,6 +219,27 @@ class CorpusSpec extends SparkTestBase {
     assert(again.agg(sum("n_group")).as[Long].head() == 4L)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged by digest, null text = changed") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"),
+      (5L, "s2", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val newSnap = Seq(
+      (2L, "s1", "beta"),            // unchanged
+      (3L, "s2", "gamma EDITED"),    // changed
+      (4L, "s2", "delta"),           // added
+      (5L, "s2", null.asInstanceOf[String])) // null on both sides -> changed
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("s1", "removed") -> 1L,   // doc 1
+      ("s1", "unchanged") -> 1L, // doc 2
+      ("s2", "changed") -> 2L,   // doc 3 + null-digest doc 5
+      ("s2", "added") -> 1L))    // doc 4
+  }
+
   test("contamination: shared shingles counted, clean docs absent, eval broadcast") {
     import spark.implicits._
     val eval = Seq((100L, "abcdefghij")).toDF("doc_id", "text") // 8-grams: abcdefgh, bcdefghi, cdefghij
