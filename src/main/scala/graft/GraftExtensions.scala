@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
+import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, MergePair, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -133,6 +133,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         AdjacentJoin(exprs.head, sep)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("merge_pair"),
+      new ExpressionInfo(classOf[MergePair].getName, "merge_pair"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "merge_pair(arr, left, right)")
+        def strLit(e: Expression, what: String): String = e match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"$what must be a string literal, got $other")
+        }
+        MergePair(exprs.head, strLit(exprs(1), "left"), strLit(exprs(2), "right"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (exprs: Seq[Expression]) => {
@@ -222,7 +234,8 @@ object ExtensionsSmoke {
         |  int_dot_product(array(2, -3), array(4, 5)) AS idp,
         |  deflate_len(repeat('a', 200)) AS dl,
         |  adjacent_join(array('a', 'b', 'c'), ' ') AS aj,
-        |  size(winnow_fps(repeat('ab', 40), 8, 16)) AS wf
+        |  size(winnow_fps(repeat('ab', 40), 8, 16)) AS wf,
+        |  merge_pair(array('a', 'b', 'a'), 'a', 'b') AS mp
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
       // two identical tokens vote every bit of their hash twice → the
@@ -238,7 +251,8 @@ object ExtensionsSmoke {
       kern.getLong(11) > 0L && kern.getLong(11) < 40L &&
       kern.getSeq[String](12) == Seq("a b", "b c") &&
       // period-2 text: one hash dominates every window -> one fingerprint
-      kern.getInt(13) == 1
+      kern.getInt(13) == 1 &&
+      kern.getSeq[String](14) == Seq("ab", "a")
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk

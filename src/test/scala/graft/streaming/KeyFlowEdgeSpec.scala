@@ -33,7 +33,7 @@ class KeyFlowEdgeSpec extends SparkTestBase {
     q.processAllAvailable()
     val latest = spark.table("ns").as[KeyOutput[Long]].collect()
       .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.offset).state }
-    assert(latest == Map("t1k" -> Some(2L), "t2k" -> Some(1L)))
+    assert(latest == Map("t1\u0001k" -> Some(2L), "t2\u0001k" -> Some(1L)))
     q.stop()
   }
 
