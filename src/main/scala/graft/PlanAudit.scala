@@ -120,6 +120,8 @@ object PlanAudit {
       p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
+    check("q_dedup_rate", "dup-rate report = digest projection + expand-based distinct agg, no join, no UDF")(p =>
+      !p.contains("Join") && !p.contains("ScalaUDF") && p.contains("HashAggregate"))
     check("q_snapshot_diff", "diff = slim digest projections into ONE full-outer id equi-join, no nested-loop")(p =>
       p.contains("FullOuter") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))

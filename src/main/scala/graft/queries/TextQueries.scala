@@ -496,6 +496,20 @@ object TextQueries {
       TA.clean(raw, "doc_id", "raw", maxLineDf = 20L).orderBy("doc_id")
     },
 
+    // Per-source duplication-rate report — the first dedup diagnostic a
+    // corpus owner reads: how much of each slice is byte-identical
+    // copies. distinct-digest count vs doc count, floor-scaled.
+    "q_dedup_rate" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_ppm"))
+        .orderBy("source")
+    },
+
     // Snapshot diff — the between-crawls ingest report: two snapshots
     // synthesized from the corpus (old drops id%10==9, new drops
     // id%10==0 and edits id%10==1), diffed by content digest into
@@ -1513,6 +1527,16 @@ object TextQueries {
         | CAST(len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped
         |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // md5 the proven primitive; COUNT(DISTINCT) BIGINT both engines;
+    // floor division mirrored
+    "q_dedup_rate" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        | ((CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT))
+        |   * 1000000) // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // synthesis mirrored; md5 digests are the proven cross-engine
     // primitive; NULL-digest rows fall through to 'changed' in BOTH
