@@ -98,6 +98,12 @@ object PlanAudit {
     check("q_bpe_tokens", "true-BPE counting is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_token_count"))
+    check("q_bpe_encode", "true-BPE encoding is a pure codegen'd projection: no shuffle, no UDF")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
+        p.contains("bpe_encode"))
+    check("q_bpe_fertility", "learned-table billing = kernel agg, one source exchange, no UDF")(p =>
+      p.contains("bpe_token_count_with") && !p.contains("ScalaUDF") &&
+        !p.contains("CartesianProduct"))
     check("q_winnow_pairs", "winnowed fps = kernel projection; one fp exchange feeds the self-join; no nested-loop")(p =>
       p.contains("winnow_fps") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))

@@ -48,7 +48,12 @@ object BpeTokenCount {
   val MaxRunChars: Int = 4096
 
   /** Count BPE tokens of `text` under [[BpeFixture]]'s merge ranks. */
-  def count(text: UTF8String): Long = {
+  def count(text: UTF8String): Long = count(text, BpeMergeTable.fixture)
+
+  /** Count BPE tokens of `text` under an arbitrary (e.g. corpus-learned)
+    * merge table — the count-only twin of [[BpeEncode.encode]]: same
+    * loop, no token materialization (what a 100 TB billing scan wants). */
+  def count(text: UTF8String, table: BpeMergeTable): Long = {
     val s = text.toString
     val n = s.length
     var total = 0L
@@ -62,7 +67,7 @@ object BpeTokenCount {
         var cs = i
         while (cs < j) {
           val ce = math.min(cs + MaxRunChars, j)
-          total += mergedSymbolCount(s, cs, ce)
+          total += mergedSymbolCount(s, cs, ce, table)
           cs = ce
         }
         i = j
@@ -85,7 +90,8 @@ object BpeTokenCount {
     * chars; each round merge every left-to-right occurrence of the
     * lowest-rank adjacent pair; stop when no adjacent pair is ranked.
     * Returns the surviving symbol count. */
-  private def mergedSymbolCount(s: String, from: Int, until: Int): Long = {
+  private def mergedSymbolCount(s: String, from: Int, until: Int,
+                                table: BpeMergeTable): Long = {
     val len = until - from
     if (len == 1) return 1L
     var syms = new Array[String](len)
@@ -98,13 +104,13 @@ object BpeTokenCount {
       var best = Int.MaxValue
       i = 0
       while (i < nSyms - 1) {
-        val r = BpeFixture.rank(syms(i), syms(i + 1))
+        val r = table.rank(syms(i), syms(i + 1))
         if (r < best) best = r
         i += 1
       }
       if (best == Int.MaxValue) continue = false
       else {
-        val (l, r) = BpeFixture.merges(best)
+        val (l, r) = table.pair(best)
         val merged = l + r
         val out = new Array[String](nSyms)
         var o = 0
@@ -126,6 +132,10 @@ object BpeTokenCount {
   /** Column wrapper. */
   def apply(text: Column): Column =
     ColumnBridge.column(BpeTokenCountExpr(ColumnBridge.expression(text)))
+
+  /** Column wrapper under an arbitrary (e.g. learned) merge table. */
+  def apply(text: Column, table: BpeMergeTable): Column =
+    ColumnBridge.column(BpeTokenCountWithExpr(ColumnBridge.expression(text), table))
 }
 
 /** Hand-written BPE merge fixture: ranks over lowercase-ASCII symbols,
@@ -183,5 +193,27 @@ case class BpeTokenCountExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeTokenCount.count($c)")
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_token_count` under a runtime [[BpeMergeTable]] (learned tables;
+  * the fixture path keeps the argless [[BpeTokenCountExpr]]). The table
+  * ships as a codegen reference object — tiny by construction. */
+case class BpeTokenCountWithExpr(child: Expression, table: BpeMergeTable)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count_with"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeTokenCount.count(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeMergeTable")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeTokenCount.count($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountWithExpr =
     copy(child = newChild)
 }

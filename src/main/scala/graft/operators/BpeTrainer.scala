@@ -75,4 +75,16 @@ object BpeTrainer {
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.result().map(Row.fromTuple), 1), schema)
   }
+
+  /** Collect a learned merge frame into a runtime [[graft.functions.BpeMergeTable]]
+    * for the `BpeEncode` kernel — the learn→encode handoff. The frame is
+    * numMerges rows (bounded, driver-sized by design: it IS the tokenizer
+    * artifact a real pipeline persists), so this collect is the k-row
+    * gather the IVF centroid load established, not a corpus collect. */
+  def tableOf(merges: DataFrame): graft.functions.BpeMergeTable = {
+    val rows = merges.select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0))
+    graft.functions.BpeMergeTable(
+      rows.toSeq.map(r => (r.getString(1), r.getString(2))))
+  }
 }

@@ -394,6 +394,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TRUE BPE encoding — the apply side of the tokenizer story: emit the
+    // actual token stream (not just the bill) under the fixture merge
+    // table, as a pure codegen'd projection. Rows-only (the merge loop is
+    // data-dependent iteration, not SQL-expressible); BpeEncodeSpec pins
+    // reference-encoder equality, size==BpeTokenCount parity, and the
+    // concat round-trip (tokens rejoin to the input minus spaces).
+    "q_bpe_encode" -> { (s, dir) =>
+      val toks = graft.functions.BpeEncode(col("text"))
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
+          array_join(slice(toks, 1, 8), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Winnowed-fingerprint candidate pairs — q_containment's production
     // twin (MOSS winnowing): ~n/w fingerprints per doc, corpus-linear
     // bucket self-join, guarantee that any >= w+k-1-char shared substring
@@ -536,6 +553,28 @@ object TextQueries {
       graft.operators.BpeTrainer
         .learnMerges(Tables(s, dir, "documents"), "text", numMerges = 12)
         .orderBy("rank")
+    },
+
+    // Learn → encode → bill: the COMPOSED tokenizer workflow a real
+    // pipeline runs — train a merge table on the corpus (one corpus scan
+    // + vocab-only rounds), ship it to executors as a codegen reference
+    // object (broadcast-dim analogue), and re-bill the corpus with the
+    // tokenizer it just learned. Per-source fertility (tokens per million
+    // chars, floor-scaled) is the number mixture budgeting actually uses.
+    // Rows-only (BPE precedent); BpeEncodeSpec pins learned-table parity.
+    // Digit runs bill as one token (the counting kernels' documented
+    // contract), so learned digit-pair merges are inert by design.
+    "q_bpe_fertility" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val table = graft.operators.BpeTrainer.tableOf(
+        graft.operators.BpeTrainer.learnMerges(docs, "text", numMerges = 12))
+      docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.functions.BpeTokenCount(col("text"), table)).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .select(col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
+          expr("(total_tokens * 1000000) div total_chars").as("tok_per_mchar"))
+        .orderBy("source")
     },
 
     // HTML extraction — the stage before any cleaning: script/style
