@@ -98,6 +98,10 @@ object PlanAudit {
     check("q_bpe_tokens", "true-BPE counting is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_token_count"))
+    check("q_doc_profile_fast", "fast profile: one projection, signatures fused, NO per-shingle md5")(p =>
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
+        p.contains("minhash_sig") && p.contains("simhash_text") &&
+        !p.contains("min_shingle_md5"))
     check("q_bpe_encode", "true-BPE encoding is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_encode"))

@@ -507,12 +507,26 @@ object TextAnalysis {
     * same scan — xxhash64-based, so NOT SQL-oracle-expressible (spec-backed
     * instead; the declared `q_doc_profile` keeps `signatures = false`).
     *
+    * `fastFingerprint = true` swaps the md5 min-shingle fingerprint for
+    * its xxhash64 twin (`minhash_sig` with one permutation over the same
+    * 8-char shingles): the md5-per-shingle walk dominates the whole
+    * profile scan (~2/3 of its forced warm cost — bench_history r6), and a
+    * candidate-generation fingerprint needs stability, not md5. The md5
+    * column IS the oracle contract, so the declared `q_doc_profile` keeps
+    * it; `q_doc_profile_fast` is the production path (rows-only,
+    * ProfileSpec pins column-for-column agreement on the shared signals).
+    *
     * Null-text rows keep their id with every signal column null (the
     * kernels are null-propagating), matching a LEFT-join oracle shape —
     * except `lang_pred`, which falls through to "und" on both engines. */
   def profile(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-              signatures: Boolean = false): org.apache.spark.sql.DataFrame = {
+              signatures: Boolean = false,
+              fastFingerprint: Boolean = false): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
+    val shingleFp =
+      if (fastFingerprint)
+        element_at(graft.functions.MinHashSig(t, 8, 1), 1).as("shingle_fp_fast")
+      else minShingleFingerprint(t, 8).as("shingle_fp")
     val base = Seq(
       col(idCol),
       length(t).cast("long").as("n_chars_calc"),
@@ -523,7 +537,7 @@ object TextAnalysis {
       langId(t).as("lang_pred"),
       graft.functions.RepetitionPpm(t, 3).as("rep_ppm"),
       fingerprint(t).as("fp"),
-      minShingleFingerprint(t, 8).as("shingle_fp"))
+      shingleFp)
     val sig = if (signatures)
       Seq(graft.functions.SimHashText(t).as("simhash"),
           graft.functions.MinHashSig(t, 5, 64).as("minhash_sig"))

@@ -321,6 +321,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The profile's PRODUCTION path: same single-scan signal suite plus
+    // the dedup signature columns, with the md5 min-shingle fingerprint
+    // swapped for its xxhash64 twin — the md5-per-shingle walk dominates
+    // the whole profile scan (~2/3 of forced warm cost) and a candidate
+    // fingerprint needs stability, not md5. Rows-only (xxhash discipline);
+    // ProfileSpec pins column-for-column agreement on the shared signals.
+    "q_doc_profile_fast" -> { (s, dir) =>
+      TA.profile(Tables(s, dir, "documents"), "doc_id", "text",
+        signatures = true, fastFingerprint = true)
+        .orderBy("doc_id")
+    },
+
     // Keyword relevance retrieval: top-20 docs for a 3-term query under
     // integer-exact tf × reciprocal-df weighting (log-free tf-idf so the
     // oracle agrees bit-for-bit); deterministic tiebreak on doc_id.

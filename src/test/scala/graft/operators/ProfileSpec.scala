@@ -68,4 +68,30 @@ class ProfileSpec extends SparkTestBase {
       .select("doc_id", "simhash", "minhash_sig")
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("fastFingerprint variant agrees on every shared signal and swaps only the fingerprint") {
+    val slow = TextAnalysis.profile(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val fast = TextAnalysis.profile(corpus, "doc_id", "text",
+        signatures = true, fastFingerprint = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(fast.size == slow.size)
+    assert(!fast.values.head.schema.fieldNames.contains("shingle_fp"))
+    slow.foreach { case (id, e) =>
+      val r = fast(id)
+      for (c <- Seq("n_chars_calc", "n_tokens", "n_tokens_bpe", "n_punct",
+          "quality_ppm", "lang_pred", "rep_ppm", "fp"))
+        assert(r.getAs[Any](c) == e.getAs[Any](c), s"doc=$id col=$c")
+    }
+    // the fast fingerprint IS minhash_sig's single-permutation minimum
+    // over the same 8-char shingles — stable across both code paths
+    val ref = corpus.select(col("doc_id"),
+        element_at(MinHashSig(col("text"), 8, 1), 1).as("want"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    fast.foreach { case (id, r) =>
+      val got = if (r.isNullAt(r.fieldIndex("shingle_fp_fast"))) null
+        else r.getAs[Long]("shingle_fp_fast")
+      assert(got == ref(id), s"doc=$id shingle_fp_fast")
+    }
+  }
 }
