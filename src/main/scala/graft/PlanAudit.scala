@@ -98,6 +98,11 @@ object PlanAudit {
     check("q_bpe_tokens", "true-BPE counting is a pure codegen'd projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("bpe_token_count"))
+    // pair enumeration (adjacent_join kernel) runs at checkpoint time, so
+    // the audited plan starts from the materialized slim pair table
+    check("q_lm_score", "bigram LM: model + scoring are equi-joins over the checkpointed pair table, no nested-loop")(p =>
+      p.contains("__p_ppm") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     check("q_doc_profile_fast", "fast profile: one projection, signatures fused, NO per-shingle md5")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("minhash_sig") && p.contains("simhash_text") &&

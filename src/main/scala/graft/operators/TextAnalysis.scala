@@ -159,6 +159,56 @@ object TextAnalysis {
         expr("(((1000000 * c_xy) div c_x) * __n) div c_y").as("lift_ppm"))
   }
 
+  /** Bigram language-model quality score — the CCNet-family statistical
+    * signal the heuristic scores (length/punct/stopword) cannot see: how
+    * TYPICAL a document's word transitions are under a model trained on
+    * the corpus itself. Real CCNet bills log-perplexity under an external
+    * LM; this is the log-free integer-exact cousin (the collocation-lift
+    * precedent): per adjacent word pair, the corpus conditional
+    * `p_ppm = (c(w1,w2) * 1e6) div c(w1,·)`, and per doc the floor mean
+    * and minimum over its pairs — template spam scores high, mojibake and
+    * word-salad score low, and the minimum flags the single most alien
+    * transition. Every step is integer math → the DuckDB oracle agrees
+    * bit-for-bit.
+    *
+    * Scale shape: ONE corpus scan materializes the slim (id, pair) table
+    * (eager checkpoint — the clean()/collocations discipline: it feeds
+    * BOTH the model build and the scoring join; swap for `checkpoint()`
+    * on a cluster). The bigram model is a hash aggregate with map-side
+    * combine; prefix counts derive from the MODEL table (model-sized, not
+    * corpus-sized); scoring is one corpus-sized equi-join on the pair key
+    * (the model is vocabulary-shaped — too big to assume broadcastable at
+    * 100 TB, small enough that AQE broadcasts it at bench scale) and one
+    * per-doc aggregate. Bigrams via the codegen'd [[graft.functions.AdjacentJoin]]
+    * kernel; tokens are `[a-z]+` runs so the space join is unambiguous.
+    * Overflow bound: `c2 * 1e6` stays in BIGINT while the corpus holds
+    * <= 9.2e12 bigrams (~35 TB of text) — shard beyond that, as
+    * [[collocations]] documents. Docs with fewer than two word tokens
+    * have no transitions and are absent by construction (both engines).
+    *
+    * Returns (idCol, n_bigrams, lm_avg_ppm, lm_min_ppm). */
+  def lmScore(docs: org.apache.spark.sql.DataFrame,
+              idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val pairs = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.AdjacentJoin(
+          regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)), " ")).as("__pair"))
+      .localCheckpoint(true)
+    val c2 = pairs.groupBy("__pair").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(substring_index(col("__pair"), " ", 1).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
+    val model = c2
+      .withColumn("__w1", substring_index(col("__pair"), " ", 1))
+      .join(c1, "__w1")
+      .select(col("__pair"), expr("(__c2 * 1000000) div __c1").as("__p_ppm"))
+    pairs.join(model, "__pair")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(__p_ppm) div count(1)").as("lm_avg_ppm"),
+        min(col("__p_ppm")).as("lm_min_ppm"))
+  }
+
   /** Non-overlapping occurrences of `word` with space padding. */
   def occurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))

@@ -485,6 +485,16 @@ object TextQueries {
         .orderBy(col("c_xy").desc, col("bigram"))
     },
 
+    // Bigram-LM quality score (CCNet-family): per-doc floor mean and
+    // minimum of the integer-exact corpus transition probability
+    // (c(w1,w2)*1e6 div c(w1,·)) — the statistical typicality signal the
+    // heuristic scores cannot see. Docs with <2 word tokens are absent by
+    // construction on both engines.
+    "q_lm_score" -> { (s, dir) =>
+      TA.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Compressibility signal: raw-DEFLATE byte count and floor-scaled
     // ratio per doc — the band-pass quality heuristic (template spam
     // compresses to almost nothing, binary junk not at all) every public
@@ -1269,6 +1279,28 @@ object TextQueries {
         |JOIN uc u1 ON split_part(top.bigram, ' ', 1) = u1.w
         |JOIN uc u2 ON split_part(top.bigram, ' ', 2) = u2.w
         |ORDER BY top.c_xy DESC, top.bigram""".stripMargin,
+
+    // every division is floor over positives and mirrored; SUM wrapped
+    // per the HUGEINT rule; docs with <2 word tokens absent by
+    // construction (range(1, len) is empty) on both engines
+    "q_lm_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ts
+        | FROM documents WHERE text IS NOT NULL),
+        |pairs AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |   i -> ts[i] || ' ' || ts[i+1])) AS pair
+        | FROM toks),
+        |c2 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY 1),
+        |c1 AS (SELECT split_part(pair, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |model AS (SELECT pair, (c2 * 1000000) // c1 AS p_ppm
+        |          FROM c2 JOIN c1 ON split_part(c2.pair, ' ', 1) = c1.w1),
+        |scored AS (SELECT p.doc_id, m.p_ppm FROM pairs p JOIN model m USING (pair))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        | CAST(SUM(p_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_avg_ppm,
+        | CAST(MIN(p_ppm) AS BIGINT) AS lm_min_ppm
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the bloom prefilter must be invisible in the result: the oracle is
     // exactly q_contamination's (false positives die in the verify join)
