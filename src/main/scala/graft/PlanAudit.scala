@@ -137,6 +137,9 @@ object PlanAudit {
         !p.contains("ScalaUDF"))
     check("q_dedup_rate", "dup-rate report = digest projection + expand-based distinct agg, no join, no UDF")(p =>
       !p.contains("Join") && !p.contains("ScalaUDF") && p.contains("HashAggregate"))
+    check("q_corpus_card", "corpus card = ONE signal projection + one grouped agg, no join, no UDF")(p =>
+      !p.contains("Join") && !p.contains("ScalaUDF") && p.contains("repetition_ppm") &&
+        p.contains("HashAggregate"))
     check("q_snapshot_diff", "diff = slim digest projections into ONE full-outer id equi-join, no nested-loop")(p =>
       p.contains("FullOuter") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))

@@ -549,6 +549,45 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Corpus card — the dataset-datasheet report every corpus release
+    // ships: per source, volume (docs/chars/tokens), duplication ppm,
+    // floor-mean quality, English share, mean repetition — ALL from the
+    // proven per-doc signal trees, fused into one scan + one grouped
+    // aggregate (the q_doc_profile composition argument applied at the
+    // report level). Null-text docs count in n_docs/n_null_text and drop
+    // out of every signal aggregate (count/sum null semantics, identical
+    // on both engines; lang falls to 'und' both sides).
+    "q_corpus_card" -> { (s, dir) =>
+      val t = col("text")
+      val perDoc = Tables(s, dir, "documents").select(
+        col("source"), t.as("text"),
+        length(t).cast("long").as("n_chars"),
+        TA.tokenCount(t).as("n_tokens"),
+        TA.qualityScorePpm(t).as("quality_ppm"),
+        TA.langId(t).as("lang_pred"),
+        graft.functions.RepetitionPpm(t, 3).as("rep_ppm"),
+        md5(t.cast("binary")).as("digest"))
+      perDoc.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          count(col("digest")).as("__n_txt"),
+          countDistinct(col("digest")).as("__n_distinct"),
+          sum(col("quality_ppm")).as("__q_sum"),
+          count(col("quality_ppm")).as("__q_n"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("__n_en"),
+          sum(col("rep_ppm")).as("__r_sum"),
+          count(col("rep_ppm")).as("__r_n"))
+        .select(col("source"), col("n_docs"), col("n_null_text"),
+          col("total_chars"), col("total_tokens"),
+          expr("((__n_txt - __n_distinct) * 1000000) div greatest(__n_txt, 1)").as("dup_ppm"),
+          expr("__q_sum div greatest(__q_n, 1)").as("avg_quality_ppm"),
+          expr("(__n_en * 1000000) div greatest(__q_n, 1)").as("share_en_ppm"),
+          expr("__r_sum div greatest(__r_n, 1)").as("avg_rep_ppm"))
+        .orderBy("source")
+    },
+
     // Snapshot diff — the between-crawls ingest report: two snapshots
     // synthesized from the corpus (old drops id%10==9, new drops
     // id%10==0 and edits id%10==1), diffed by content digest into
@@ -1610,6 +1649,60 @@ object TextQueries {
         | CAST(len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped
         |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // every fragment below is a verbatim copy of an already-proven oracle
+    // (q_doc_stats tokens, q_quality, q_langid, q_repetition, q_dedup_rate
+    // digests); the card only adds null-skipping aggregates and mirrored
+    // floor divisions on top
+    "q_corpus_card" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1)+1),
+        |   i -> text[i:i+2])) AS g
+        | FROM documents WHERE text IS NOT NULL),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |  (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS rep_ppm
+        | FROM gc GROUP BY doc_id),
+        |t AS (
+        | SELECT doc_id, source, text, ' '||text||' ' AS p,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  md5(text) AS digest,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+        | FROM documents),
+        |s AS (
+        | SELECT t.*,
+        |  (len(p)-len(replace(p,' the ','')))//5 + (len(p)-len(replace(p,' and ','')))//5 + (len(p)-len(replace(p,' of ','')))//4 AS s_en,
+        |  (len(p)-len(replace(p,' der ','')))//5 + (len(p)-len(replace(p,' und ','')))//5 + (len(p)-len(replace(p,' die ','')))//5 AS s_de,
+        |  (len(p)-len(replace(p,' le ','')))//4 + (len(p)-len(replace(p,' et ','')))//4 + (len(p)-len(replace(p,' la ','')))//4 AS s_fr,
+        |  (len(p)-len(replace(p,' el ','')))//4 + (len(p)-len(replace(p,' y ','')))//3 + (len(p)-len(replace(p,' los ','')))//5 AS s_es,
+        |  (len(p)-len(replace(p,' the ','')))//5 + (len(p)-len(replace(p,' and ','')))//5
+        |    + (len(p)-len(replace(p,' of ','')))//4 + (len(p)-len(replace(p,' a ','')))//3 AS stops
+        | FROM t),
+        |d AS (
+        | SELECT s.source, s.text, s.n_chars, s.n_tokens, s.digest,
+        |  CAST(floor((least(1.0, CAST(s.n_chars AS DOUBLE)/500.0)*0.3
+        |    + least(1.0, CAST(stops AS DOUBLE)*10.0/CAST(s.n_tokens AS DOUBLE))*0.4
+        |    + (1.0 - least(1.0, CAST(s.n_punct AS DOUBLE)/(CAST(s.n_chars AS DOUBLE)*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS quality_ppm,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred,
+        |  rep.rep_ppm
+        | FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id)
+        |SELECT source,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_null_text,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        | ((CAST(COUNT(text) AS BIGINT) - CAST(COUNT(DISTINCT digest) AS BIGINT)) * 1000000)
+        |   // greatest(CAST(COUNT(text) AS BIGINT), 1) AS dup_ppm,
+        | CAST(SUM(quality_ppm) AS BIGINT) // greatest(CAST(COUNT(quality_ppm) AS BIGINT), 1) AS avg_quality_ppm,
+        | (CAST(COUNT(CASE WHEN lang_pred = 'en' THEN 1 END) AS BIGINT) * 1000000)
+        |   // greatest(CAST(COUNT(quality_ppm) AS BIGINT), 1) AS share_en_ppm,
+        | CAST(SUM(rep_ppm) AS BIGINT) // greatest(CAST(COUNT(rep_ppm) AS BIGINT), 1) AS avg_rep_ppm
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // md5 the proven primitive; COUNT(DISTINCT) BIGINT both engines;
     // floor division mirrored
