@@ -1,12 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: times every declared query with `.count()` and prints
+  * ONE JSON line. The driver captures only the last ~2000 bytes of output
+  * (r6 ADVICE: the full 100-query map overflowed the capture and the round's
+  * timings went unparsed), so the PRINTED line bounds its size: total +
+  * per-query seconds for as many queries as fit (slowest first — the ones a
+  * judge compares), plus `"omitted"` with the count left out. The COMPLETE
+  * map, full precision, is always written to `BENCH_FULL.json` in the
+  * working directory (the repo root under the driver), so no data is lost.
+  *
+  * A query that throws is printed to stderr and counted in `"errors"` with
+  * value -1 in the map — r6's events-schema breakage was invisible because
+  * failures were silently timed as 0.06 s "successes".
+  */
 object Bench {
+  private val PrintedLineBudget = 1600 // bytes left for sbt's trailing lines
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,15 +41,43 @@ object Bench {
     try graft.queries.JournalFixture.encoded(spark, sfDir).count()
     catch { case _: Throwable => () }
     // stable name order: comparable timings across rounds
+    var errors = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += 1; false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def entry(name: String, v: Double): String =
+      "\"" + name + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errors,"omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
+    }
+    // full-precision complete map → file (judge + bench_history source)
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // printed line: slowest queries first until the byte budget is hit
+    val byCost = results.sortBy { case (_, v) => -v }
+    val kept = new scala.collection.mutable.ArrayBuffer[(String, Double)]
+    var used = line(Nil, results.size).length
+    byCost.foreach { case (k, v) =>
+      val add = entry(k, v).length + 1
+      if (used + add <= PrintedLineBudget) { kept += ((k, v)); used += add }
+    }
+    val keptSorted = kept.sortBy(_._1).toSeq
+    println(line(keptSorted, results.size - keptSorted.size))
     spark.stop()
   }
 }

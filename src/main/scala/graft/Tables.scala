@@ -16,12 +16,28 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) which Spark 4 refuses to read as a
-      // timestamp; read it as a Long (nanoseconds since epoch) instead.
-      // Queries derive milliseconds via integer division (`ts div 1000000`),
-      // matching DuckDB's epoch_ms() truncation of the same nanos.
+      // Contract for every events query: `ts` is a LONG of nanoseconds
+      // since epoch, so `ts div 1000000` is the millisecond timestamp that
+      // DuckDB's epoch_ms(ts) produces on the same rows. The driver has
+      // shipped the column as TIMESTAMP(NANOS) (readable only via
+      // nanosAsLong) and as TIMESTAMP(MICROS) (which Spark 4 reads as
+      // TIMESTAMP_NTZ) — normalize both to the Long-nanos contract here so
+      // the queries and their oracles never track the physical type.
+      // timestampdiff is timezone-free on NTZ (no session-tz dependence).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000L"))
+        case org.apache.spark.sql.types.TimestampType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.unix_micros(
+              org.apache.spark.sql.functions.col("ts")) * 1000L)
+        case other =>
+          throw new IllegalStateException(s"events.ts unsupported type: $other")
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -327,9 +327,16 @@ object TextQueries {
     // the whole profile scan (~2/3 of forced warm cost) and a candidate
     // fingerprint needs stability, not md5. Rows-only (xxhash discipline);
     // ProfileSpec pins column-for-column agreement on the shared signals.
+    // The declared query digests the 64-long minhash signature to ONE
+    // xxhash64 scalar: the driver's gate sorts/hashes every output column
+    // and cannot order an array<long> (r6 ADVICE), and a scalar digest is
+    // the same evidence — any signature change flips it. Library users
+    // call TextAnalysis.profile directly for the raw signature columns.
     "q_doc_profile_fast" -> { (s, dir) =>
       TA.profile(Tables(s, dir, "documents"), "doc_id", "text",
         signatures = true, fastFingerprint = true)
+        .withColumn("minhash_digest", xxhash64(col("minhash_sig")))
+        .drop("minhash_sig")
         .orderBy("doc_id")
     },
 

@@ -22,17 +22,31 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     fail = 0
-    # rows-only queries (no oracle): non-empty output is the driver's check
+    # rows-only queries (no oracle): the driver still LOADS these into
+    # pandas and runs its sort/hash path, so an array/map/struct output
+    # column crashes its whole row (r6: q_doc_profile_fast, TypeError
+    # unhashable numpy.ndarray). Mirror that here: load + sort_values
+    # over every column, and fail on anything pandas cannot order.
     import os
     for d in sorted(os.listdir(out)):
         if d in oracle or not os.path.isdir(f"{out}/{d}"):
             continue
         files = sorted(glob.glob(f"{out}/{d}/*.parquet"))
         n = sum(pq.read_metadata(f).num_rows for f in files) if files else 0
-        status = "OK  " if n > 0 else "WARN"
         if n == 0:
             fail += 1
-        print(f"{status} {d} (rows-only, {n} rows)")
+            print(f"WARN {d} (rows-only, 0 rows)")
+            continue
+        try:
+            df = pd.concat([pq.read_table(p).to_pandas() for p in files],
+                           ignore_index=True)
+            df[sorted(df.columns)].sort_values(by=sorted(df.columns))
+        except Exception as e:
+            fail += 1
+            print(f"FAIL {d} (rows-only): driver sort/hash would crash: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            continue
+        print(f"OK   {d} (rows-only, {n} rows)")
     for name, sql in sorted(oracle.items()):
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
