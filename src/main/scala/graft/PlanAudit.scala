@@ -206,6 +206,20 @@ object PlanAudit {
     check("q_hybrid_search", "hybrid fuse = two bounded top-k lists, 1-row query broadcast")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    check("q_budget_select", "global cumsum decomposed: corpus window hash-partitioned by bucket, range fan-out")(p =>
+      p.contains("Exchange rangepartitioning(quality_ppm") &&
+        p.contains("hashpartitioning(__b") && !p.contains("ScalaUDF"))
+    check("q_budget_select", "single-partition exchange only below the bucket-totals aggregate (tiny side)")(p =>
+      // the one SinglePartition sits above the per-bucket HashAggregate,
+      // never above a corpus-sized input
+      "Exchange SinglePartition".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate(keys=[__b"))
+    check("q_corpus_line_dedup", "keep-first via min-struct AGGREGATE, never a line-partitioned window (skew)")(p =>
+      !p.contains("Window") && !p.contains("CartesianProduct") &&
+        p.contains("Scan ExistingRDD") && !p.contains("ScalaUDF"))
+    check("q_boilerplate_report", "line df = one distinct-agg with map-side partials; doc total 1-row broadcast")(p =>
+      p.contains("partial_count") && p.contains("Generate explode") &&
+        !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -223,6 +223,59 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Token-budget selection: keep the best documents by `scoreCol` (ties
+    * broken by `idCol` — a total, engine-agnostic order) until their
+    * cumulative token count fills `budgetTokens`. A doc is selected iff
+    * its FIRST token lands inside the budget (`cum_before < budget`, the
+    * [[packSequences]] convention), so the last selected doc may overrun
+    * the boundary — a budget is a target, not a guillotine that splits a
+    * document. Emits `cum_tokens` (running total through the doc) so the
+    * caller can see the fill level.
+    *
+    * Scale shape — the whole point of this operator: a global running
+    * sum is ONE `Window.orderBy` away, but that plans a single-partition
+    * sort (the classic 100 TB trap: one task sorts the corpus). Instead,
+    * a two-level decomposition with no global sort anywhere:
+    *
+    *  1. range-repartition on (score DESC, id ASC) into `buckets`
+    *     partitions — sampled boundaries, so skewed scores still land in
+    *     balanced buckets, and every bucket owns a contiguous slice of
+    *     the total order;
+    *  2. per-bucket token totals (tiny: `buckets` rows) get an exclusive
+    *     prefix sum on the driver-sized table and broadcast back;
+    *  3. a within-bucket running sum (hash-partitioned window — each
+    *     bucket sorts independently) plus the bucket's prefix is the
+    *     exact global running sum.
+    *
+    * The decomposition is invariant to WHERE the sampled boundaries fall
+    * (associativity of + over a fixed total order), so results are
+    * bit-identical to the naive single-partition window — the oracle and
+    * BudgetSelectSpec both pin that. `spark_partition_id()` is stable
+    * under task retry (a re-run recomputes the same partition) and only
+    * ever feeds same-stage bookkeeping here, never a cross-run contract. */
+  def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
+                     tokensCol: String, budgetTokens: Long,
+                     buckets: Int = 64): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    require(buckets > 0, "need at least one bucket")
+    val ranged = df
+      .repartitionByRange(buckets, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__b", spark_partition_id())
+    val prefixW = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ranged.groupBy("__b")
+      .agg(sum(col(tokensCol)).as("__bt"))
+      .withColumn("__pre", coalesce(sum("__bt").over(prefixW), lit(0L)))
+      .select("__b", "__pre")
+    val inBucketW = Window.partitionBy("__b")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(prefix), "__b")
+      .withColumn("cum_tokens", col("__pre") + sum(col(tokensCol)).over(inBucketW))
+      .filter(col("cum_tokens") - col(tokensCol) < budgetTokens)
+      .drop("__b", "__pre")
+  }
+
   /** Data-mixing weights: given per-group token totals, the sampling
     * weight (floor-scaled ppm) that moves each group toward a UNIFORM
     * share of the corpus token budget — weight > 1e6 means upsample,

@@ -404,6 +404,91 @@ object TextAnalysis {
       (sum(col("__cnt")) - count(lit(1))).as("n_lines_dropped"))
   }
 
+  /** Corpus-wide keep-FIRST line dedup — the RefinedWeb/CCNet-style pass
+    * that [[dedupLines]] (intra-doc) and [[clean]] (df-threshold drop)
+    * cannot express: every distinct line survives in exactly ONE place,
+    * the document where it first appears (global first = min
+    * (doc, position) instance), and every later occurrence — in other
+    * docs or later in the same doc — is dropped. Catches cross-page
+    * boilerplate below any df threshold while provably never deleting
+    * content outright.
+    *
+    * Scale shape (the skew lesson from the LSH band joins): first-
+    * occurrence selection is a hash AGGREGATE `min(struct(doc, pos))` on
+    * the line digest — map-side combine absorbs a line that appears in
+    * millions of docs, where the window-rank formulation (`row_number
+    * over (partition by line)`) would sort one hot partition. The keeper
+    * table (one slim row per DISTINCT line) then equi-joins back on the
+    * digest — probe-side skew only, absorbed by AQE skew split — and
+    * reassembly groups on the doc id. Lines join by md5 digest, not
+    * text, so the corpus-sized shuffles carry each line's text exactly
+    * once (the exact-dedup collision discipline: 128-bit digest over
+    * ~corpus-cardinality lines).
+    *
+    * Every non-null input doc returns (all-duplicate docs come back as
+    * the empty string — distinguishable from the untouched doc by
+    * `n_lines_kept = 0`); null-text docs are excluded up front (the
+    * declared null policy both engines share).
+    *
+    * Returns (idCol, text_dedup, n_lines_kept, n_lines_dropped). */
+  def dedupLinesCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    // ONE corpus scan: the exploded line table feeds three consumers
+    // (keeper aggregate, keep-join probe, per-doc totals) — without the
+    // eager materialization each one re-reads and re-explodes the corpus
+    // (3 scans at 100 TB). The clean()/connectedComponents checkpoint
+    // discipline: owns its blocks, frees them with the reference; swap
+    // for checkpoint() on a cluster.
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__d", md5(col("__line").cast("binary")))
+      .localCheckpoint(true)
+    val keeper = lines.groupBy("__d")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+      .select(col("__d"), col("__first").getField(idCol).as("__kid"),
+        col("__first").getField("__pos").as("__kpos"))
+    val kept = lines.join(keeper, "__d")
+      .filter(col(idCol) === col("__kid") && col("__pos") === col("__kpos"))
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as("__dedup"),
+      count(lit(1)).as("__kept"))
+    lines.groupBy(idCol).agg(count(lit(1)).as("__total"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dedup"), lit("")).as("text_dedup"),
+        coalesce(col("__kept"), lit(0L)).as("n_lines_kept"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
+  }
+
+  /** Boilerplate-frequency report — the diagnostic a corpus owner reads
+    * BEFORE picking [[clean]]'s `maxLineDf` threshold: every line whose
+    * document frequency reaches `minDf`, with its distinct-doc count,
+    * total occurrence count, and the floor-scaled share of corpus docs
+    * that contain it. The report is Zipf-head small by construction
+    * (df >= minDf lines are exactly the ones that repeat).
+    *
+    * Scale shape: one explode + one hash aggregate with map-side combine
+    * (the [[clean]] df-aggregate, reported instead of consumed); the
+    * doc-count side is a single broadcast row. Integer-only outputs —
+    * oracle-exact. */
+  def boilerplateReport(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, minDf: Long): org.apache.spark.sql.DataFrame = {
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val total = nonNull.agg(count(lit(1)).as("__total"))
+    nonNull
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .groupBy("line")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDf)
+      .crossJoin(broadcast(total))
+      .select(col("line"), col("n_docs"), col("n_occurrences"),
+        expr("(n_docs * 1000000) div __total").as("doc_ppm"))
+  }
+
   /** PII patterns for [[redactPii]]/[[piiCounts]] — deliberately simple,
     * deterministic, RE2-safe regexes (no lookaround, no backrefs) of the
     * kind every public pretraining pipeline ships as its first privacy

@@ -706,6 +706,50 @@ object TextQueries {
       TA.dedupLines(raw, "doc_id", "raw").orderBy("doc_id")
     },
 
+    // CORPUS-wide keep-first line dedup (RefinedWeb-style): a line
+    // survives only where it globally first appears — cross-doc
+    // boilerplate below any df threshold collapses to one copy, dup
+    // texts keep their min-doc instance. Synthesized multi-line docs
+    // (media-header discipline): per-source nav (first doc of the
+    // source keeps it), the text line (dup texts keep-first), a unique
+    // id line (always kept), and a universal footer (exactly one doc
+    // in the corpus keeps it).
+    "q_corpus_line_dedup" -> { (s, dir) =>
+      val raw = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("nav: "), col("source"), lit("\n"), col("text"),
+            lit("\nid: "), col("doc_id"), lit("\ncookie notice")).as("raw"))
+      TA.dedupLinesCorpus(raw, "doc_id", "raw").orderBy("doc_id")
+    },
+
+    // Boilerplate-frequency report — what a corpus owner reads before
+    // choosing q_text_clean's maxLineDf: every line reaching df>=20 with
+    // doc/occurrence counts and corpus share. Same synthesis as
+    // q_corpus_line_dedup; the unique id lines (df=1) must NOT appear.
+    "q_boilerplate_report" -> { (s, dir) =>
+      val raw = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("nav: "), col("source"), lit("\n"), col("text"),
+            lit("\nid: "), col("doc_id"), lit("\ncookie notice")).as("raw"))
+      TA.boilerplateReport(raw, "doc_id", "raw", minDf = 20L).orderBy("line")
+    },
+
+    // Token-budget selection: best docs by quality score until 20k
+    // tokens are claimed — the "fill the training budget from the top"
+    // selection every data-constrained run performs. The operator's
+    // two-level cumulative sum (range buckets + bucket-prefix broadcast)
+    // must equal the oracle's single global window EXACTLY — the
+    // hash-match is the proof the decomposition is sound.
+    "q_budget_select" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TA.qualityScorePpm(col("text")).as("quality_ppm"),
+          TA.bpeTokenCount(col("text")).as("n_tokens"))
+      Corpus.selectByBudget(scored, "doc_id", "quality_ppm", "n_tokens",
+        budgetTokens = 20000L, buckets = 32)
+        .orderBy("doc_id")
+    },
+
     // Exact dedup by content hash.
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
@@ -1831,6 +1875,84 @@ object TextQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
         | CAST(SUM(cnt) AS BIGINT) - COUNT(*) AS n_lines_dropped
         |FROM fst GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // synthesis mirrored; global keep-first = ROW_NUMBER over the line
+    // partition ordered (doc, pos) — the oracle may use the skewed
+    // window shape the operator deliberately avoids (exactness, not
+    // scale, is its job). SUM-free, but COALESCE + subtraction stay
+    // BIGINT by the CAST on the counts.
+    "q_corpus_line_dedup" ->
+      """WITH raw AS (
+        | SELECT doc_id, 'nav: ' || source || chr(10) || text || chr(10)
+        |   || 'id: ' || doc_id || chr(10) || 'cookie notice' AS raw
+        | FROM documents WHERE text IS NOT NULL),
+        |lines AS (
+        | SELECT doc_id, unnest(string_split(raw, chr(10))) AS line,
+        |  unnest(range(1, len(string_split(raw, chr(10)))+1)) AS pos
+        | FROM raw),
+        |k AS (
+        | SELECT doc_id, line, pos,
+        |  ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        | FROM lines),
+        |t AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+        |      FROM lines GROUP BY 1),
+        |r AS (
+        | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+        | FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | COALESCE(r.text_dedup, '') AS text_dedup,
+        | COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+        | t.n_total - COALESCE(r.n_lines_kept, 0) AS n_lines_dropped
+        |FROM t LEFT JOIN r USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // synthesis mirrored; COUNT/COUNT DISTINCT are BIGINT in DuckDB, and
+    // the ppm multiply stays BIGINT — no HUGEINT escape
+    "q_boilerplate_report" ->
+      """WITH raw AS (
+        | SELECT doc_id, 'nav: ' || source || chr(10) || text || chr(10)
+        |   || 'id: ' || doc_id || chr(10) || 'cookie notice' AS raw
+        | FROM documents WHERE text IS NOT NULL),
+        |lines AS (
+        | SELECT doc_id, unnest(string_split(raw, chr(10))) AS line FROM raw),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM raw),
+        |g AS (
+        | SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        | FROM lines GROUP BY 1)
+        |SELECT line, n_docs, n_occurrences,
+        | (n_docs * 1000000) // total AS doc_ppm
+        |FROM g, n WHERE n_docs >= 20 ORDER BY line""".stripMargin,
+
+    // quality CTE = q_quality's proven oracle; cumsum = ONE global
+    // window (the oracle is allowed the single-partition shape the
+    // operator decomposes away); windowed SUM over BIGINT -> CAST (the
+    // hard rule). Selection rule: first token inside the budget.
+    "q_budget_select" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' a ', ''))) // 3 AS DOUBLE) AS stops,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        | FROM documents WHERE text IS NOT NULL),
+        |q AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(floor((least(1.0, chars/500.0)*0.3
+        |    + least(1.0, stops*10.0/tokens)*0.4
+        |    + (1.0 - least(1.0, punct/(chars*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS quality_ppm
+        | FROM t),
+        |c AS (
+        | SELECT doc_id, quality_ppm, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM q)
+        |SELECT doc_id, quality_ppm, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 20000 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

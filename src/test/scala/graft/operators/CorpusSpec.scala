@@ -56,6 +56,46 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("selectByBudget: two-level cumsum equals the naive global window, any bucket count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // heavy score ties (0..9) force cross-bucket tie runs; ids break them
+    val rows = (0 until 500).map { i =>
+      (i.toLong, rnd.nextInt(10).toLong, 1L + rnd.nextInt(30)) // (id, score, tokens)
+    }
+    val budget = 2000L
+    val truth = {
+      var cum = 0L
+      rows.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, s, tok) =>
+        val before = cum; cum += tok
+        if (before < budget) Some(id -> (s, tok, cum)) else None
+      }.toMap
+    }
+    // buckets > rows, buckets = 1 (degenerate single partition), and a
+    // normal fan-out must all be bit-identical to the naive cumsum
+    for (buckets <- Seq(1, 7, 64, 1000)) {
+      val got = Corpus.selectByBudget(
+        rows.toDF("doc_id", "score", "n_tokens"),
+        "doc_id", "score", "n_tokens", budget, buckets)
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, s, tok, cum) => id -> (s, tok, cum) }.toMap
+      assert(got == truth, s"buckets=$buckets")
+    }
+  }
+
+  test("selectByBudget: boundary doc overruns, zero budget empty, huge budget keeps all") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L, 6L), (2L, 9L, 6L), (3L, 8L, 6L))
+      .toDF("doc_id", "score", "n_tokens")
+    // budget 7: doc 1 fills 6, doc 2 STARTS at 6 < 7 so it overruns to 12
+    val sel = Corpus.selectByBudget(docs, "doc_id", "score", "n_tokens", 7L, 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(sel.sameElements(Array(1L, 2L)))
+    assert(Corpus.selectByBudget(docs, "doc_id", "score", "n_tokens", 0L, 2).count() == 0L)
+    assert(Corpus.selectByBudget(docs, "doc_id", "score", "n_tokens", 1000L, 2).count() == 3L)
+  }
+
   test("uniformMixWeights: integer-exact up/downsample weights toward uniform budget") {
     import spark.implicits._
     // total 600 over 3 groups -> target 200/group

@@ -109,6 +109,52 @@ class TextCleanSpec extends SparkTestBase {
     assert(!out.contains(6L)) // declared null policy: null docs excluded
   }
 
+  test("dedupLinesCorpus: global keep-first, in-doc repeats drop, all docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nalpha\nnav"),   // first doc: keeps nav once (in-doc repeat drops)
+      (2L, "nav\nbeta"),         // nav already seen in doc 1 → dropped here
+      (3L, "alpha\nnav"),        // everything already claimed → empty survivor
+      (4L, "gamma"),             // unique line untouched
+      (5L, null.asInstanceOf[String])) // null text excluded up front
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesCorpus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("nav\nalpha", 2L, 1L)))
+    assert(out(2L) == (("beta", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 2L))) // all-duplicate doc survives as empty
+    assert(out(4L) == (("gamma", 1L, 0L)))
+    assert(!out.contains(5L))
+  }
+
+  test("dedupLinesCorpus: keeper is the min (doc, pos) instance, not an arbitrary one") {
+    import spark.implicits._
+    // same line at doc 2 pos 0 and doc 1 pos 2 — doc order wins over pos
+    val docs = Seq((2L, "late\nx"), (1L, "a\nb\nlate")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesCorpus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a\nb\nlate")
+    assert(out(2L) == "x")
+  }
+
+  test("boilerplateReport: df threshold inclusive, counts distinct docs vs occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nbody1\nnav"), // nav twice in one doc: df 1, occurrences 2
+      (2L, "nav\nbody2"),
+      (3L, "nav\nfoot"),
+      (4L, "foot\nbody4"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.boilerplateReport(docs, "doc_id", "text", minDf = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep.keySet == Set("nav", "foot")) // body* are df=1 → excluded
+    assert(rep("nav") == ((3L, 4L, 750000L)))  // 3 of 4 non-null docs
+    assert(rep("foot") == ((2L, 2L, 500000L)))
+  }
+
   test("clean: df threshold is strict (df == maxLineDf survives)") {
     import spark.implicits._
     val docs = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
