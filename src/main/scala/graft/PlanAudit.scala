@@ -220,6 +220,9 @@ object PlanAudit {
     check("q_boilerplate_report", "line df = one distinct-agg with map-side partials; doc total 1-row broadcast")(p =>
       p.contains("partial_count") && p.contains("Generate explode") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    check("q_token_drift", "snapshots reduce to checkpointed vocab tables before any join")(p =>
+      p.contains("Scan ExistingRDD") && p.contains("FullOuter") &&
+        !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -87,6 +87,48 @@ object TextAnalysis {
       .agg(countDistinct(col("__doc")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
 
+  /** Token-frequency drift between two corpus snapshots — the monitoring
+    * report a continuously-crawled corpus runs between crawls: per token,
+    * occurrence counts and floor-scaled frequency (ppm of each side's
+    * token mass), and the ppm delta. A spam infusion, a scraper
+    * regression, or a topic shift all surface as top-|delta| movers
+    * before any model ever trains on the data. `minCount` bounds the
+    * report to tokens with real mass (the Zipf tail would otherwise
+    * dominate the output rows).
+    *
+    * Scale shape: each snapshot reduces to a VOCAB-sized count table
+    * (explode + hash aggregate with map-side combine) which is
+    * checkpointed once — each corpus is scanned once even though its
+    * counts feed both the token join and the 1-row total; the full-outer
+    * join and everything after it touch only vocab-sized tables. Integer
+    * arithmetic end to end (exact for snapshots under ~9.2e12 tokens —
+    * the uniformMixWeights bound); an EMPTY side reads as total 1, so
+    * its ppm column is all zeros instead of a divide-by-null. */
+  def termDrift(oldDocs: org.apache.spark.sql.DataFrame,
+                newDocs: org.apache.spark.sql.DataFrame,
+                textCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    def counts(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.filter(col(textCol).isNotNull)
+        .select(explode(regexp_extract_all(col(textCol),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(n))
+        .localCheckpoint(true)
+    val oldC = counts(oldDocs, "old_n")
+    val newC = counts(newDocs, "new_n")
+    val oldT = oldC.agg(greatest(sum("old_n"), lit(1L)).as("__ot"))
+    val newT = newC.agg(greatest(sum("new_n"), lit(1L)).as("__nt"))
+    oldC.join(newC, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .crossJoin(broadcast(oldT)).crossJoin(broadcast(newT))
+      .filter(col("old_n") + col("new_n") >= minCount)
+      .select(col("token"), col("old_n"), col("new_n"),
+        expr("(old_n * 1000000) div __ot").as("old_ppm"),
+        expr("(new_n * 1000000) div __nt").as("new_ppm"))
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+  }
+
   /** Top-k characteristic terms per group by log-free tf·idf: per-group
     * term frequency × integer reciprocal document frequency
     * `(N * 1e6) div df` (the q_keyword_search weighting, applied to the

@@ -67,6 +67,20 @@ object TextQueries {
         .limit(100)
     },
 
+    // Token-frequency drift between two crawls — the report a corpus
+    // owner reads BEFORE retraining on a refreshed snapshot: which
+    // tokens gained/lost corpus share. Snapshots synthesized by doc-id
+    // parity (media-header discipline: deterministic, mirrored by the
+    // oracle); minCount bounds the report to tokens with real mass.
+    "q_token_drift" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      TA.termDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", minCount = 50L)
+        .orderBy("token")
+    },
+
     // Characteristic vocabulary per source — log-free tf·idf (integer
     // reciprocal-df, the q_keyword_search weighting over the WHOLE vocab)
     // so the ranking is engine-exact; the report every mix-design pass
@@ -1212,6 +1226,30 @@ object TextQueries {
         | CAST((n_shared * 1000000) // (x.n + y.n - n_shared) AS BIGINT) AS jacc_ppm
         |FROM i JOIN sz x ON i.src_a = x.source JOIN sz y ON i.src_b = y.source
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // parity split mirrored; COUNT is BIGINT, the SUM totals get the
+    // CAST (HUGEINT rule), ppm multiply stays BIGINT; empty-side guard
+    // mirrored with greatest(total, 1)
+    "q_token_drift" ->
+      """WITH oc AS (
+        | SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |ocnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS old_n FROM oc GROUP BY 1),
+        |nc AS (
+        | SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+        |ncnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS new_n FROM nc GROUP BY 1),
+        |ot AS (SELECT greatest(CAST(SUM(old_n) AS BIGINT), 1) AS old_total FROM ocnt),
+        |nt AS (SELECT greatest(CAST(SUM(new_n) AS BIGINT), 1) AS new_total FROM ncnt),
+        |j AS (
+        | SELECT COALESCE(ocnt.token, ncnt.token) AS token,
+        |  COALESCE(old_n, 0) AS old_n, COALESCE(new_n, 0) AS new_n
+        | FROM ocnt FULL JOIN ncnt ON ocnt.token = ncnt.token)
+        |SELECT token, old_n, new_n,
+        | (old_n * 1000000) // old_total AS old_ppm,
+        | (new_n * 1000000) // new_total AS new_ppm,
+        | (new_n * 1000000) // new_total - (old_n * 1000000) // old_total AS delta_ppm
+        |FROM j, ot, nt WHERE old_n + new_n >= 50 ORDER BY token""".stripMargin,
 
     "q_corpus_split" ->
       """SELECT source,

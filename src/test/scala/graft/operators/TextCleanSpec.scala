@@ -155,6 +155,26 @@ class TextCleanSpec extends SparkTestBase {
     assert(rep("foot") == ((2L, 2L, 500000L)))
   }
 
+  test("termDrift: exact counts/ppm deltas, one-sided tokens, empty-side guard") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a a b c"), (2L, "a b"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((4L, "a b b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.termDrift(oldSnap, newSnap, "text", minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // old mass 6 (a a b c a b), new mass 4 (a b b d)
+    assert(out("a") == ((3L, 1L, 500000L, 250000L, -250000L)))
+    assert(out("b") == ((2L, 2L, 333333L, 500000L, 166667L)))
+    assert(out("c") == ((1L, 0L, 166666L, 0L, -166666L)))   // vanished token
+    assert(out("d") == ((0L, 1L, 0L, 250000L, 250000L)))    // new token
+    // empty old side: ppm must be zeros, not a divide-by-null crash
+    val fromEmpty = TextAnalysis.termDrift(
+      oldSnap.filter(col("doc_id") < 0), newSnap, "text", minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(fromEmpty.keySet == Set("a", "b", "d") && fromEmpty.values.forall(_ == 0L))
+  }
+
   test("clean: df threshold is strict (df == maxLineDf survives)") {
     import spark.implicits._
     val docs = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
