@@ -98,6 +98,18 @@ class StreamBatchParitySpec extends SparkTestBase {
       "DedupParitySmoke reported a stream/batch dedup mismatch")
   }
 
+  test("LLM-pipeline parity: incremental corpus-line dedup through KeyFlowTws " +
+    "reassembles into batch dedupLinesCorpus exactly (forked)") {
+    // the smoke replays every (doc, pos, line) instance of the
+    // q_corpus_line_dedup synthesis in crawl order, keyed by line digest,
+    // folding keep-first (count, min (doc, pos), line) across 4
+    // microbatches with a replay overlap — then REASSEMBLES the final
+    // states into per-doc (text_dedup, kept, dropped) and diffs against
+    // the declared batch operator bit-for-bit
+    assert(forkSmoke("graft.streaming.LineDedupParitySmoke") == 0,
+      "LineDedupParitySmoke reported a stream/batch line-dedup mismatch")
+  }
+
   test("LLM-pipeline parity: incremental token accounting through KeyFlowTws equals " +
     "batch q_token_stats (forked)") {
     // the smoke replays sf0.001 documents through KeyFlowTws keyed by
