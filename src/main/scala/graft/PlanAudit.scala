@@ -223,6 +223,10 @@ object PlanAudit {
     check("q_token_drift", "snapshots reduce to checkpointed vocab tables before any join")(p =>
       p.contains("Scan ExistingRDD") && p.contains("FullOuter") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    check("q_epoch_order", "global rank decomposed: range fan-out + bucket window, SinglePartition only on counts")(p =>
+      p.contains("Exchange rangepartitioning(__h") &&
+        p.contains("hashpartitioning(__b") &&
+        "Exchange SinglePartition".r.findAllIn(p).size == 1)
     spark.stop()
   }
 }

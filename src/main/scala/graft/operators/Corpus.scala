@@ -223,6 +223,44 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Reproducible per-epoch training order: every row gets a dense
+    * 1-based `epoch_rank` — its position in a deterministic shuffle of
+    * the corpus — by ranking on (Knuth id-hash, id). The `epoch` number
+    * shifts the hash input, so each epoch is a DIFFERENT deterministic
+    * permutation of the same corpus (what a trainer's data loader needs:
+    * shuffled order, bit-reproducible on any engine, no RNG state to
+    * ship). Ranks are positional by definition, so unlike [[withSplit]]
+    * they are NOT append-stable — regenerate per corpus snapshot.
+    *
+    * Scale shape: the same two-level decomposition as [[selectByBudget]]
+    * — range-repartition on the order key, per-bucket COUNTS prefix-
+    * summed on a `buckets`-row table and broadcast back, within-bucket
+    * `row_number` — so the global rank exists without any corpus-sized
+    * single-partition sort. Invariant to sampled boundary placement
+    * (count decomposition over a fixed total order); bit-identical to
+    * the naive global window, which the oracle hash-match proves. */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int = 0,
+                 buckets: Int = 64): DataFrame = {
+    require(epoch >= 0, "epoch must be non-negative")
+    require(buckets > 0, "need at least one bucket")
+    val ranged = df
+      .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000))
+      .repartitionByRange(buckets, col("__h").asc, col(idCol).asc)
+      .withColumn("__b", spark_partition_id())
+    val prefixW = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ranged.groupBy("__b")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__pre", coalesce(sum("__bn").over(prefixW), lit(0L)))
+      .select("__b", "__pre")
+    val inBucketW = Window.partitionBy("__b")
+      .orderBy(col("__h").asc, col(idCol).asc)
+    ranged.join(broadcast(prefix), "__b")
+      .withColumn("epoch_rank",
+        col("__pre") + row_number().over(inBucketW).cast("long"))
+      .drop("__b", "__pre", "__h")
+  }
+
   /** Token-budget selection: keep the best documents by `scoreCol` (ties
     * broken by `idCol` — a total, engine-agnostic order) until their
     * cumulative token count fills `budgetTokens`. A doc is selected iff

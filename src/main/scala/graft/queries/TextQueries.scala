@@ -142,6 +142,16 @@ object TextQueries {
         .orderBy("source", "split")
     },
 
+    // Reproducible epoch-1 training order: a deterministic shuffle
+    // permutation as dense global ranks — assigned by the two-level
+    // range-bucket decomposition (no single-partition corpus sort);
+    // must equal the oracle's single global ROW_NUMBER exactly.
+    "q_epoch_order" -> { (s, dir) =>
+      Corpus.epochOrder(Tables(s, dir, "documents").select("doc_id"),
+        "doc_id", epoch = 1, buckets = 32)
+        .orderBy("doc_id")
+    },
+
     // Streaming sequence packing: per-source docs in id order fill
     // 512-token windows (one window cumsum = one shuffle on source).
     "q_pack_sequences" -> { (s, dir) =>
@@ -1259,6 +1269,15 @@ object TextQueries {
         | COUNT(*) AS n_docs,
         | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Knuth hash-order rank mirrored (the q_corpus_split formula with the
+    // epoch shift); ROW_NUMBER is BIGINT in DuckDB, Spark's is cast
+    "q_epoch_order" ->
+      """SELECT doc_id,
+        | CAST(ROW_NUMBER() OVER (ORDER BY
+        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id)
+        |  AS BIGINT) AS epoch_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (

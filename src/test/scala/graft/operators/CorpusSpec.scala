@@ -96,6 +96,28 @@ class CorpusSpec extends SparkTestBase {
     assert(Corpus.selectByBudget(docs, "doc_id", "score", "n_tokens", 1000L, 2).count() == 3L)
   }
 
+  test("epochOrder: dense permutation equal to the naive global rank, epochs differ") {
+    import spark.implicits._
+    val ids = (0 until 300).map(i => Tuple1(i.toLong * 7L)) // sparse ids
+    val df = ids.toDF("doc_id")
+    def hash(id: Long, epoch: Int): Long =
+      ((id + epoch.toLong * 1000003L) % 2147483648L * 2654435761L) % 1000000L
+    for (epoch <- Seq(0, 1); buckets <- Seq(1, 5, 64)) {
+      val truth = ids.map(_._1).sortBy(id => (hash(id, epoch), id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      val got = Corpus.epochOrder(df, "doc_id", epoch, buckets)
+        .select("doc_id", "epoch_rank").as[(Long, Long)].collect().toMap
+      assert(got == truth, s"epoch=$epoch buckets=$buckets")
+    }
+    // epochs are DIFFERENT permutations of the same corpus
+    val e0 = Corpus.epochOrder(df, "doc_id", 0, 8)
+      .select("doc_id", "epoch_rank").as[(Long, Long)].collect().toMap
+    val e1 = Corpus.epochOrder(df, "doc_id", 1, 8)
+      .select("doc_id", "epoch_rank").as[(Long, Long)].collect().toMap
+    assert(e0.values.toSeq.sorted == (1L to 300L) && e1.values.toSeq.sorted == (1L to 300L))
+    assert(e0 != e1)
+  }
+
   test("uniformMixWeights: integer-exact up/downsample weights toward uniform budget") {
     import spark.implicits._
     // total 600 over 3 groups -> target 200/group
