@@ -227,6 +227,9 @@ object PlanAudit {
       p.contains("Exchange rangepartitioning(__h") &&
         p.contains("hashpartitioning(__b") &&
         "Exchange SinglePartition".r.findAllIn(p).size == 1)
+    check("q_lm_cross_score", "cross-LM: reference reduces to a checkpointed model; target scores via LEFT equi-join")(p =>
+      p.contains("Scan ExistingRDD") && p.contains("LeftOuter") &&
+        !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -251,6 +251,53 @@ object TextAnalysis {
         min(col("__p_ppm")).as("lm_min_ppm"))
   }
 
+  /** [[lmScore]] with the model trained on a SEPARATE reference corpus —
+    * the real CCNet shape: score a fresh crawl under the TRUSTED
+    * snapshot's language model instead of its own (a self-model grades
+    * uniform spam as typical; a reference model grades it alien). The
+    * cross-corpus twist is unseen transitions: a target bigram absent
+    * from the reference model scores `p_ppm = 0` (maximally atypical) and
+    * is counted in `n_unseen` — the two together separate "rare but
+    * plausible" from "never seen" drift, the doc-level complement of
+    * [[termDrift]]'s corpus-level report.
+    *
+    * Scale shape: the reference reduces to a model-sized bigram table
+    * (one scan; the c2 table is checkpointed because it feeds both the
+    * prefix-count aggregate and the model join); the target side is one
+    * scan + one equi-join on the pair key + one per-doc aggregate —
+    * exactly the [[lmScore]] shape with a left join. Same ~9.2e12-bigram
+    * BIGINT bound; docs with fewer than two word tokens are absent by
+    * construction on both engines.
+    *
+    * Returns (idCol, n_bigrams, n_unseen, lm_avg_ppm, lm_min_ppm). */
+  def lmScoreAgainst(refDocs: org.apache.spark.sql.DataFrame,
+                     docs: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val refPairs = refDocs
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.AdjacentJoin(
+        regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)), " ")).as("__pair"))
+    val c2 = refPairs.groupBy("__pair").agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy(substring_index(col("__pair"), " ", 1).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
+    val model = c2
+      .withColumn("__w1", substring_index(col("__pair"), " ", 1))
+      .join(c1, "__w1")
+      .select(col("__pair"), expr("(__c2 * 1000000) div __c1").as("__p_ppm"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.AdjacentJoin(
+          regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)), " ")).as("__pair"))
+      .join(model, Seq("__pair"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__p_ppm").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        expr("sum(coalesce(__p_ppm, 0L)) div count(1)").as("lm_avg_ppm"),
+        min(coalesce(col("__p_ppm"), lit(0L))).as("lm_min_ppm"))
+  }
+
   /** Non-overlapping occurrences of `word` with space padding. */
   def occurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))

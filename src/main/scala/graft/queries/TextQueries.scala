@@ -526,6 +526,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Cross-snapshot LM scoring: odd docs (the "fresh crawl") scored
+    // under the bigram model of even docs (the "trusted snapshot") —
+    // the CCNet external-LM shape; unseen transitions score 0 and are
+    // counted separately.
+    "q_lm_cross_score" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      TA.lmScoreAgainst(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Compressibility signal: raw-DEFLATE byte count and floor-scaled
     // ratio per doc — the band-pass quality heuristic (template spam
     // compresses to almost nothing, binary junk not at all) every public
@@ -1447,6 +1460,36 @@ object TextQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         | CAST(SUM(p_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_avg_ppm,
         | CAST(MIN(p_ppm) AS BIGINT) AS lm_min_ppm
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q_lm_score's proven model CTEs restricted to the even-doc
+    // reference; LEFT JOIN + COALESCE(p_ppm, 0) mirrors the unseen rule
+    "q_lm_cross_score" ->
+      """WITH rt AS (
+        | SELECT regexp_extract_all(text, '[a-z]+') AS ts
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |rp AS (
+        | SELECT unnest(list_transform(range(1, len(ts)),
+        |   i -> ts[i] || ' ' || ts[i+1])) AS pair
+        | FROM rt),
+        |c2 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2 FROM rp GROUP BY 1),
+        |c1 AS (SELECT split_part(pair, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |model AS (SELECT pair, (c2 * 1000000) // c1 AS p_ppm
+        |          FROM c2 JOIN c1 ON split_part(c2.pair, ' ', 1) = c1.w1),
+        |tt AS (
+        | SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ts
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+        |tp AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |   i -> ts[i] || ' ' || ts[i+1])) AS pair
+        | FROM tt),
+        |scored AS (SELECT p.doc_id, m.p_ppm
+        |           FROM tp p LEFT JOIN model m USING (pair))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        | CAST(SUM(CASE WHEN p_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        | CAST(SUM(COALESCE(p_ppm, 0)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_avg_ppm,
+        | CAST(MIN(COALESCE(p_ppm, 0)) AS BIGINT) AS lm_min_ppm
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the bloom prefilter must be invisible in the result: the oracle is

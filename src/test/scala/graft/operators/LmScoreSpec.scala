@@ -61,4 +61,30 @@ class LmScoreSpec extends SparkTestBase {
     assert(out(100L)._3 == 1000000L / 19L)            // min = the alien pair
     assert(out(100L)._3 < out(1L)._3)
   }
+
+  test("lmScoreAgainst: reference model, unseen transitions score 0 and are counted") {
+    import spark.implicits._
+    // reference: pairs (a b)(b c)(a b) -> c2: ab=2, bc=1 ; c1: a=2, b=1
+    // model: p(a b) = 1e6, p(b c) = 1e6
+    val ref = Seq((10L, "a b c"), (11L, "a b")).toDF("doc_id", "text")
+    // targets: d1 all seen; d2 mixes seen (a b) with unseen (b z);
+    // d3 entirely unseen vocabulary
+    val tgt = Seq(
+      (1L, "a b c"),
+      (2L, "a b z"),
+      (3L, "q r"),
+      (4L, "a"),                        // no transitions -> absent
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreAgainst(ref, tgt, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 0L, 1000000L, 1000000L)),
+      2L -> ((2L, 1L, 500000L, 0L)),   // (1e6 + 0) div 2; min is the unseen 0
+      3L -> ((1L, 1L, 0L, 0L))))
+    // the self-model grades doc 2's spam-free text the same as lmScore
+    // would only when every pair is seen — the unseen rule is the delta
+    assert(out(2L)._2 == 1L && out(1L)._2 == 0L)
+  }
 }
