@@ -230,6 +230,13 @@ object PlanAudit {
     check("q_lm_cross_score", "cross-LM: reference reduces to a checkpointed model; target scores via LEFT equi-join")(p =>
       p.contains("Scan ExistingRDD") && p.contains("LeftOuter") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    check("q_encoding_report", "encoding report = one scan, one slim-key partial-agg shuffle, no UDF")(p =>
+      p.contains("partial_count") && !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    check("q_shard_manifest", "shard manifest inherits the decomposed ranks; only the bucket-counts stage is single-partition")(p =>
+      p.contains("Exchange rangepartitioning(__h") &&
+        p.contains("hashpartitioning(shard") &&
+        "Exchange SinglePartition".r.findAllIn(p).size == 1)
     spark.stop()
   }
 }

@@ -493,6 +493,36 @@ object TextAnalysis {
       (sum(col("__cnt")) - count(lit(1))).as("n_lines_dropped"))
   }
 
+  /** Encoding-sanity intake report — the first thing a corpus owner
+    * checks on a new source: how much of each slice carries the scars of
+    * a broken decode pipeline. Per group: doc counts containing U+FFFD
+    * replacement characters (a decoder already gave up once), C0/DEL
+    * control characters (binary bleed-through), any non-ASCII at all
+    * (overlaps the previous two — each column answers its own question),
+    * plus the floor-scaled ASCII share of the slice's characters. Pure
+    * codegen'd regex counting + one map-side-combinable aggregate — one
+    * scan, one slim-key shuffle at 100 TB. BMP-only counting contract:
+    * Spark `length` counts UTF-16 units while SQL engines count
+    * codepoints, so astral-plane text diverges by design — the report is
+    * a diagnostic for BROKEN encodings, which live in the BMP. */
+  def encodingReport(docs: org.apache.spark.sql.DataFrame,
+                     textCol: String, groupCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    def hasDocs(pattern: String, name: String) =
+      sum(when(t.rlike(pattern), 1L).otherwise(0L)).as(name)
+    docs.filter(t.isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        hasDocs("\uFFFD", "n_mojibake_docs"),
+        hasDocs("[\\x00-\\x08\\x0B-\\x1F\\x7F]", "n_ctrl_docs"),
+        hasDocs("[^\\x00-\\x7F]", "n_nonascii_docs"),
+        sum(length(regexp_replace(t, "[^\\x00-\\x7F]", "")).cast("long")).as("__ascii"),
+        sum(length(t).cast("long")).as("__chars"))
+      .select(col(groupCol), col("n_docs"), col("n_mojibake_docs"),
+        col("n_ctrl_docs"), col("n_nonascii_docs"),
+        expr("(__ascii * 1000000) div greatest(__chars, 1L)").as("ascii_ppm"))
+  }
+
   /** Corpus-wide keep-FIRST line dedup — the RefinedWeb/CCNet-style pass
     * that [[dedupLines]] (intra-doc) and [[clean]] (df-threshold drop)
     * cannot express: every distinct line survives in exactly ONE place,

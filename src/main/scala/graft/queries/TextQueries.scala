@@ -152,6 +152,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Loader shard manifest: the epoch-1 permutation striped round-robin
+    // into 8 data-loader shards — per shard, its doc and token mass (the
+    // balance proof a multi-host trainer reads before launching).
+    // Composition of the proven epochOrder ranks + one slim aggregate.
+    "q_shard_manifest" -> { (s, dir) =>
+      val withTok = Tables(s, dir, "documents")
+        .select(col("doc_id"), TA.bpeTokenCount(col("text")).as("n_tokens"))
+      Corpus.epochOrder(withTok, "doc_id", epoch = 1, buckets = 32)
+        .withColumn("shard", pmod(col("epoch_rank") - 1, lit(8)).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+        .orderBy("shard")
+    },
+
     // Streaming sequence packing: per-source docs in id order fill
     // 512-token windows (one window cumsum = one shuffle on source).
     "q_pack_sequences" -> { (s, dir) =>
@@ -524,6 +538,22 @@ object TextQueries {
     "q_lm_score" -> { (s, dir) =>
       TA.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Encoding-sanity intake report. The test corpus is clean ASCII, so
+    // decode flaws are synthesized IN-QUERY by doc-id residue
+    // (media-header discipline): 1 -> a U+FFFD replacement char, 2 -> a
+    // BEL control char, 3 -> non-ASCII "café", 0 -> untouched; the
+    // oracle derives every count from the residue classes independently.
+    "q_encoding_report" -> { (s, dir) =>
+      val flaw = when(pmod(col("doc_id"), lit(4)) === 1, lit("\uFFFD"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("\u0007"))
+        .when(pmod(col("doc_id"), lit(4)) === 3, lit(" café"))
+        .otherwise(lit(""))
+      val raw = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), flaw).as("raw"))
+      TA.encodingReport(raw, "raw", "source").orderBy("source")
     },
 
     // Cross-snapshot LM scoring: odd docs (the "fresh crawl") scored
@@ -1292,6 +1322,19 @@ object TextQueries {
         |  AS BIGINT) AS epoch_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // rank CTE = q_epoch_order's proven oracle; token sums CAST (HUGEINT
+    // rule); null-text docs keep their rank, contribute no tokens
+    "q_shard_manifest" ->
+      """WITH r AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |  ROW_NUMBER() OVER (ORDER BY
+        |    ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id) AS rk
+        | FROM documents)
+        |SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH t AS (
         | SELECT doc_id, source,
@@ -1461,6 +1504,27 @@ object TextQueries {
         | CAST(SUM(p_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_avg_ppm,
         | CAST(MIN(p_ppm) AS BIGINT) AS lm_min_ppm
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // counts derived INDEPENDENTLY from the residue classes (valid
+    // because the base corpus is verified clean ASCII — any operator
+    // regex bug hash-mismatches); BEL is ASCII so only classes 1/3
+    // subtract from the ascii char mass
+    "q_encoding_report" ->
+      """WITH raw AS (
+        | SELECT doc_id, source,
+        |  text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN chr(65533)
+        |    WHEN 2 THEN chr(7)
+        |    WHEN 3 THEN ' caf' || chr(233)
+        |    ELSE '' END AS raw
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake_docs,
+        | CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_docs,
+        | CAST(SUM(CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii_docs,
+        | (CAST(SUM(len(raw) - CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT)
+        |   * 1000000) // greatest(CAST(SUM(len(raw)) AS BIGINT), 1) AS ascii_ppm
+        |FROM raw GROUP BY source ORDER BY source""".stripMargin,
 
     // q_lm_score's proven model CTEs restricted to the even-doc
     // reference; LEFT JOIN + COALESCE(p_ppm, 0) mirrors the unseen rule

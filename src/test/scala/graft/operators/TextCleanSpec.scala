@@ -155,6 +155,24 @@ class TextCleanSpec extends SparkTestBase {
     assert(rep("foot") == ((2L, 2L, 500000L)))
   }
 
+  test("encodingReport: mojibake/control/non-ascii doc counts, ascii char share") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "clean ascii"),                 // 11 chars, all ascii
+      ("s1", "bad \uFFFD here"),             // 10 chars, 1 non-ascii (mojibake)
+      ("s1", "bell\u0007"),                  // 5 chars, ctrl but ASCII mass
+      ("s2", "café"),                   // 4 chars, 1 non-ascii
+      ("s2", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val out = TextAnalysis.encodingReport(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // s1: 26 chars total, 25 ascii -> floor(25e6/26) = 961538
+    assert(out("s1") == ((3L, 1L, 1L, 1L, 961538L)))
+    // s2: 4 chars, 3 ascii -> 750000; null doc excluded
+    assert(out("s2") == ((1L, 0L, 0L, 1L, 750000L)))
+  }
+
   test("termDrift: exact counts/ppm deltas, one-sided tokens, empty-side guard") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a a b c"), (2L, "a b"), (3L, null.asInstanceOf[String]))
