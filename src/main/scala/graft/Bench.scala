@@ -54,11 +54,12 @@ object Bench {
       name -> (if (ok) sec else -1.0)
     }
     def entry(name: String, v: Double): String =
-      "\"" + name + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      "\"" + name + "\":" + (if (v < 0) "-1"
+        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val m = qs.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errors,"omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))},"unit":"sec","errors":$errors,"omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
     }
     // full-precision complete map → file (judge + bench_history source)
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -165,6 +165,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "int_dot_product(arrayA, arrayB)")
         IntDotProduct(exprs(0), exprs(1))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("misra_gries_topk"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries_topk"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "misra_gries_topk(item, k)")
+        // the registry hands back a raw AggregateFunction; the analyzer
+        // wraps it in an AggregateExpression like any built-in aggregate
+        graft.functions.MisraGries(exprs.head, intLit(exprs(1), "k"))
+      }))
   }
 }
 
@@ -254,10 +263,19 @@ object ExtensionsSmoke {
       kern.getInt(13) == 1 &&
       kern.getSeq[String](14) == Seq("ab", "a")
 
+    // the native aggregate through SQL: exact on a stream with <= k
+    // distinct items (MG is lossless below capacity)
+    val hh = spark.sql(
+      """SELECT misra_gries_topk(w, 4) AS s FROM (
+        |  SELECT explode(split('a a a b b c', ' ')) AS w)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val hhOk = hh.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 3L), ("b", 2L), ("c", 1L))
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
-      rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk
+      rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -237,6 +237,9 @@ object PlanAudit {
       p.contains("Exchange rangepartitioning(__h") &&
         p.contains("hashpartitioning(shard") &&
         "Exchange SinglePartition".r.findAllIn(p).size == 1)
+    check("q_heavy_hitters", "heavy hitters = map-side MG partials; the exchange ships one O(k) sketch per partition, never the vocabulary")(p =>
+      p.contains("partial_misra_gries_topk") &&
+        p.contains("ObjectHashAggregate") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

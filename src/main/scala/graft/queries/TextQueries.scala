@@ -81,6 +81,23 @@ object TextQueries {
         .orderBy("token")
     },
 
+    // Heavy hitters without a vocabulary shuffle: the mergeable
+    // Misra-Gries summary (capacity 256) collapses the token stream
+    // map-side and ships O(k) bytes per partition; the declared head-20
+    // is deep inside the capacity so it is stable and equals the exact
+    // top tokens on this corpus (HeavyHittersSpec pins the bounds).
+    // Rows-only: a partition-order-dependent sketch tail is not
+    // SQL-expressible (the HLL precedent).
+    "q_heavy_hitters" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
+        .agg(graft.functions.MisraGries(col("w"), 256).as("__hh"))
+        .select(explode(col("__hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.est_count").as("est_count"))
+        .orderBy(col("est_count").desc, col("token"))
+        .limit(20)
+    },
+
     // Characteristic vocabulary per source — log-free tf·idf (integer
     // reciprocal-df, the q_keyword_search weighting over the WHOLE vocab)
     // so the ranking is engine-exact; the report every mix-design pass
