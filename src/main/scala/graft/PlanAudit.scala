@@ -240,6 +240,9 @@ object PlanAudit {
     check("q_heavy_hitters", "heavy hitters = map-side MG partials; the exchange ships one O(k) sketch per partition, never the vocabulary")(p =>
       p.contains("partial_misra_gries_topk") &&
         p.contains("ObjectHashAggregate") && !p.contains("ScalaUDF"))
+    check("q_quality_calibration", "calibration = projection + one slim-key distinct-agg, no UDF")(p =>
+      p.contains("partial_count") && !p.contains("ScalaUDF") &&
+        !p.contains("CartesianProduct"))
     spark.stop()
   }
 }

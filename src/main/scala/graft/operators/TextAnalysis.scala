@@ -551,7 +551,11 @@ object TextAnalysis {
     *
     * Returns (idCol, text_dedup, n_lines_kept, n_lines_dropped). */
   def dedupLinesCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                       textCol: String): org.apache.spark.sql.DataFrame = {
+                       textCol: String, sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    // `sep` is both the split pattern and the reassembly joiner, so it
+    // must be a regex-metachar-free literal ("\n" lines, "\n\n"
+    // paragraphs — the C4 unit); a regex-only separator would not
+    // round-trip the reassembly.
     // ONE corpus scan: the exploded line table feeds three consumers
     // (keeper aggregate, keep-join probe, per-doc totals) — without the
     // eager materialization each one re-reads and re-explodes the corpus
@@ -560,7 +564,8 @@ object TextAnalysis {
     // for checkpoint() on a cluster.
     val lines = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
       .withColumn("__d", md5(col("__line").cast("binary")))
       .localCheckpoint(true)
     val keeper = lines.groupBy("__d")
@@ -572,7 +577,7 @@ object TextAnalysis {
     val reassembled = kept.groupBy(idCol).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
-        s => s.getField("__line")), "\n").as("__dedup"),
+        s => s.getField("__line")), sep).as("__dedup"),
       count(lit(1)).as("__kept"))
     lines.groupBy(idCol).agg(count(lit(1)).as("__total"))
       .join(reassembled, Seq(idCol), "left")

@@ -557,6 +557,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-score calibration: per score decile, population, mean
+    // length and byte-duplicate rate — the table a corpus owner reads to
+    // PLACE the quality threshold (low deciles should show short/dupey
+    // docs if the score works). Composition of proven pieces; one
+    // slim-key aggregate after a pure projection.
+    "q_quality_calibration" -> { (s, dir) =>
+      Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          TA.qualityScorePpm(col("text")).as("__q"))
+        .withColumn("quality_bucket", expr("__q div 100000"))
+        .groupBy("quality_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(length(text)) div count(1)").as("mean_chars"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+        .select(col("quality_bucket"), col("n_docs"), col("mean_chars"),
+          expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_ppm"))
+        .orderBy("quality_bucket")
+    },
+
     // Encoding-sanity intake report. The test corpus is clean ASCII, so
     // decode flaws are synthesized IN-QUERY by doc-id residue
     // (media-header discipline): 1 -> a U+FFFD replacement char, 2 -> a
@@ -1521,6 +1540,31 @@ object TextQueries {
         | CAST(SUM(p_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_avg_ppm,
         | CAST(MIN(p_ppm) AS BIGINT) AS lm_min_ppm
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quality CTE = q_quality's proven oracle restricted to non-null
+    // text; SUM(len) CAST (HUGEINT rule), floor-div mean and dup ppm
+    "q_quality_calibration" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
+        |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' a ', ''))) // 3 AS DOUBLE) AS stops,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+        | FROM documents WHERE text IS NOT NULL),
+        |q AS (
+        | SELECT doc_id, text,
+        |  CAST(floor((least(1.0, chars/500.0)*0.3
+        |    + least(1.0, stops*10.0/tokens)*0.4
+        |    + (1.0 - least(1.0, punct/(chars*0.1+1.0)))*0.3) * 1000000) AS BIGINT) AS qp
+        | FROM t)
+        |SELECT qp // 100000 AS quality_bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(len(text)) AS BIGINT) // COUNT(*) AS mean_chars,
+        | ((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000) // COUNT(*) AS dup_ppm
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // counts derived INDEPENDENTLY from the residue classes (valid
     // because the base corpus is verified clean ASCII — any operator

@@ -138,6 +138,18 @@ class TextCleanSpec extends SparkTestBase {
     assert(out(2L) == "x")
   }
 
+  test("dedupLinesCorpus: paragraph separator dedups C4-style units, newlines intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro text\nwith two lines\n\nshared disclaimer"),
+      (2L, "shared disclaimer\n\nown body")) // disclaimer already claimed by doc 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesCorpus(docs, "doc_id", "text", sep = "\n\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("intro text\nwith two lines\n\nshared disclaimer", 2L)))
+    assert(out(2L) == (("own body", 1L))) // intra-paragraph newlines untouched
+  }
+
   test("boilerplateReport: df threshold inclusive, counts distinct docs vs occurrences") {
     import spark.implicits._
     val docs = Seq(
