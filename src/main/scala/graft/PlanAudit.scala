@@ -243,6 +243,9 @@ object PlanAudit {
     check("q_quality_calibration", "calibration = projection + one slim-key distinct-agg, no UDF")(p =>
       p.contains("partial_count") && !p.contains("ScalaUDF") &&
         !p.contains("CartesianProduct"))
+    check("q_interleave_order", "stride interleave = one source-window shuffle + broadcast weights; NO single-partition stage")(p =>
+      p.contains("BroadcastHashJoin") &&
+        !p.contains("Exchange SinglePartition") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -261,6 +261,33 @@ object Corpus {
       .drop("__b", "__pre", "__h")
   }
 
+  /** Deterministic weighted source interleaving — stride scheduling
+    * (Waldspurger & Weihl 1995), the order a multi-source data loader
+    * actually wants: a source with twice the weight appears twice as
+    * densely, uniformly, not in bursts. Each doc gets its per-source
+    * shuffle rank `src_rank` (the [[epochOrder]] hash order, restricted
+    * to the source) and a virtual time `interleave_key = (src_rank *
+    * 10^6) div weight_ppm`; reading in (interleave_key, groupCol,
+    * src_rank) order interleaves sources proportionally to weight.
+    * Deliberately emits the KEY rather than a global rank: consumers
+    * range-partition on it (e.g. [[writeClustered]]) — no global sort,
+    * no single-partition stage anywhere; the only shuffle is the
+    * per-source rank window, and the weights side is per-group tiny —
+    * broadcast. All integer arithmetic; a different `epoch` reshuffles
+    * within every source. */
+  def interleaveOrder(docs: DataFrame, idCol: String, groupCol: String,
+                      weights: DataFrame, weightCol: String = "weight_ppm",
+                      epoch: Int = 0): DataFrame = {
+    require(epoch >= 0, "epoch must be non-negative")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000).asc,
+        col(idCol).asc)
+    docs.join(broadcast(weights.select(col(groupCol), col(weightCol))), groupCol)
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("interleave_key",
+        expr(s"(src_rank * 1000000L) div greatest($weightCol, 1L)"))
+  }
+
   /** Token-budget selection: keep the best documents by `scoreCol` (ties
     * broken by `idCol` — a total, engine-agnostic order) until their
     * cumulative token count fills `budgetTokens`. A doc is selected iff

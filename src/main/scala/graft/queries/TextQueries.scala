@@ -169,6 +169,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted source interleaving (stride scheduling): per-source
+    // shuffle ranks + integer virtual time; reading in interleave_key
+    // order mixes sources proportionally to weight with no global sort.
+    // Weights synthesized deterministically from the source name
+    // (media-header discipline), epoch 1.
+    "q_interleave_order" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "source")
+      val weights = docs.select("source").distinct()
+        .withColumn("weight_ppm",
+          expr("(1 + length(source) % 3) * 1000000L"))
+      Corpus.interleaveOrder(docs, "doc_id", "source", weights, epoch = 1)
+        .select("doc_id", "source", "src_rank", "interleave_key")
+        .orderBy("doc_id")
+    },
+
     // Loader shard manifest: the epoch-1 permutation striped round-robin
     // into 8 data-loader shards — per shard, its doc and token mass (the
     // balance proof a multi-host trainer reads before launching).
@@ -1356,6 +1371,20 @@ object TextQueries {
         | CAST(ROW_NUMBER() OVER (ORDER BY
         |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id)
         |  AS BIGINT) AS epoch_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-source ROW_NUMBER over the epoch-shifted Knuth hash order
+    // (q_epoch_order's proven formula, partitioned); weights derived
+    // from the source name on both engines
+    "q_interleave_order" ->
+      """SELECT doc_id, source,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id)
+        |  AS BIGINT) AS src_rank,
+        | (CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id)
+        |  AS BIGINT) * 1000000)
+        |  // greatest((1 + len(source) % 3) * 1000000, 1) AS interleave_key
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // rank CTE = q_epoch_order's proven oracle; token sums CAST (HUGEINT

@@ -56,6 +56,29 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("interleaveOrder: stride keys exact, merged order mixes sources by weight") {
+    import spark.implicits._
+    val docs = ((0 until 30).map(i => (i.toLong, "A")) ++
+      (100 until 115).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val weights = Seq(("A", 2000000L), ("B", 1000000L)).toDF("source", "weight_ppm")
+    val out = Corpus.interleaveOrder(docs, "doc_id", "source", weights, epoch = 0)
+      .select("doc_id", "source", "src_rank", "interleave_key")
+      .as[(Long, String, Long, Long)].collect()
+    // key formula exact per row
+    out.foreach { case (_, src, r, key) =>
+      val w = if (src == "A") 2000000L else 1000000L
+      assert(key == (r * 1000000L) / w)
+    }
+    // ranks are a dense per-source permutation
+    assert(out.filter(_._2 == "A").map(_._3).sorted.sameElements(1L to 30L))
+    assert(out.filter(_._2 == "B").map(_._3).sorted.sameElements(1L to 15L))
+    // reading in (key, source, rank) order interleaves ~2 A per B while
+    // both sources last (floor offsets allow a small constant drift)
+    val merged = out.sortBy { case (_, s, r, k) => (k, s, r) }.take(30)
+    val a = merged.count(_._2 == "A")
+    assert(a >= 18 && a <= 22, s"A share in merged prefix: $a/30")
+  }
+
   test("selectByBudget: two-level cumsum equals the naive global window, any bucket count") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
