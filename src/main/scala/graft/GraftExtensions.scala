@@ -166,6 +166,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         IntDotProduct(exprs(0), exprs(1))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunks].getName, "cdc_chunks"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cdc_chunks(text, avgBits)")
+        graft.functions.CdcChunks(exprs.head, intLit(exprs(1), "avgBits"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("misra_gries_topk"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries_topk"),
       (exprs: Seq[Expression]) => {
@@ -244,7 +251,8 @@ object ExtensionsSmoke {
         |  deflate_len(repeat('a', 200)) AS dl,
         |  adjacent_join(array('a', 'b', 'c'), ' ') AS aj,
         |  size(winnow_fps(repeat('ab', 40), 8, 16)) AS wf,
-        |  merge_pair(array('a', 'b', 'a'), 'a', 'b') AS mp
+        |  merge_pair(array('a', 'b', 'a'), 'a', 'b') AS mp,
+        |  size(cdc_chunks(repeat('abcde', 100), 4)) AS cc
         |""".stripMargin).head()
     val kernOk = kern.getLong(0) == -1L && kern.getLong(1) == 2L &&
       // two identical tokens vote every bit of their hash twice → the
@@ -261,7 +269,9 @@ object ExtensionsSmoke {
       kern.getSeq[String](12) == Seq("a b", "b c") &&
       // period-2 text: one hash dominates every window -> one fingerprint
       kern.getInt(13) == 1 &&
-      kern.getSeq[String](14) == Seq("ab", "a")
+      kern.getSeq[String](14) == Seq("ab", "a") &&
+      // 500 bytes at avg 16: clamp guarantees between 500/64 and 500/4 cuts
+      kern.getInt(15) >= 7 && kern.getInt(15) <= 126
 
     // the native aggregate through SQL: exact on a stream with <= k
     // distinct items (MG is lossless below capacity)

@@ -246,6 +246,9 @@ object PlanAudit {
     check("q_interleave_order", "stride interleave = one source-window shuffle + broadcast weights; NO single-partition stage")(p =>
       p.contains("BroadcastHashJoin") &&
         !p.contains("Exchange SinglePartition") && !p.contains("ScalaUDF"))
+    check("q_cdc_pairs", "CDC pairs: kernel projection + digest equi-join, never nested-loop")(p =>
+      p.contains("cdc_chunks") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -309,6 +309,34 @@ object Dedup {
       .filter(col("n_shared_fps") >= minShared)
   }
 
+  /** Shift-resistant near-dup pairs by shared CONTENT-DEFINED chunks —
+    * the edit-tolerant dedup family ([[graft.functions.CdcChunks]]:
+    * LBFS/FastCDC boundaries): two mirrors of a long page that differ by
+    * one injected banner still share almost every chunk digest, where
+    * fixed-offset blocking desynchronizes after the edit. Digests are
+    * de-duplicated per doc first so `n_shared_chunks` is a set
+    * intersection.
+    *
+    * Scale shape = [[winnowedPairs]] verbatim: the chunk table is a pure
+    * kernel projection, ONE exchange on the digest feeds both sides of
+    * the self-join, `maxBucket` caps boilerplate chunks, the pair
+    * aggregate carries two ids. Returns (doc1, doc2, n_shared_chunks),
+    * doc1 < doc2, n_shared_chunks >= minShared. */
+  def cdcPairs(docs: DataFrame, idCol: String, textCol: String,
+               avgBits: Int, minShared: Long,
+               maxBucket: Int = Int.MaxValue): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.CdcChunks(col(textCol), avgBits))).as("fp"))
+    val capped = dropHotBuckets(fps, Seq("fp"), maxBucket)
+      .repartition(col("fp"))
+    val l = capped.select(col("id").as("doc1"), col("fp"))
+    val r = capped.select(col("id").as("doc2"), col("fp").as("fp_r"))
+    l.join(r, col("fp") === col("fp_r") && col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") >= minShared)
+  }
+
   /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
     * matching signature slots, in ppm). `bands` × `rowsPerBand` = perms.
     *

@@ -511,6 +511,17 @@ object TextQueries {
         .orderBy("doc1", "doc2")
     },
 
+    // Shift-resistant near-dup pairs via content-defined chunking
+    // (LBFS/FastCDC): edits move one chunk, every later boundary
+    // re-syncs — the duplication family fixed shingling desynchronizes
+    // on. Rows-only (xxhash digests per the hash-ops discipline);
+    // CdcSpec carries the shift-invariance truth.
+    "q_cdc_pairs" -> { (s, dir) =>
+      Dedup.cdcPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        avgBits = 5, minShared = 3L, maxBucket = 256)
+        .orderBy("doc1", "doc2")
+    },
+
     // Mergeable vocabulary sketches: per-source distinct-token HLL
     // (DataSketches, lgK=12 → ~1.6% rse) UNIONED into the corpus estimate
     // WITHOUT re-scanning — the 100 TB distinct-counting shape (per-slice
