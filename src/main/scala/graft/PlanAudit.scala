@@ -249,6 +249,9 @@ object PlanAudit {
     check("q_cdc_pairs", "CDC pairs: kernel projection + digest equi-join, never nested-loop")(p =>
       p.contains("cdc_chunks") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
+    check("q_pack_spill", "spill report: window cumsum + per-source agg share ONE source shuffle")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

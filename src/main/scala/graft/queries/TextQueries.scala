@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{AudioMeta, ImageMeta, VideoMeta}
 import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / dedup / multimodal queries over the `documents` table
@@ -223,6 +224,34 @@ object TextQueries {
           concat_ws(",", sort_array(collect_list(
             lpad(col("doc_id").cast("string"), 6, "0")))).as("ids"))
         .orderBy("source", "pack_id")
+    },
+
+    // Pack-boundary spill report: the streaming packer is DENSE (a doc's
+    // pack is where its first token lands, so there is no padding by
+    // construction) — the cost it does pay is docs CROSSING window
+    // boundaries, which a trainer truncates or fragments. Per source:
+    // spanning docs and the tokens past their first 512-boundary, as ppm
+    // of the token mass — the number that says whether the budget is too
+    // small for the corpus's document lengths.
+    "q_pack_spill" -> { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TA.bpeTokenCount(col("text")).as("n"))
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("sp", expr("(cum - n) div 512"))
+        .withColumn("ep", expr("CASE WHEN n > 0 THEN (cum - 1) div 512 ELSE (cum - n) div 512 END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ep") > col("sp"), 1L).otherwise(0L)).as("n_spanning_docs"),
+          sum(when(col("ep") > col("sp"), col("cum") - (col("sp") + 1) * 512)
+            .otherwise(0L)).as("spilled_tokens"),
+          sum("n").as("__tok"))
+        .select(col("source"), col("n_docs"), col("n_spanning_docs"),
+          col("spilled_tokens"),
+          expr("(spilled_tokens * 1000000) div greatest(__tok, 1L)").as("spill_ppm"))
+        .orderBy("source")
     },
 
     // Char-length histogram per source (floor-of-100 buckets) — the
@@ -1421,6 +1450,30 @@ object TextQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
         |   // 512 AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // cumsum CTE = q_pack_sequences' proven oracle shape (windowed SUM
+    // CAST per the HUGEINT rule); spill = tokens past the doc's first
+    // 512-boundary; zero-token docs are non-spanning by the CASE
+    "q_pack_spill" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n
+        | FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        | SELECT doc_id, source, n,
+        |  CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM t),
+        |s AS (
+        | SELECT source, n, cum, (cum - n) // 512 AS sp,
+        |  CASE WHEN n > 0 THEN (cum - 1) // 512 ELSE (cum - n) // 512 END AS ep
+        | FROM c)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN ep > sp THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs,
+        | CAST(SUM(CASE WHEN ep > sp THEN cum - (sp + 1) * 512 ELSE 0 END) AS BIGINT) AS spilled_tokens,
+        | (CAST(SUM(CASE WHEN ep > sp THEN cum - (sp + 1) * 512 ELSE 0 END) AS BIGINT) * 1000000)
+        |   // greatest(CAST(SUM(n) AS BIGINT), 1) AS spill_ppm
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     // pack assignment CTE identical to q_pack_sequences' proven oracle;
     // ids zero-padded so the string sort matches sort_array exactly
