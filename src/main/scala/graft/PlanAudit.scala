@@ -252,6 +252,9 @@ object PlanAudit {
     check("q_pack_spill", "spill report: window cumsum + per-source agg share ONE source shuffle")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         !p.contains("ScalaUDF"))
+    check("q_funnel", "funnel: chained step windows + per-user collapse share ONE user shuffle (+1 tiny depth agg)")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 2 &&
+        !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
     spark.stop()
   }
 }

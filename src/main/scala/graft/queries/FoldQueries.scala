@@ -219,6 +219,27 @@ object FoldQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Ordered-funnel analysis (view -> click -> purchase): per user the
+    // deepest strictly-ordered step reached, rolled up to a per-depth
+    // population + floor-avg conversion latency. Chained conditional-min
+    // windows + the per-user collapse share ONE user shuffle.
+    "q_funnel" -> { (s, dir) =>
+      // first three days only: the full stream converts every user (depth-3
+      // everywhere — one row proves nothing); the early window leaves a
+      // real depth distribution to report
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000000").as("ms"))
+        .filter(col("ms") < 1704326400000L)
+      Sessionize.funnel(e, "user_id", "ms", "event_type",
+        Seq("view", "click", "purchase"))
+        .groupBy("funnel_depth")
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(coalesce(convert_ms, 0L)) div " +
+            "greatest(sum(CASE WHEN convert_ms IS NOT NULL THEN 1L ELSE 0L END), 1L)")
+            .as("avg_convert_ms"))
+        .orderBy("funnel_depth")
+    },
+
     // Range join: assign every event to the per-user session interval
     // containing it. The bucketed point-in-interval equi-join
     // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
@@ -347,6 +368,30 @@ object FoldQueries {
         |  FROM f)
         |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // chained conditional-min windows mirror the operator exactly;
+    // strictly-after at ms precision (the house ms-truncation idiom);
+    // windowed/plain integer SUMs CAST per the HUGEINT rule
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |           WHERE epoch_ms(ts) < 1704326400000),
+        |s0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ms END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ms > t0 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ms > t1 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |u AS (
+        | SELECT user_id,
+        |  CAST(MAX(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |       WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS funnel_depth,
+        |  MAX(t2 - t0) AS convert_ms
+        | FROM s2 GROUP BY user_id)
+        |SELECT funnel_depth, COUNT(*) AS n_users,
+        | CAST(SUM(COALESCE(convert_ms, 0)) AS BIGINT)
+        |   // greatest(CAST(SUM(CASE WHEN convert_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 1)
+        |   AS avg_convert_ms
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
