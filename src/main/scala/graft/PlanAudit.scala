@@ -255,6 +255,9 @@ object PlanAudit {
     check("q_funnel", "funnel: chained step windows + per-user collapse share ONE user shuffle (+1 tiny depth agg)")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 2 &&
         !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+    check("q_retention", "retention: slim day projections, user equi-join, no nested-loop, no UDF")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF") && p.contains("HashAggregate"))
     spark.stop()
   }
 }

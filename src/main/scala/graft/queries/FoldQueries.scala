@@ -240,6 +240,25 @@ object FoldQueries {
         .orderBy("funnel_depth")
     },
 
+    // Cohort retention — the second product-analytics flagship: users
+    // grouped by FIRST-ACTIVE day, counted on each later active day
+    // offset. Day arithmetic is integer (ms div 86400000 — UTC day
+    // buckets on both engines); the per-user first-day table joins back
+    // slim (id + day), distinct (user, cohort, offset) collapses
+    // multi-event days before the count.
+    "q_retention" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(first, "user_id")
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // Range join: assign every event to the per-user session interval
     // containing it. The bucketed point-in-interval equi-join
     // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
@@ -392,6 +411,18 @@ object FoldQueries {
         |   // greatest(CAST(SUM(CASE WHEN convert_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 1)
         |   AS avg_convert_ms
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // UTC day buckets = epoch_ms // 86400000 on both engines; COUNT is
+    // BIGINT, day arithmetic stays BIGINT
+    "q_retention" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (
+        | SELECT DISTINCT f.cohort_day, e.day - f.cohort_day AS day_offset, e.user_id
+        | FROM e JOIN f USING (user_id))
+        |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
