@@ -258,6 +258,15 @@ object PlanAudit {
     check("q_retention", "retention: slim day projections, user equi-join, no nested-loop, no UDF")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF") && p.contains("HashAggregate"))
+    check("q_attribution", "attribution: as-of union window (no inequality join) + tiny channel agg")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF"))
+    check("q_anomaly", "anomaly flags: one (type,day) shuffle; per-type means broadcast back")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("ScalaUDF") &&
+        !p.contains("CartesianProduct"))
+    check("q_quantile_sketch", "quantiles = map-side KLL partials; exchange ships O(k) sketch bytes, never the value column")(p =>
+      p.contains("partial_kll_quantiles") &&
+        p.contains("ObjectHashAggregate") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

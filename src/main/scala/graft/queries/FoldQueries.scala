@@ -259,6 +259,54 @@ object FoldQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // Last-touch attribution — the third product-analytics flagship after
+    // q_funnel/q_retention: every purchase attributes its revenue to the
+    // latest preceding non-purchase event ("channel") within a 24 h
+    // lookback, else to 'direct'. Reuses AsOfJoin.backward (one user
+    // shuffle, no inequality join); the lookback is a cheap post-join
+    // filter because the as-of join emits exactly ONE candidate per
+    // purchase. Revenue follows the decimal-exact sum discipline.
+    "q_attribution" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
+          col("event_type"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ms"), col("event_id"),
+          col("event_type").as("touch_type"), col("ms").as("touch_ms"))
+      AsOfJoin.backward(purchases, touches,
+        on = Seq("user_id"), orderCols = Seq("ms", "event_id"),
+        payload = Seq("touch_type", "touch_ms"), strict = true)
+        .withColumn("channel",
+          when(col("touch_ms").isNotNull &&
+            col("ms") - col("touch_ms") <= lit(86400000L), col("touch_type"))
+            .otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("channel")
+    },
+
+    // Daily volume anomaly flags: per (event_type, UTC day) counts compared
+    // against the type's floor-mean daily volume; a day is anomalous when
+    // it deviates ±20% from that mean. All-integer arithmetic (ratio
+    // comparison via cross-multiplication) so the oracle is bit-exact.
+    // Scale shape: one shuffle to the (type, day) grain — tiny output —
+    // then the per-type means broadcast back.
+    "q_anomaly" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), expr("(ts div 1000000) div 86400000").as("day"))
+      val daily = e.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(expr("sum(n) div count(1)").as("mean_n"))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("anomaly",
+          when(col("n") * lit(100L) > col("mean_n") * lit(120L) ||
+            col("n") * lit(100L) < col("mean_n") * lit(80L), lit(1L)).otherwise(lit(0L)))
+        .select("event_type", "day", "n", "mean_n", "anomaly")
+        .orderBy("event_type", "day")
+    },
+
     // Range join: assign every event to the per-user session interval
     // containing it. The bucketed point-in-interval equi-join
     // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
@@ -423,6 +471,38 @@ object FoldQueries {
         | FROM e JOIN f USING (user_id))
         |SELECT cohort_day, day_offset, COUNT(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the as-of fill mirrors q_asof_join's oracle; both LAST_VALUE fills
+    // pick the same row because the CASEs are null on exactly the same
+    // (purchase) rows; 24 h lookback applied after the fill
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+        |f AS (
+        |  SELECT user_id, ms, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ms END IGNORE NULLS) OVER w AS touch_ms
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE WHEN touch_ms IS NOT NULL AND ms - touch_ms <= 86400000
+        |    THEN touch_type ELSE 'direct' END AS channel, value
+        |  FROM f WHERE event_type = 'purchase')
+        |SELECT channel, COUNT(*) AS n_conversions,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // integer-exact throughout: COUNT is BIGINT, the HUGEINT SUM is cast
+    // before the floor division, the ±20% band compares via
+    // cross-multiplication — no doubles anywhere
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+        |d AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(SUM(n) AS BIGINT) // COUNT(*) AS mean_n FROM d GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n, s.mean_n,
+        | CAST(CASE WHEN d.n*100 > s.mean_n*120 OR d.n*100 < s.mean_n*80
+        |   THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM d JOIN s USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

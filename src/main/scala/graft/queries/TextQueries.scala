@@ -99,6 +99,24 @@ object TextQueries {
         .limit(20)
     },
 
+    // Per-source document-length quantiles without a value shuffle: the
+    // mergeable deterministic KLL summary (capacity 256) sketches each
+    // source's n_chars distribution map-side; the exchange carries a few
+    // KB per partition instead of the length column. Rows-only: sketch
+    // estimates are not SQL-expressible (the MisraGries/HLL precedent);
+    // QuantileSketchSpec pins exactness below capacity and the rank-error
+    // bound above it.
+    "q_quantile_sketch" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+        .groupBy("source")
+        .agg(graft.functions.KllQuantiles(
+          col("n_chars"), 256, Seq(0.25, 0.5, 0.75, 0.9, 0.99)).as("__qs"))
+        .select(col("source"), explode(col("__qs")).as("e"))
+        .select(col("source"), col("e.q").as("q"), col("e.est").as("est_len"))
+        .orderBy("source", "q")
+    },
+
     // Characteristic vocabulary per source — log-free tf·idf (integer
     // reciprocal-df, the q_keyword_search weighting over the WHOLE vocab)
     // so the ranking is engine-exact; the report every mix-design pass
