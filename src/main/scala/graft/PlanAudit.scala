@@ -267,6 +267,12 @@ object PlanAudit {
     check("q_quantile_sketch", "quantiles = map-side KLL partials; exchange ships O(k) sketch bytes, never the value column")(p =>
       p.contains("partial_kll_quantiles") &&
         p.contains("ObjectHashAggregate") && !p.contains("ScalaUDF"))
+    check("q_sample_bottomk", "sample = map-side bottom-k partials; exchange ships k pairs per partition, never the corpus")(p =>
+      p.contains("partial_bottom_k_by_key") &&
+        p.contains("ObjectHashAggregate") && !p.contains("ScalaUDF"))
+    check("q_postings", "postings head bounded BEFORE collection; window + final agg share the term exchange; bounded top-200")(p =>
+      p.contains("TakeOrderedAndProject") && !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
     spark.stop()
   }
 }

@@ -117,6 +117,51 @@ object TextQueries {
         .orderBy("source", "q")
     },
 
+    // Reproducible per-source sample without a corpus shuffle: the k
+    // smallest xxhash64(doc_id) per source (bottom-k / KMV) are a
+    // deterministic uniform sample whose membership is independent of
+    // partitioning and merge order — the property audit sampling and
+    // eval-set carving need. The exchange ships k pairs per partition
+    // per source, never the corpus. Rows-only per the xxhash64
+    // discipline; BottomKSpec pins exactness against the sort path.
+    "q_sample_bottomk" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .groupBy("source")
+        .agg(graft.functions.BottomKByKey(
+          xxhash64(col("doc_id")), col("doc_id"), 10).as("__s"))
+        .select(col("source"), explode(col("__s")).as("e"))
+        .select(col("source"), col("e.sort_key").as("sort_key"),
+          col("e.id").as("doc_id"))
+        .orderBy("source", "sort_key")
+    },
+
+    // Inverted-index shard build — the retrieval-side artifact (BM25/
+    // keyword search read postings, something must WRITE them): per term
+    // the document frequency and a bounded head of the doc-id postings
+    // list. The head is row_number-bounded BEFORE collection so no task
+    // ever materializes a full postings list; window + final agg share
+    // the term exchange. The term->string join casts the sorted long
+    // array (codegen'd cast, no per-element HOF). Declared head = top
+    // 200 terms by df — bounded output by construction.
+    "q_postings" -> { (s, dir) =>
+      val pairs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("token"))
+        .filter(length(col("token")) >= 3)
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy("doc_id")
+      pairs.withColumn("rn", row_number().over(w))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          array_join(
+            sort_array(collect_list(when(col("rn") <= 20, col("doc_id"))))
+              .cast("array<string>"), ",").as("postings_head"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(200)
+    },
+
     // Characteristic vocabulary per source — log-free tf·idf (integer
     // reciprocal-df, the q_keyword_search weighting over the WHOLE vocab)
     // so the ranking is engine-exact; the report every mix-design pass
@@ -1332,6 +1377,24 @@ object TextQueries {
         |SELECT doc_id,
         | (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS rep_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same tokenizer as q_vocab/q_tfidf; string_agg skips the NULLs the
+    // rn>20 tail leaves, ORDER BY doc_id matches sort_array ascending;
+    // CAST(doc_id AS VARCHAR) = Spark's long->string cast for integers
+    "q_postings" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS token
+        | FROM documents),
+        |p AS (SELECT DISTINCT doc_id, token FROM t WHERE len(token) >= 3),
+        |r AS (SELECT token, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |      FROM p)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        | string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END, ','
+        |            ORDER BY doc_id) AS postings_head
+        |FROM r GROUP BY token
+        |ORDER BY df DESC, token
+        |LIMIT 200""".stripMargin,
 
     "q_vocab" ->
       """SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
