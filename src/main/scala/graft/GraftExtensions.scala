@@ -181,6 +181,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // wraps it in an AggregateExpression like any built-in aggregate
         graft.functions.MisraGries(exprs.head, intLit(exprs(1), "k"))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantiles].getName, "kll_quantiles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "kll_quantiles(value, k, 'q1,q2,...')")
+        val qs = exprs(2) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString.split(",").toSeq.map(_.trim.toDouble)
+          case other => throw new IllegalArgumentException(
+            s"quantiles must be a comma-separated string literal, got $other")
+        }
+        graft.functions.KllQuantiles(exprs.head, intLit(exprs(1), "k"), qs)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("bottom_k_by_key"),
+      new ExpressionInfo(classOf[graft.functions.BottomKByKey].getName, "bottom_k_by_key"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "bottom_k_by_key(sortKey, id, k)")
+        graft.functions.BottomKByKey(exprs(0), exprs(1), intLit(exprs(2), "k"))
+      }))
   }
 }
 
@@ -282,10 +302,25 @@ object ExtensionsSmoke {
     val hhOk = hh.map(r => (r.getString(0), r.getLong(1))) ==
       Seq(("a", 3L), ("b", 2L), ("c", 1L))
 
+    // KLL below capacity = exact lower quantile; bottom-k = sorted prefix
+    val kll = spark.sql(
+      """SELECT kll_quantiles(v, 8, '0.5,1.0') AS s FROM (
+        |  SELECT explode(sequence(1L, 5L)) AS v)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val kllOk = kll.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((0.5, 3L), (1.0, 5L))
+    val bk = spark.sql(
+      """SELECT bottom_k_by_key(v * 10L, v, 2) AS s FROM (
+        |  SELECT explode(array(5L, 1L, 3L)) AS v)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val bkOk = bk.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((10L, 1L), (30L, 3L))
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
-      rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk
+      rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&
+      kllOk && bkOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

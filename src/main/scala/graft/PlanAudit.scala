@@ -273,6 +273,21 @@ object PlanAudit {
     check("q_postings", "postings head bounded BEFORE collection; window + final agg share the term exchange; bounded top-200")(p =>
       p.contains("TakeOrderedAndProject") && !p.contains("ScalaUDF") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+    check("q_grouping_sets", "grouping sets = one Expand + partial agg, no repeated scans")(p =>
+      p.contains("Expand") &&
+        "FileScan parquet".r.findAllIn(p).size == 1)
+    check("q_exists_subquery", "correlated EXISTS with inequality decorrelates to a semi hash join, never nested-loop")(p =>
+      p.contains("LeftSemi") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    check("q_moving_avg", "trailing window runs over the reduced daily grain; both window fns share one exchange+sort")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        "Window".r.findAllIn(p).size >= 1 && !p.contains("ScalaUDF"))
+    check("q_reach", "adoption curves: slim-key shuffles only, running sum over the (type, day) grain, NO single-partition stage")(p =>
+      !p.contains("Exchange SinglePartition") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3)
+    check("q_skew_report", "skew report: partial agg on the slim key, 1-row total broadcast, bounded top-20")(p =>
+      p.contains("TakeOrderedAndProject") && p.contains("HashAggregate") &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -307,6 +307,52 @@ object FoldQueries {
         .orderBy("event_type", "day")
     },
 
+    // 7-day trailing revenue average per event type — the explicit
+    // bounded-ROWS window frame (q_window covers the unbounded running
+    // frame). All-cents BIGINT arithmetic: daily revenue reduces to exact
+    // cents first, the trailing sum and floor-average stay integral, so
+    // the oracle is bit-exact. One shuffle to the (type, day) grain; the
+    // window runs over the tiny daily table.
+    "q_moving_avg" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"), expr("(ts div 1000000) div 86400000").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("rev7_cents", sum(col("rev_cents")).over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .select(col("event_type"), col("day"), col("rev_cents"),
+          expr("rev7_cents div n7").as("avg7_cents"))
+        .orderBy("event_type", "day")
+    },
+
+    // Feature-adoption reach curves — per event type, daily new adopters
+    // and cumulative reach (the growth chart next to retention/funnel/
+    // attribution). Cumulative distinct users is not a window-able
+    // aggregate; the standard decomposition is first-seen day per
+    // (user, type) -> daily adopter counts -> running sum per type. Both
+    // shuffles carry slim keys; the running sum windows over the tiny
+    // (type, day) grain with NO single-partition stage.
+    "q_reach" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("(ts div 1000000) div 86400000").as("day"))
+      val firstDay = e.groupBy("user_id", "event_type")
+        .agg(min("day").as("first_day"))
+      val daily = firstDay.groupBy("event_type", "first_day")
+        .agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("first_day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("event_type", "first_day")
+    },
+
     // Range join: assign every event to the per-user session interval
     // containing it. The bucketed point-in-interval equi-join
     // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
@@ -503,6 +549,38 @@ object FoldQueries {
         |   THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM d JOIN s USING (event_type)
         |ORDER BY 1, 2""".stripMargin,
+
+    // cents stay BIGINT end to end (HUGEINT rule: CAST every windowed
+    // integer SUM); values are all positive so floor (//) and Spark's
+    // truncating div agree
+    "q_moving_avg" ->
+      """WITH d AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, rev_cents,
+        |   CAST(SUM(rev_cents) OVER (PARTITION BY event_type ORDER BY day
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev7_cents,
+        |   CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+        | FROM d)
+        |SELECT event_type, day, rev_cents, rev7_cents // n7 AS avg7_cents
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
+    // first-seen-day decomposition of cumulative distinct; windowed
+    // integer SUM CAST per the HUGEINT rule
+    "q_reach" ->
+      """WITH f AS (
+        | SELECT user_id, event_type,
+        |   MIN(epoch_ms(ts) // 86400000) AS first_day
+        | FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, first_day, COUNT(*) AS new_users
+        |      FROM f GROUP BY 1, 2)
+        |SELECT event_type, first_day, new_users,
+        | CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY first_day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY event_type, first_day""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -180,6 +180,57 @@ object Relational {
           |FROM customer_v c ORDER BY c_custkey""".stripMargin)
     },
 
+    // Explicit GROUPING SETS with grouping() flags — the third member of
+    // the multi-grain family (rollup/cube cover the prefix/power-set
+    // cases; arbitrary set lists need the Expand operator directly).
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |                        (o_orderstatus, o_orderpriority))
+          |ORDER BY g_status, g_prio,
+          |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // Correlated EXISTS with a non-equi conjunct (the TPC-H Q4 shape:
+    // orders with a late-shipping line item). Decorrelates to a left-semi
+    // hash join on l_orderkey with the inequality as a join residual —
+    // a different path than q_semi_join's pure equi-EXISTS.
+    "q_exists_subquery" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_ex")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_orders
+          |FROM orders_ex o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM lineitem_ex l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Join-key skew diagnostics — the report you run BEFORE picking a
+    // salting factor or AQE skew threshold on a 100 TB join: top-20
+    // heaviest keys with integer-exact corpus share (ppm). One partial-agg
+    // shuffle on the slim key; the 1-row total broadcasts; bounded top-k.
+    "q_skew_report" -> { (s, dir) =>
+      val counts = Tables(s, dir, "lineitem")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("l_suppkey"), col("n"),
+          expr("n * 1000000 div total").as("share_ppm"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+        .limit(20)
+    },
+
     // Scalar function breadth: date/string/math over a deterministic
     // subset, every expression mirrored 1:1 in the oracle.
     "q_scalar_funcs" -> { (s, dir) =>
@@ -319,6 +370,35 @@ object Relational {
         | CAST(floor(quantile_cont(value, 0.5) * 100) AS BIGINT) AS med,
         | CAST(floor(quantile_cont(value, 0.9) * 100) AS BIGINT) AS p90
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT l_suppkey, n, n * 1000000 // total AS share_ppm
+        |FROM c, t
+        |ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT c_custkey,

@@ -121,6 +121,16 @@ class StreamBatchParitySpec extends SparkTestBase {
       "TokenStatsParitySmoke reported a stream/batch token-ledger mismatch")
   }
 
+  test("LLM-pipeline parity: incremental bottom-k sampling through KeyFlowTws equals " +
+    "batch q_sample_bottomk (forked)") {
+    // the smoke replays sf0.001 documents keyed by source, folding the
+    // sorted bottom-k (xxhash64, doc_id) pair list across 4 microbatches
+    // with a replay overlap (set-semantics insertion = idempotent under
+    // at-least-once), and diffs final samples against the declared query
+    assert(forkSmoke("graft.streaming.BottomKParitySmoke") == 0,
+      "BottomKParitySmoke reported a stream/batch sample mismatch")
+  }
+
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
