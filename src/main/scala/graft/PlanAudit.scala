@@ -288,6 +288,10 @@ object PlanAudit {
     check("q_skew_report", "skew report: partial agg on the slim key, 1-row total broadcast, bounded top-20")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("HashAggregate") &&
         !p.contains("ScalaUDF"))
+    check("q_substring_dup", "span dedup is corpus-LINEAR: digest window + doc interval-merge windows, never pairwise, no UDF")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3)
     spark.stop()
   }
 }

@@ -117,6 +117,46 @@ object TextQueries {
         .orderBy("source", "q")
     },
 
+    // Exact duplicate-SPAN report — the substring-level dedup signal
+    // (dedup at the span grain, the "Deduplicating Training Data Makes
+    // Language Models Better" regime; Lee et al. 2022): every 50-char
+    // gram occurring more than once in the corpus marks its positions,
+    // per-doc positions merge into maximal spans, each doc reports how
+    // many duplicated spans it carries and how many chars they cover.
+    // Linear in corpus size (one gram per position — never pairwise):
+    // the gram shuffle carries (md5, doc, pos); the span merge is the
+    // interval-merge window (running max end) on the doc partition.
+    "q_substring_dup" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 50)
+      val grams = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 49)).as("p"))
+        .select(col("doc_id"), col("p"),
+          md5(expr("substring(text, p, 50)").cast("binary")).as("g"))
+      val dup = grams
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("c") > 1)
+        .select("doc_id", "p")
+      val wDoc = Window.partitionBy("doc_id").orderBy("p")
+      val spans = dup
+        .withColumn("prev_end",
+          max(col("p") + lit(49)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_span",
+          when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("span_id",
+          sum(col("new_span")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "span_id")
+        .agg(min("p").as("s"), (max("p") + lit(49)).as("e"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("e") - col("s") + lit(1)).as("dup_chars"))
+        .orderBy("doc_id")
+    },
+
     // Reproducible per-source sample without a corpus shuffle: the k
     // smallest xxhash64(doc_id) per source (bottom-k / KMV) are a
     // deterministic uniform sample whose membership is independent of
@@ -1377,6 +1417,34 @@ object TextQueries {
         |SELECT doc_id,
         | (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT) AS rep_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // md5 over the substring is the proven cross-engine digest; substr
+    // is character-based on both; interval-merge windows mirror the
+    // operator (windowed MAX is frame-exact, windowed SUM CAST per the
+    // HUGEINT rule)
+    "q_substring_dup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 50),
+        |pos AS (SELECT doc_id, unnest(range(1, len(text) - 49 + 1)) AS p FROM d),
+        |g AS (SELECT pos.doc_id, p, md5(substr(d.text, p, 50)) AS gm
+        |      FROM pos JOIN d ON pos.doc_id = d.doc_id),
+        |dup AS (SELECT doc_id, p FROM (
+        |  SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gm) AS c FROM g) WHERE c > 1),
+        |f AS (SELECT doc_id, p,
+        |        MAX(p + 49) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM dup),
+        |sflag AS (SELECT doc_id, p,
+        |            CASE WHEN prev_end IS NULL OR p > prev_end + 1 THEN 1 ELSE 0 END AS new_span
+        |          FROM f),
+        |sid AS (SELECT doc_id, p,
+        |          CAST(SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+        |        FROM sflag),
+        |spans AS (SELECT doc_id, span_id, MIN(p) AS s, MAX(p) + 49 AS e
+        |          FROM sid GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_dup_spans,
+        | CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+        |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same tokenizer as q_vocab/q_tfidf; string_agg skips the NULLs the
     // rn>20 tail leaves, ORDER BY doc_id matches sort_array ascending;
