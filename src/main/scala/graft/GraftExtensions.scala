@@ -182,6 +182,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MisraGries(exprs.head, intLit(exprs(1), "k"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("gram_digests"),
+      new ExpressionInfo(classOf[graft.functions.GramDigests].getName, "gram_digests"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "gram_digests(text, k)")
+        graft.functions.GramDigests(exprs.head, intLit(exprs(1), "k"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[graft.functions.KllQuantiles].getName, "kll_quantiles"),
       (exprs: Seq[Expression]) => {
@@ -316,11 +323,16 @@ object ExtensionsSmoke {
     val bkOk = bk.map(r => (r.getLong(0), r.getLong(1))) ==
       Seq((10L, 1L), (30L, 3L))
 
+    // gram_digests: 4 grams for 6 chars at k=3; repeated gram hashes equal
+    val gd = spark.sql("SELECT gram_digests('abcabc', 3) AS g")
+      .head().getSeq[Long](0)
+    val gdOk = gd.length == 4 && gd(0) == gd(3) && gd(0) != gd(1)
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&
-      kllOk && bkOk
+      kllOk && bkOk && gdOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -292,6 +292,9 @@ object PlanAudit {
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 3)
+    check("q_substring_dup_fast", "span dedup production path: gram_digests kernel projection (no substring/md5), 8-byte shuffle key")(p =>
+      p.contains("gram_digests") && !p.contains("md5") &&
+        !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
     spark.stop()
   }
 }

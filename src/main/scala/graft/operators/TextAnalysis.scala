@@ -803,4 +803,56 @@ object TextAnalysis {
     else Seq.empty
     docs.select(base ++ sig: _*)
   }
+
+  /** Exact duplicate-SPAN report (dedup at the substring grain — the
+    * "Deduplicating Training Data" regime, Lee et al. 2022): every L-char
+    * gram occurring more than once in the corpus marks its positions;
+    * per-doc positions merge into maximal spans; each doc reports how
+    * many duplicated spans it carries and how many chars they cover.
+    * Corpus-LINEAR (one gram per position, never pairwise).
+    *
+    * `exact = true` digests grams with md5 over the materialized
+    * substring — collision-free by construction and mirrored verbatim by
+    * the DuckDB oracle (`q_substring_dup`). `exact = false` is the
+    * production path: the one-pass [[graft.functions.GramDigests]] kernel
+    * (xxhash64 over byte-addressed char grams — no per-gram substring,
+    * no md5, an 8-byte shuffle key), same downstream plan; SpanKernelsSpec
+    * pins output parity on real data.
+    */
+  def duplicateSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, L: Int,
+                     exact: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val eligible = docs.select(col(idCol), t).filter(length(t) >= L)
+    val grams =
+      if (exact)
+        eligible
+          .select(col(idCol), t, explode(sequence(lit(1), length(t) - (L - 1))).as("p"))
+          .select(col(idCol), col("p"),
+            md5(expr(s"substring($textCol, p, $L)").cast("binary")).as("g"))
+      else
+        eligible
+          .select(col(idCol),
+            posexplode(graft.functions.GramDigests(t, L)).as(Seq("p0", "g")))
+          .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("c") > 1)
+      .select(idCol, "p")
+    val wDoc = Window.partitionBy(idCol).orderBy("p")
+    dup
+      .withColumn("prev_end",
+        max(col("p") + lit(L - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min("p").as("s"), (max("p") + lit(L - 1)).as("e"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + lit(1)).as("dup_chars"))
+  }
 }

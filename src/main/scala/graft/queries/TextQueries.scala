@@ -127,33 +127,19 @@ object TextQueries {
     // the gram shuffle carries (md5, doc, pos); the span merge is the
     // interval-merge window (running max end) on the doc partition.
     "q_substring_dup" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .filter(length(col("text")) >= 50)
-      val grams = docs
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 49)).as("p"))
-        .select(col("doc_id"), col("p"),
-          md5(expr("substring(text, p, 50)").cast("binary")).as("g"))
-      val dup = grams
-        .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
-        .filter(col("c") > 1)
-        .select("doc_id", "p")
-      val wDoc = Window.partitionBy("doc_id").orderBy("p")
-      val spans = dup
-        .withColumn("prev_end",
-          max(col("p") + lit(49)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("new_span",
-          when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
-            .otherwise(0L))
-        .withColumn("span_id",
-          sum(col("new_span")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "span_id")
-        .agg(min("p").as("s"), (max("p") + lit(49)).as("e"))
-      spans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_dup_spans"),
-          sum(col("e") - col("s") + lit(1)).as("dup_chars"))
+      TA.duplicateSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        L = 50, exact = true)
+        .orderBy("doc_id")
+    },
+
+    // Production path of the span signal: the one-pass GramDigests kernel
+    // (xxhash64 over byte-addressed char grams — no per-gram substring
+    // materialization, no md5, 8-byte shuffle key). Rows-only per the
+    // xxhash discipline; SpanKernelsSpec pins bit-identical output vs the
+    // exact path on this corpus.
+    "q_substring_dup_fast" -> { (s, dir) =>
+      TA.duplicateSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        L = 50, exact = false)
         .orderBy("doc_id")
     },
 

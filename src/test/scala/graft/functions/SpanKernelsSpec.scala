@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.{SparkTestBase, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class SpanKernelsSpec extends SparkTestBase {
+
+  test("gram_digests: one hash per char position, char-based on multibyte text") {
+    import spark.implicits._
+    val out = Seq("αβγδε").toDF("t")
+      .select(GramDigests(col("t"), 3).as("g"))
+      .as[Seq[Long]].head()
+    assert(out.length == 3) // 5 chars -> 3 grams of 3 chars
+    // equal char-grams hash equal: positions 0 and 3 of "abcabc"
+    val rep = Seq("abcabc").toDF("t")
+      .select(GramDigests(col("t"), 3).as("g"))
+      .as[Seq[Long]].head()
+    assert(rep.length == 4 && rep(0) == rep(3) && rep(0) != rep(1))
+  }
+
+  test("gram_digests: shorter than k yields empty; null propagates") {
+    import spark.implicits._
+    val out = Seq("ab").toDF("t").select(GramDigests(col("t"), 3).as("g"))
+      .as[Seq[Long]].head()
+    assert(out.isEmpty)
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(GramDigests(col("t"), 3).as("g")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("duplicateSpans: fast (kernel) path output equals the exact md5 path on real data") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def collectSpans(exact: Boolean): Map[Long, (Long, Long)] =
+      TextAnalysis.duplicateSpans(docs, "doc_id", "text", L = 50, exact = exact)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val exact = collectSpans(exact = true)
+    val fast = collectSpans(exact = false)
+    assert(exact.nonEmpty, "testdata should contain duplicated 50-grams")
+    assert(fast == exact)
+  }
+
+  test("duplicateSpans: adjacent and overlapping dup positions merge into one span") {
+    import spark.implicits._
+    // two docs sharing their full 12-char text -> every position dups,
+    // one maximal span each covering the whole text
+    val docs = Seq((1L, "aaaabbbbcccc"), (2L, "aaaabbbbcccc"), (3L, "unique-text-x")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(docs, "doc_id", "text", L = 4, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 12L), (2L, 1L, 12L)))
+  }
+}
