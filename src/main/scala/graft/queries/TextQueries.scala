@@ -478,6 +478,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Provenance attribution — the per-pair refinement a leakage audit
+    // runs AFTER q_contamination's binary flag fires: which top-3 train
+    // docs share the most distinct RARE 8-grams with each eval doc
+    // (grams in >10 eval docs dropped — no attribution signal, and the
+    // hot-gram fan-out hazard). Pair rows exist only for true rare
+    // overlaps; the head is a window on the reduced pair table.
+    "q_provenance" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      Corpus.provenance(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", k = 8, topK = 3, maxEvalDf = 10)
+        .orderBy("eval_id", "rnk")
+    },
+
     // Bloom-prefiltered decontamination — q_contamination's exact result
     // through the runtime-filter shape: a driver-built bit table rejects
     // non-eval grams map-side before the broadcast verify join. Same
@@ -1704,6 +1718,29 @@ object TextQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         |FROM traing JOIN evalg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q_contamination's shingle CTEs carried to the pair grain; the
+    // rare-gram cap (df <= 10 over eval docs) and the row_number tie
+    // rule (count DESC, train_id ASC) repeated verbatim
+    "q_provenance" ->
+      """WITH evalg0 AS (
+        | SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(text)-7, 1)+1), i -> text[i:i+7]))) AS g
+        | FROM documents WHERE source = 'src0'),
+        |rare AS (SELECT g FROM evalg0 GROUP BY g HAVING COUNT(*) <= 10),
+        |evalg AS (SELECT eval_id, g FROM evalg0 JOIN rare USING (g)),
+        |traing AS (
+        | SELECT doc_id AS train_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(text)-7, 1)+1), i -> text[i:i+7]))) AS g
+        | FROM documents WHERE source <> 'src0'),
+        |p AS (
+        | SELECT eval_id, train_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        | FROM traing JOIN evalg USING (g) GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY eval_id
+        |        ORDER BY n_shared_grams DESC, train_id) AS BIGINT) AS rnk
+        |      FROM p)
+        |SELECT eval_id, train_id, n_shared_grams, rnk FROM r WHERE rnk <= 3
+        |ORDER BY eval_id, rnk""".stripMargin,
 
     // same packed-shingle CTE as q_dedup_ngram; containment denominator =
     // least(); floor division mirrored; threshold repeated verbatim
