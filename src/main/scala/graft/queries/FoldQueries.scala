@@ -353,6 +353,25 @@ object FoldQueries {
         .orderBy("event_type", "first_day")
     },
 
+    // Top 3-step event paths — the Sankey/user-journey source table:
+    // consecutive event-type trigrams per user (offset order), counted
+    // corpus-wide, bounded top-10. One user shuffle for both lead
+    // windows; the path agg is map-side combined; TakeOrderedAndProject
+    // caps the output.
+    "q_paths" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    },
+
     // Range join: assign every event to the per-user session interval
     // containing it. The bucketed point-in-interval equi-join
     // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
@@ -581,6 +600,16 @@ object FoldQueries {
         | CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY first_day
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM d ORDER BY event_type, first_day""".stripMargin,
+
+    "q_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |   LEAD(event_type, 1) OVER w AS t2,
+        |   LEAD(event_type, 2) OVER w AS t3
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT concat_ws('>', event_type, t2, t3) AS path, COUNT(*) AS n
+        |FROM e WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
