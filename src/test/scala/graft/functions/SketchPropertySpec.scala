@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style invariants of the sketch BUFFERS themselves (the unit
+  * under the TypedImperativeAggregate shells), over seeded random inputs
+  * and random merge shapes — the merge paths Spark exercises are
+  * data-dependent, so the distributed specs alone cannot visit them all.
+  */
+class SketchPropertySpec extends AnyFunSuite {
+
+  private def forAll[T](gen: scala.util.Random => T)(check: T => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach(_ => check(gen(rnd)))
+  }
+
+  private def longs(r: scala.util.Random): Array[Long] =
+    Array.fill(r.nextInt(3000))(r.nextLong() % 10000)
+
+  // ---- KllBuffer
+
+  test("KLL: total weight equals input count under any split/merge shape") {
+    forAll(r => (longs(r), r.nextInt(5) + 1, r)) { case (xs, parts, r) =>
+      val k = 32
+      val bufs = Array.fill(parts)(new KllBuffer(k))
+      xs.foreach(v => bufs(r.nextInt(parts)).add(v))
+      val root = bufs.reduce { (a, b) => a.mergeIn(b); a }
+      assert(root.totalWeight == xs.length.toLong)
+    }
+  }
+
+  test("KLL: every summary value is a real input; quantiles within rank bound") {
+    forAll(r => (longs(r).filter(_ => true), r)) { case (xs, r) =>
+      if (xs.nonEmpty) {
+        val k = 64
+        val buf = new KllBuffer(k)
+        xs.foreach(buf.add)
+        val inputs = xs.toSet
+        val weighted = buf.weighted
+        weighted.foreach { case (v, _) => assert(inputs.contains(v)) }
+        val sorted = xs.sorted
+        val n = xs.length
+        for (q <- Seq(0.1, 0.5, 0.9)) {
+          val est = buf.quantile(weighted, buf.totalWeight, q)
+          val lo = sorted.indexWhere(_ >= est) + 1
+          val hi = sorted.lastIndexWhere(_ <= est) + 1
+          val target = math.max(1L, math.ceil(q * n).toLong)
+          val err = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+          assert(err <= math.max(1L, (8.0 * n / k).toLong),
+            s"rank err $err at q=$q n=$n")
+        }
+      }
+    }
+  }
+
+  // ---- BottomKBuffer
+
+  test("bottom-k: equals the sorted prefix under any split/merge shape") {
+    forAll(r => (longs(r), r.nextInt(4) + 1, r.nextInt(20) + 1, r)) {
+      case (xs, parts, k, r) =>
+        val pairs = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        val bufs = Array.fill(parts)(new BottomKBuffer(k))
+        pairs.foreach { case (key, id) => bufs(r.nextInt(parts)).add(key, id) }
+        val root = bufs.reduce { (a, b) => a.mergeIn(b); a }
+        val got = (0 until root.size).map(i => (root.keys(i), root.ids(i)))
+        val expected = pairs.sorted.take(k).toIndexedSeq
+        assert(got == expected)
+    }
+  }
+
+  test("bottom-k: idempotent under replayed inserts") {
+    forAll(longs) { xs =>
+      val pairs = xs.distinct.map(v => (v, v))
+      val once = new BottomKBuffer(8)
+      pairs.foreach { case (k, id) => once.add(k, id) }
+      val twice = new BottomKBuffer(8)
+      pairs.foreach { case (k, id) => twice.add(k, id) }
+      // replay half of them in reverse — a set-semantics caller would
+      // dedup, but even RAW replay of pairs ALREADY IN the summary must
+      // not displace anything except by count; assert the set relation:
+      // every original member with a strictly-smaller key survives
+      pairs.reverse.take(pairs.length / 2).foreach { case (k, id) => twice.add(k, id) }
+      val a = (0 until once.size).map(i => once.keys(i)).toSet
+      val b = (0 until twice.size).map(i => twice.keys(i)).toSet
+      assert(b.subsetOf(a))
+    }
+  }
+}

@@ -42,6 +42,28 @@ class SpanKernelsSpec extends SparkTestBase {
     assert(fast == exact)
   }
 
+  test("gram_digests fuzz: digest equality == code-point gram equality (500 random strings)") {
+    val rnd = new scala.util.Random(7)
+    // ASCII + 2-byte + 3-byte + astral (4-byte, surrogate pair in UTF-16)
+    val alphabet = "abδλ水火😀🚀".codePoints().toArray
+    (1 to 500).foreach { _ =>
+      val nCp = rnd.nextInt(30)
+      val cps = Array.fill(nCp)(alphabet(rnd.nextInt(alphabet.length)))
+      val s = new String(cps, 0, cps.length)
+      val k = rnd.nextInt(5) + 1
+      val digests = SpanKernels.gramDigests(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k).toLongArray()
+      val n = math.max(nCp - k + 1, 0)
+      assert(digests.length == n, s"count for nCp=$nCp k=$k")
+      // expected grams sliced by CODE POINT (UTF8String semantics)
+      val grams = (0 until n).map(i => new String(cps, i, k))
+      for (i <- 0 until n; j <- i + 1 until n) {
+        assert((digests(i) == digests(j)) == (grams(i) == grams(j)),
+          s"digest/gram equality mismatch at ($i,$j) in '$s' k=$k")
+      }
+    }
+  }
+
   test("duplicateSpans: adjacent and overlapping dup positions merge into one span") {
     import spark.implicits._
     // two docs sharing their full 12-char text -> every position dups,
