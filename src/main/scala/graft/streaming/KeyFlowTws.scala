@@ -20,7 +20,7 @@ class KeyFlowProcessor[S](
     tick: TickOption[S],
     config: KeyFlowConfig,
     stateEnc: Encoder[FlowState[S]])
-  extends StatefulProcessor[String, KeyFlow.RecordEnv, KeyOutput[S]] {
+  extends StatefulProcessorWithInitialState[String, KeyFlow.RecordEnv, KeyOutput[S], FlowState[S]] {
 
   @transient private var state: ValueState[FlowState[S]] = _
 
@@ -29,6 +29,26 @@ class KeyFlowProcessor[S](
       .map(d => new TTLConfig(java.time.Duration.ofMillis(d.toMillis)))
       .getOrElse(TTLConfig.NONE)
     state = getHandle.getValueState[FlowState[S]]("flowState", stateEnc, ttl)
+  }
+
+  /** Eager recovery seed (reference KeyStateOf.eagerRecovery +
+    * kafkaEagerRecovery, persistence-kafka package.scala:58-174): a fresh
+    * query — fresh checkpoint, no Spark state — starts from per-key state
+    * read out of an EXTERNAL store. The seeded snapshot offset arms the
+    * P9 replay guard, so re-delivery of already-folded records is a no-op
+    * exactly as on an in-checkpoint restart. processedAtMs re-bases to the
+    * local timer domain (a previous job's clock means nothing here) and
+    * stays in lockstep with the registered timer. */
+  override def handleInitialState(
+      key: String,
+      initial: FlowState[S],
+      timerValues: TimerValues): Unit = {
+    val now = config.timerDomain match {
+      case TimerDomain.Clock => timerValues.getCurrentProcessingTimeInMs()
+      case TimerDomain.Watermark => initial.processedAtMs
+    }
+    state.update(initial.copy(processedAtMs = now))
+    config.maxIdle.foreach(d => getHandle.registerTimer(now + d.toMillis))
   }
 
   override def handleInputRows(
@@ -190,5 +210,42 @@ object KeyFlowTws {
         new KeyFlowProcessor[S](fold, tick, config, stateEnc),
         timeMode,
         OutputMode.Update())
+  }
+
+  /** [[flow]] seeded with per-key initial state — the cross-JOB eager
+    * recovery of the reference's external-store persistence (K1–K3 /
+    * KeyStateOf.eagerRecovery): a brand-new query (fresh checkpoint)
+    * begins from state read out of e.g.
+    * [[graft.state.ExternalSnapshots.readLatest]], and the seeded snapshot
+    * offsets gate replayed records exactly like an in-checkpoint restart
+    * (BootstrapSmoke proves count continuity + replay idempotence). */
+  def flowWithInitialState[S](
+      records: Dataset[Record],
+      fold: FoldOption[S, Record],
+      initial: Dataset[(String, FlowState[S])],
+      tick: TickOption[S] = TickOption.id[S],
+      config: KeyFlowConfig = KeyFlowConfig())(
+      implicit stateEnc: Encoder[FlowState[S]],
+      outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
+    import records.sparkSession.implicits._
+    require(config.stateTtl.isEmpty || config.timerDomain == TimerDomain.Clock,
+      "stateTtl is processing-time-domain only (TWS TTL requires TimeMode.ProcessingTime)")
+    val timeMode = (config.maxIdle, config.timerDomain) match {
+      case (None, _) if config.stateTtl.isDefined => TimeMode.ProcessingTime()
+      case (None, _) => TimeMode.None()
+      case (Some(_), TimerDomain.Clock) => TimeMode.ProcessingTime()
+      case (Some(_), TimerDomain.Watermark) => TimeMode.EventTime()
+    }
+    val keyed = records.filter((r: Record) => r.key != null)
+    val enriched =
+      if (config.maxOffsetDifference.isDefined) KeyFlow.withPartitionClock(keyed)
+      else keyed.map(r => KeyFlow.RecordEnv(r, Long.MinValue))
+    enriched
+      .groupByKey((e: KeyFlow.RecordEnv) => config.keyOf(e.record))
+      .transformWithState(
+        new KeyFlowProcessor[S](fold, tick, config, stateEnc),
+        timeMode,
+        OutputMode.Update(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 }

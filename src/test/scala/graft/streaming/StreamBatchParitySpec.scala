@@ -131,6 +131,18 @@ class StreamBatchParitySpec extends SparkTestBase {
       "BottomKParitySmoke reported a stream/batch sample mismatch")
   }
 
+  test("cross-job eager recovery: a fresh query seeded from ExternalSnapshots continues " +
+    "the fold with replay idempotence (K1-K3 semantics, forked)") {
+    // job 1 folds a prefix and persists snapshots to the external store;
+    // job 2 (fresh checkpoint, zero Spark state) seeds
+    // flowWithInitialState from readLatest, consumes the rest WITH a
+    // 100-record replay overlap, and must equal the one-shot batch
+    // aggregate - the reference's golden restart invariant across
+    // independent jobs sharing only the store
+    assert(forkSmoke("graft.streaming.BootstrapSmoke") == 0,
+      "BootstrapSmoke reported a cross-job recovery mismatch")
+  }
+
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
