@@ -372,6 +372,41 @@ object FoldQueries {
         .limit(10)
     },
 
+    // Recursive-CTE reachability over the event-transition graph (which
+    // event types are reachable from 'view', in how few steps) — the
+    // declarative closure surface (Spark 4.x WITH RECURSIVE), next to
+    // q_dedup_cluster's ITERATIVE closure operator. The recursion runs on
+    // the 5-node transition graph derived by one user-window shuffle; the
+    // hop bound terminates the cyclic graph. Identical SQL text runs on
+    // both engines.
+    "q_reachability" -> { (s, dir) =>
+      Tables(s, dir, "events").createOrReplaceTempView("events_rec")
+      // materialize the tiny edge table BEFORE the recursion: a CTE is
+      // re-executed per recursive step, so leaving the event-stream
+      // window inside it re-scans the log once per hop (3.2-3.7 s vs 1.2 s
+      // warm at sf0.1). The graph is <= |types|^2 rows — a bounded driver
+      // gather (the IVF-centroid / bloom-words precedent) turns every
+      // recursive step into a LocalRelation join.
+      import s.implicits._
+      s.sql(
+        """SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+          |  SELECT event_type,
+          |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+          |  FROM events_rec)
+          |WHERE next_type IS NOT NULL AND next_type <> event_type""".stripMargin)
+        .as[(String, String)].collect().toSeq
+        .toDF("src", "dst")
+        .createOrReplaceTempView("edges_rec")
+      s.sql(
+        """WITH RECURSIVE reach(dst, hops) AS (
+          |  SELECT dst, 1 FROM edges_rec WHERE src = 'view'
+          |  UNION ALL
+          |  SELECT e.dst, r.hops + 1 FROM reach r JOIN edges_rec e ON e.src = r.dst
+          |  WHERE r.hops < 4)
+          |SELECT dst, CAST(MIN(hops) AS BIGINT) AS min_hops
+          |FROM reach GROUP BY dst ORDER BY dst""".stripMargin)
+    },
+
     // Range join: assign every event to the per-user session interval
     // containing it. The bucketed point-in-interval equi-join
     // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
@@ -610,6 +645,22 @@ object FoldQueries {
         |SELECT concat_ws('>', event_type, t2, t3) AS path, COUNT(*) AS n
         |FROM e WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // the same recursive SQL, verbatim (DuckDB WITH RECURSIVE)
+    "q_reachability" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+        |    SELECT event_type,
+        |      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |    FROM events)
+        |  WHERE next_type IS NOT NULL AND next_type <> event_type),
+        |reach(dst, hops) AS (
+        |  SELECT dst, 1 FROM edges WHERE src = 'view'
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.dst
+        |  WHERE r.hops < 4)
+        |SELECT dst, CAST(MIN(hops) AS BIGINT) AS min_hops
+        |FROM reach GROUP BY dst ORDER BY dst""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
