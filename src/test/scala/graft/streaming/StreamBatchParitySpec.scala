@@ -143,6 +143,15 @@ class StreamBatchParitySpec extends SparkTestBase {
       "BootstrapSmoke reported a cross-job recovery mismatch")
   }
 
+  test("TWS map-state surface: per-key sub-keyed counters equal the batch (user, type) " +
+    "aggregate (forked)") {
+    // per-user per-event-type counts maintained in getMapState across 4
+    // microbatches - per-entry updates instead of rewriting a composite
+    // value (what reference users hand-build inside their fold S)
+    assert(forkSmoke("graft.streaming.MapStateSmoke") == 0,
+      "MapStateSmoke reported a map-state ledger mismatch")
+  }
+
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
