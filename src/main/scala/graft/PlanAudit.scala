@@ -295,6 +295,9 @@ object PlanAudit {
     check("q_substring_dup_fast", "span dedup production path: gram_digests kernel projection (no substring/md5), 8-byte shuffle key")(p =>
       p.contains("gram_digests") && !p.contains("md5") &&
         !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+    check("q_user_deciles", "deciles: totals reduce first; the NTILE window runs over the per-user grain (SinglePartition above the reduced table only)")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        !p.contains("ScalaUDF"))
     check("q_reachability", "recursive closure runs on the reduced 5-node transition graph, not the event stream; no nested loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
     check("q_paths", "paths: both lead windows share ONE user shuffle; map-side path combine; bounded top-10")(p =>

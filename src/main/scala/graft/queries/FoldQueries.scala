@@ -407,6 +407,28 @@ object FoldQueries {
           |FROM reach GROUP BY dst ORDER BY dst""".stripMargin)
     },
 
+    // Spend-decile report — NTILE over per-user totals (the whale-curve
+    // table: how concentrated is revenue). Totals reduce first (one
+    // user shuffle); the decile window runs over the tiny per-user
+    // table; the (spend, user) order is total so both engines tile
+    // identically; sums are exact cents.
+    "q_user_deciles" -> { (s, dir) =>
+      val totals = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("spend_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("spend_cents").desc, col("user_id"))
+      totals
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("spend_cents")).as("decile_cents"),
+          max(col("spend_cents")).as("max_cents"),
+          min(col("spend_cents")).as("min_cents"))
+        .orderBy("decile")
+    },
+
     // Range join: assign every event to the per-user session interval
     // containing it. The bucketed point-in-interval equi-join
     // (operators.RangeJoin) replaces the BroadcastNestedLoopJoin a raw
@@ -661,6 +683,23 @@ object FoldQueries {
         |  WHERE r.hops < 4)
         |SELECT dst, CAST(MIN(hops) AS BIGINT) AS min_hops
         |FROM reach GROUP BY dst ORDER BY dst""".stripMargin,
+
+    // NTILE remainder-to-first-buckets is standard on both engines; the
+    // (spend DESC, user) order is total so tiling is deterministic;
+    // integer SUM CAST per the HUGEINT rule
+    "q_user_deciles" ->
+      """WITH t AS (
+        | SELECT user_id,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS spend_cents
+        | FROM events GROUP BY 1),
+        |d AS (
+        | SELECT user_id, spend_cents,
+        |   CAST(NTILE(10) OVER (ORDER BY spend_cents DESC, user_id) AS BIGINT) AS decile
+        | FROM t)
+        |SELECT decile, COUNT(*) AS n_users,
+        | CAST(SUM(spend_cents) AS BIGINT) AS decile_cents,
+        | MAX(spend_cents) AS max_cents, MIN(spend_cents) AS min_cents
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
