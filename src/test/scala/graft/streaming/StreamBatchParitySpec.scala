@@ -152,6 +152,14 @@ class StreamBatchParitySpec extends SparkTestBase {
       "MapStateSmoke reported a map-state ledger mismatch")
   }
 
+  test("TWS list-state surface: the per-key ordered journal buffer reassembles into " +
+    "the batch ordered sequence (P6 semantics, forked)") {
+    // event types appended to a ListState in offset order across 4
+    // microbatches; the final buffer equals string_agg ORDER BY event_id
+    assert(forkSmoke("graft.streaming.ListStateSmoke") == 0,
+      "ListStateSmoke reported a journal-buffer order mismatch")
+  }
+
   test("streaming last-state (SnapshotFold semantics) equals batch max_by") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
