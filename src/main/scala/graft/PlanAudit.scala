@@ -295,6 +295,9 @@ object PlanAudit {
     check("q_substring_dup_fast", "span dedup production path: gram_digests kernel projection (no substring/md5), 8-byte shuffle key")(p =>
       p.contains("gram_digests") && !p.contains("md5") &&
         !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+    check("q_media_quality", "corrupt-rate report: all three parsers + truncation in one map-side projection; no UDF, no hash shuffle below the 4-row agg")(p =>
+      !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
     check("q_user_deciles", "deciles: totals reduce first; the NTILE window runs over the per-user grain (SinglePartition above the reduced table only)")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
         !p.contains("ScalaUDF"))

@@ -16,6 +16,46 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic 4-way media-mix payload (PNG / WAV / MP4 / "TXT:"-tagged
+    * raw text by doc_id % 4) — shared by q_media_route and
+    * q_media_quality so both oracles derive from ONE synthesis rule. */
+  private def mediaMixPayload: org.apache.spark.sql.Column = {
+      val id = col("doc_id")
+      val kind = pmod(id, lit(4))
+      val w = (lit(16) + pmod(id, lit(2048))).cast("int")
+      val h = (lit(16) + pmod(id * 31, lit(1536))).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      // canonical 8 kHz mono 8-bit PCM (byte rate 8000)
+      val dataBytes = pmod((id + 1) * 977, lit(100000)).cast("long")
+      def le32(x: org.apache.spark.sql.Column) = {
+        val hx = lpad(hex(x), 8, "0")
+        concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      val wavHex = concat(
+        lit("524946460000000057415645" + "666D742010000000" +
+          "01000100401F0000401F000001000800" + "64617461"), le32(dataBytes))
+      // MP4 v0 with the same dims as the PNG branch, timescale 1000
+      val dur = pmod((id + 1) * 471, lit(7200000)).cast("long")
+      def zeros(n: Int) = "0" * n
+      val matrix = "00010000" + zeros(24) + "00010000" + zeros(24) + "40000000"
+      val mp4Hex = concat(
+        lit("000000106674797069736F6D00000000" + "000000D86D6F6F76" +
+          "0000006C6D76686400000000" + zeros(16) + "000003E8"),
+        lpad(hex(dur), 8, "0"),
+        lit("00010000" + "01000000" + zeros(16) + matrix + zeros(48) + "00000002" +
+          "000000647472616B" +
+          "0000005C746B686400000003" + zeros(16) + "00000001" + zeros(48) + matrix),
+        lpad(hex(w), 4, "0"), lit("0000"), lpad(hex(h), 4, "0"), lit("0000"))
+      val payload = when(kind === 0, unhex(pngHex))
+        .when(kind === 1, unhex(wavHex))
+        .when(kind === 2, unhex(mp4Hex))
+        .otherwise(concat(lit("TXT:"), col("text")).cast("binary"))
+      payload
+  }
+
+
   val queries: Map[String, Q] = Map(
     // Per-doc structural stats — stays in one codegen'd projection.
     "q_doc_stats" -> { (s, dir) =>
@@ -1308,39 +1348,40 @@ object TextQueries {
     // in-query by doc_id % 4 (PNG / WAV / MP4 / tagged raw text; the
     // "TXT:" prefix guarantees the text branch can't collide with any
     // container magic). Oracle derives type and fields independently.
-    "q_media_route" -> { (s, dir) =>
+    // Corrupt-media rate report — the REJECT leg of route-then-decode:
+    // payloads truncated in flight (synthesized: every 5th doc keeps only
+    // its first 6 bytes) must be REJECTED by the header parsers, never
+    // crash them, and the per-modality corrupt rate is the intake metric
+    // an ingest pipeline alarms on. The Spark side derives ok/corrupt
+    // from the ACTUAL parsers; the oracle from the truncation rule alone
+    // — hash-match proves the parsers reject exactly the truncated
+    // payloads (and the tagged-text fallback survives truncation). One
+    // map-side projection + a 4-row aggregate.
+    "q_media_quality" -> { (s, dir) =>
       val id = col("doc_id")
       val kind = pmod(id, lit(4))
-      val w = (lit(16) + pmod(id, lit(2048))).cast("int")
-      val h = (lit(16) + pmod(id * 31, lit(1536))).cast("int")
-      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
-        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
-      // canonical 8 kHz mono 8-bit PCM (byte rate 8000)
-      val dataBytes = pmod((id + 1) * 977, lit(100000)).cast("long")
-      def le32(x: org.apache.spark.sql.Column) = {
-        val hx = lpad(hex(x), 8, "0")
-        concat(substring(hx, 7, 2), substring(hx, 5, 2),
-          substring(hx, 3, 2), substring(hx, 1, 2))
-      }
-      val wavHex = concat(
-        lit("524946460000000057415645" + "666D742010000000" +
-          "01000100401F0000401F000001000800" + "64617461"), le32(dataBytes))
-      // MP4 v0 with the same dims as the PNG branch, timescale 1000
-      val dur = pmod((id + 1) * 471, lit(7200000)).cast("long")
-      def zeros(n: Int) = "0" * n
-      val matrix = "00010000" + zeros(24) + "00010000" + zeros(24) + "40000000"
-      val mp4Hex = concat(
-        lit("000000106674797069736F6D00000000" + "000000D86D6F6F76" +
-          "0000006C6D76686400000000" + zeros(16) + "000003E8"),
-        lpad(hex(dur), 8, "0"),
-        lit("00010000" + "01000000" + zeros(16) + matrix + zeros(48) + "00000002" +
-          "000000647472616B" +
-          "0000005C746B686400000003" + zeros(16) + "00000001" + zeros(48) + matrix),
-        lpad(hex(w), 4, "0"), lit("0000"), lpad(hex(h), 4, "0"), lit("0000"))
-      val payload = when(kind === 0, unhex(pngHex))
-        .when(kind === 1, unhex(wavHex))
-        .when(kind === 2, unhex(mp4Hex))
-        .otherwise(concat(lit("TXT:"), col("text")).cast("binary"))
+      val full = mediaMixPayload
+      val payload = when(pmod(id, lit(5)) === 0, substring(full, 1, 6))
+        .otherwise(full)
+      val ok = when(kind === 0, ImageMeta(payload).isNotNull)
+        .when(kind === 1, AudioMeta(payload).isNotNull)
+        .when(kind === 2, VideoMeta(payload).isNotNull)
+        .otherwise(substring(payload, 1, 4) === lit("TXT:").cast("binary"))
+      Tables(s, dir, "documents")
+        .select(
+          when(kind === 0, "image").when(kind === 1, "audio")
+            .when(kind === 2, "video").otherwise("text").as("expected_kind"),
+          ok.cast("long").as("ok"))
+        .groupBy("expected_kind")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_ok"))
+        .select(col("expected_kind"), col("n_docs"), col("n_ok"),
+          expr("(n_docs - n_ok) * 1000000 div n_docs").as("corrupt_ppm"))
+        .orderBy("expected_kind")
+    },
+
+    "q_media_route" -> { (s, dir) =>
+      val id = col("doc_id")
+      val payload = mediaMixPayload
       val img = ImageMeta(payload)
       val aud = AudioMeta(payload)
       val vid = VideoMeta(payload)
@@ -2574,6 +2615,18 @@ object TextQueries {
         | CAST(90 + (doc_id * 13) % 990 AS INT) AS height,
         | CAST((doc_id + 1) * 471 % 7200000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ok is derived from the truncation rule ALONE (doc_id%5=0 keeps 6
+    // bytes -> every media parser rejects; the TXT: tag survives)
+    "q_media_quality" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    WHEN 2 THEN 'video' ELSE 'text' END AS expected_kind,
+        |  CASE WHEN doc_id % 4 = 3 OR doc_id % 5 <> 0 THEN 1 ELSE 0 END AS ok
+        | FROM documents)
+        |SELECT expected_kind, COUNT(*) AS n_docs, CAST(SUM(ok) AS BIGINT) AS n_ok,
+        | (COUNT(*) - CAST(SUM(ok) AS BIGINT)) * 1000000 // COUNT(*) AS corrupt_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_media_route" ->
       """SELECT doc_id,
