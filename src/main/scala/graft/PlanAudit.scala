@@ -309,6 +309,13 @@ object PlanAudit {
     check("q_provenance", "provenance: eval (id, gram) pairs broadcast; pair agg bounded by true overlaps; no nested loop")(p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
+    check("q_full_outer", "full outer joins per-key AGGREGATES (orders reduce before the join); filters pushed to both scans")(p =>
+      p.contains("FullOuter") && !p.contains("CartesianProduct") &&
+        p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,7000") &&
+        p.contains("GreaterThan(o_totalprice,250000"))
+    check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

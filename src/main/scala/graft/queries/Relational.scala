@@ -282,6 +282,51 @@ object Relational {
         .select(col("o_custkey").as("custkey"))
       c.except(o).orderBy("custkey")
     },
+
+    // FULL OUTER join with both null branches genuinely populated:
+    // high-balance customers vs per-customer big-order aggregates. The
+    // branch tag proves preserved-side semantics on each side. Shuffled
+    // hash/sort-merge join on the slim key — at 100 TB both sides reduce
+    // to per-key aggregates before the join, so the exchange carries
+    // aggregate rows, not raw orders.
+    "q_full_outer" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_big"), exactSum(col("o_totalprice")).as("big_total"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, lit("order_only"))
+            .when(col("o_custkey").isNull, lit("cust_only"))
+            .otherwise(lit("both")).as("branch"),
+          col("acctbal"), col("n_big"), col("big_total"))
+        .orderBy("custkey")
+    },
+
+    // Aggregate-function breadth: conditional counting, boolean
+    // aggregates, deterministic argmin/argmax (unique composite measure —
+    // price cents then orderkey as tiebreak), interpolated median floored
+    // to cents. All partial-aggregatable: one slim shuffle per group key.
+    "q_agg_breadth" -> { (s, dir) =>
+      val m = (floor(col("o_totalprice") * 100).cast("long") * lit(10000000L)
+        + col("o_orderkey")).as("m")
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), m)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 250000).as("n_big"),
+          bool_and(col("o_totalprice") > 2000).cast("long").as("all_above_2k"),
+          bool_or(col("o_orderstatus") === "F").cast("long").as("any_final"),
+          max_by(col("o_orderkey"), col("m")).as("key_of_max"),
+          min_by(col("o_orderkey"), col("m")).as("key_of_min"),
+          floor(median(col("o_totalprice")) * 100).cast("long").as("median_cents"))
+        .orderBy("o_orderpriority")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +477,29 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY custkey""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal AS acctbal FROM customer
+        |           WHERE c_acctbal > 7000),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_big,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |      FROM orders WHERE o_totalprice > 250000 GROUP BY 1)
+        |SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |       WHEN o.o_custkey IS NULL THEN 'cust_only'
+        |       ELSE 'both' END AS branch,
+        |  acctbal, n_big, big_total
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_agg_breadth" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        | CAST(bool_and(o_totalprice > 2000) AS BIGINT) AS all_above_2k,
+        | CAST(bool_or(o_orderstatus = 'F') AS BIGINT) AS any_final,
+        | max_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS key_of_max,
+        | min_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS key_of_min,
+        | CAST(floor(median(o_totalprice) * 100) AS BIGINT) AS median_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
