@@ -316,6 +316,11 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_stats_moments", "moment sketch: ONE scan + one 7-number-per-group shuffle replaces three Welford passes; scan prunes to 3 columns")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("ReadSchema: struct<l_quantity:double,l_discount:double,l_returnflag:string>") &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -327,6 +327,39 @@ object Relational {
           floor(median(col("o_totalprice")) * 100).cast("long").as("median_cents"))
         .orderBy("o_orderpriority")
     },
+
+    // Statistical moments (mean/stddev/skewness/covariance/correlation)
+    // via exact decimal power sums — the mergeable "moment sketch": one
+    // map-side-combining shuffle of 7 numbers per group, then the
+    // statistics derive in the driver-side projection. The derivation
+    // expressions are textually identical in the oracle, so every double
+    // op (IEEE +,-,*,/,sqrt are correctly rounded) produces bit-equal
+    // results; the power sums themselves are order-independent decimals.
+    // At 100 TB this replaces three separate Welford passes (stddev_pop,
+    // covar_pop, corr) with one scan.
+    "q_stats_moments" -> { (s, dir) =>
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast("decimal(18,0)")).cast("double").as("sx"),
+          sum((x * x).cast("decimal(18,0)")).cast("double").as("sxx"),
+          sum((x * x * x).cast("decimal(28,0)")).cast("double").as("sxxx"),
+          sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+          sum((y * y).cast("decimal(18,4)")).cast("double").as("syy"),
+          sum((x * y).cast("decimal(18,2)")).cast("double").as("sxy"))
+        .selectExpr(
+          "l_returnflag", "n",
+          "sx / n AS mean_qty",
+          "sqrt(sxx / n - (sx / n) * (sx / n)) AS std_qty",
+          "(sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n)) / ((sxx / n - (sx / n) * (sx / n)) * sqrt(sxx / n - (sx / n) * (sx / n))) AS skew_qty",
+          "sy / n AS mean_disc",
+          "(n * sxy - sx * sy) / (n * n) AS covar_qd",
+          "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qd")
+        .orderBy("l_returnflag")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -501,5 +534,24 @@ object Relational {
         | min_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS key_of_min,
         | CAST(floor(median(o_totalprice) * 100) AS BIGINT) AS median_cents
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(28,0))) AS DOUBLE) AS sxxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  sx / n AS mean_qty,
+        |  sqrt(sxx / n - (sx / n) * (sx / n)) AS std_qty,
+        |  (sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n)) / ((sxx / n - (sx / n) * (sx / n)) * sqrt(sxx / n - (sx / n) * (sx / n))) AS skew_qty,
+        |  sy / n AS mean_disc,
+        |  (n * sxy - sx * sy) / (n * n) AS covar_qd,
+        |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qd
+        |FROM s ORDER BY l_returnflag""".stripMargin,
   )
 }
