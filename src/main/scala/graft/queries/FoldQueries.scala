@@ -493,6 +493,29 @@ object FoldQueries {
         .drop("gmax")
         .orderBy("user_id")
     },
+
+    // SCD type-2 dimension build from the change stream: collapse each
+    // per-user run of identical event_type into one version row with
+    // [valid_from, valid_to) at ms grain, open-ended current row flagged.
+    // All three window functions share ONE user-key exchange (change
+    // detection, version numbering, interval close) — the canonical
+    // "CDC stream → queryable dimension" pass; at 100 TB the shuffle
+    // carries only (user, type, ms), never the payload.
+    "q_scd2" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ms", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ms"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_ms", lead("ms", 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ms").as("valid_from_ms"), col("valid_to_ms"),
+          when(col("valid_to_ms").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy("user_id", "version")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -745,5 +768,21 @@ object FoldQueries {
         |SELECT user_id, COUNT(*) AS n_events, MAX(ms) AS last_ms
         |FROM e, mx GROUP BY user_id, gmax
         |HAVING MAX(ms) >= gmax - 172800000 ORDER BY user_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, ms,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_type
+        |  FROM e),
+        |f AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type, ms AS valid_from_ms,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |    LEAD(ms) OVER w AS valid_to_ms
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id, version, event_type, valid_from_ms, valid_to_ms,
+        |  CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
   )
 }
