@@ -360,6 +360,25 @@ object Relational {
           "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qd")
         .orderBy("l_returnflag")
     },
+
+    // Deequ-style expectations suite: five declared constraints evaluated
+    // in ONE scan (conditional counts + exact uniqueness), integer-ppm
+    // metrics, pass/fail against per-check thresholds. The acctbal range
+    // check is deliberately tuned to FAIL (negative balances exist) so
+    // the report proves both branches.
+    "q_data_quality" -> { (s, dir) =>
+      import graft.operators.DataQuality
+      import graft.operators.DataQuality.{Check, UniqueCheck}
+      DataQuality.report(
+        Tables(s, dir, "customer"),
+        Seq(
+          Check("complete", "c_name", col("c_name").isNotNull),
+          Check("format", "c_name", col("c_name").rlike("^Customer#[0-9]{9}$")),
+          Check("range", "c_acctbal", col("c_acctbal").between(0, 10000), thresholdPpm = 950000L),
+          Check("domain", "c_mktsegment", col("c_mktsegment").isin(
+            "AUTOMOBILE", "MACHINERY", "FURNITURE", "HOUSEHOLD", "BUILDING"))),
+        Seq(UniqueCheck("c_custkey")))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -553,5 +572,23 @@ object Relational {
         |  (n * sxy - sx * sy) / (n * n) AS covar_qd,
         |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qd
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_data_quality" ->
+      """WITH m AS (SELECT COUNT(*) AS n,
+        |  COUNT(CASE WHEN c_name IS NOT NULL THEN 1 END) AS c0,
+        |  COUNT(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 END) AS c1,
+        |  COUNT(CASE WHEN c_acctbal BETWEEN 0 AND 10000 THEN 1 END) AS c2,
+        |  COUNT(CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY','FURNITURE','HOUSEHOLD','BUILDING') THEN 1 END) AS c3,
+        |  COUNT(DISTINCT c_custkey) AS u0
+        |  FROM customer)
+        |SELECT check_name, col_name, metric_ppm,
+        |  CAST(CASE WHEN metric_ppm >= thr THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM (
+        |  SELECT 'complete' AS check_name, 'c_name' AS col_name, c0*1000000//n AS metric_ppm, 1000000 AS thr FROM m
+        |  UNION ALL SELECT 'format', 'c_name', c1*1000000//n, 1000000 FROM m
+        |  UNION ALL SELECT 'range', 'c_acctbal', c2*1000000//n, 950000 FROM m
+        |  UNION ALL SELECT 'domain', 'c_mktsegment', c3*1000000//n, 1000000 FROM m
+        |  UNION ALL SELECT 'unique', 'c_custkey', u0*1000000//n, 1000000 FROM m)
+        |ORDER BY check_name, col_name""".stripMargin,
   )
 }
