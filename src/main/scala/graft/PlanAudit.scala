@@ -316,6 +316,9 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_pagerank", "pagerank hands back the lineage-truncated rank table (per-round rebase held); top-20 bounded; no nested loop")(p =>
+      p.contains("Scan ExistingRDD") && p.contains("TakeOrderedAndProject") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q_data_quality", "expectations suite: ALL five checks evaluate in one file scan (conditional counts + exact distinct); no UDF")(p =>
       "FileScan parquet".r.findAllIn(p).size == 1 && !p.contains("ScalaUDF"))
     check("q_scd2", "SCD2 build: change-detect, version and interval-close windows all share ONE user-key exchange; no UDF")(p =>

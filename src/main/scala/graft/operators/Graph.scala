@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond connected components (Dedup): the
+  * iterative-DataFrame discipline (per-round lineage rebase, bounded
+  * cache, eager-checkpoint handoff) established by
+  * [[Dedup.connectedComponents]] applied to power-iteration PageRank.
+  *
+  * Design notes for 100 TB graphs (same as Pregel/GraphX in pure
+  * DataFrames): each round is ONE equi-join of the edge table against the
+  * slim (node, rank) table plus one partial-agg groupBy — shuffle-bounded
+  * by |E|, nothing row-wise ever reaches the driver. The edge table is
+  * normalized (per-source contribution fractions) ONCE and reused behind
+  * a single persisted exchange; per-round driver traffic is two scalar
+  * aggregates (dangling mass + L1 delta). Rebase on the materialized RDD
+  * keeps each round's Catalyst plan constant-size — an un-truncated loop
+  * OOMs in analysis around round 8-10 (PLANS.md plan-shape rules). At
+  * cluster scale swap `localCheckpoint` for `checkpoint()` against a
+  * reliable dir.
+  */
+object Graph {
+
+  /** Weighted PageRank by power iteration.
+    *
+    * `edges` is a directed weighted edge list; pass `weightCol = None`
+    * for an unweighted graph. Per iteration:
+    * `rank(v) = (1-alpha)/N + alpha * (sum_{u->v} rank(u) * w(u,v)/W(u) + D/N)`
+    * where `W(u)` is u's total out-weight and `D` the rank mass sitting on
+    * dangling nodes (no out-edges) — redistributed uniformly so ranks sum
+    * to 1 every round. Runs `iters` fixed rounds (deterministic result for
+    * a deterministic input) but exits early when the L1 delta drops under
+    * `tol`.
+    *
+    * Returns an eagerly checkpointed (node, rank) table — lineage-free,
+    * no cache-manager entry, blocks reclaimed when the caller drops it.
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None,
+      alpha: Double = 0.85, iters: Int = 20, tol: Double = 1e-12): DataFrame = {
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist()
+
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), w.as("w"))
+    // contribution fractions, normalized once: frac = w(u,v) / W(u)
+    val outW = e.groupBy("src").agg(sum("w").as("tw"))
+    val frac = materialize(
+      e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("tw")).as("frac")))
+    val nodes = materialize(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    // dangling = nodes with no out-edges; slim static table
+    val dangling = materialize(
+      nodes.join(frac.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
+
+    var ranks = materialize(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val dMass = dangling.join(ranks, "node")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contrib = frac.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("frac")).as("c"))
+      val base = (1.0 - alpha) / n + alpha * dMass / n
+      val next = materialize(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + lit(alpha) * coalesce(col("c"), lit(0.0))).as("rank")))
+      val delta = next.as("a").join(ranks.as("b"), "node")
+        .agg(sum(abs(col("a.rank") - col("b.rank")))).head().getDouble(0)
+      ranks.unpersist()
+      ranks = next
+      it += 1
+      done = delta < tol
+    }
+    frac.unpersist(); nodes.unpersist(); dangling.unpersist()
+    val out = ranks.localCheckpoint(true)
+    ranks.unpersist()
+    out
+  }
+}

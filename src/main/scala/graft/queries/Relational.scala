@@ -379,6 +379,25 @@ object Relational {
             "AUTOMOBILE", "MACHINERY", "FURNITURE", "HOUSEHOLD", "BUILDING"))),
         Seq(UniqueCheck("c_custkey")))
     },
+
+    // Weighted PageRank centrality of suppliers in the co-supply network
+    // (edge weight = orders shared). Rows-only per the float-iteration
+    // discipline (20 rounds of double arithmetic have no engine-exact SQL
+    // twin); PageRankSpec proves the operator against a dense local
+    // power iteration. Ranks reported as floor-scaled ppb.
+    "q_pagerank" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val edges = pairs.union(pairs.select(col("s2"), col("s1"), col("w")))
+      graft.operators.Graph.pageRank(edges, "s1", "s2", Some("w"))
+        .select(col("node").as("suppkey"),
+          floor(col("rank") * 1e9).cast("long").as("rank_ppb"))
+        .orderBy(desc("rank_ppb"), asc("suppkey"))
+        .limit(20)
+    },
   )
 
   val oracles: Map[String, String] = Map(
