@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, DeflateLen, FloatDotProduct, MergePair, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
+import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, CmsProbe, DeflateLen, FloatDotProduct, MergePair, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 1, "simhash64(hashes)")
         SimHash64(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("cms_probe"),
+      new ExpressionInfo(classOf[CmsProbe].getName, "cms_probe"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "cms_probe(sketch, item)")
+        CmsProbe(exprs(0), exprs(1))
       }))
     extensions.injectFunction((
       new FunctionIdentifier("positional_eq_count"),
@@ -328,11 +335,19 @@ object ExtensionsSmoke {
       .head().getSeq[Long](0)
     val gdOk = gd.length == 4 && gd(0) == gd(3) && gd(0) != gd(1)
 
+    // cms_probe reads the built-in count_min_sketch binary: tiny stream,
+    // wide sketch → exact counts
+    val cms = spark.sql(
+      """SELECT cms_probe(sk, 'a') AS ca, cms_probe(sk, 'z') AS cz FROM (
+        |  SELECT count_min_sketch(w, 0.0001d, 0.99d, 42) AS sk FROM (
+        |    SELECT explode(split('a a a b', ' ')) AS w))""".stripMargin).head()
+    val cmsOk = cms.getLong(0) == 3L && cms.getLong(1) == 0L
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&
-      kllOk && bkOk && gdOk
+      kllOk && bkOk && gdOk && cmsOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -316,6 +316,9 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_cms_terms", "MG/CMS frequency bracket: both sketches collapse map-side (native agg + built-in CMS), codegen'd cms_probe reads the 1-row broadcast sketch; no UDF")(p =>
+      p.contains("cms_probe") && p.contains("count_min_sketch") &&
+        !p.contains("ScalaUDF"))
     check("q_pagerank", "pagerank hands back the lineage-truncated rank table (per-round rebase held); top-20 bounded; no nested loop")(p =>
       p.contains("Scan ExistingRDD") && p.contains("TakeOrderedAndProject") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

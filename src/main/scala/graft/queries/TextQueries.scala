@@ -139,6 +139,31 @@ object TextQueries {
         .limit(20)
     },
 
+    // Frequency BRACKET for the head tokens in one pass of each sketch:
+    // Misra-Gries guarantees an UNDERcount, Count-Min (built-in
+    // count_min_sketch aggregate + the graft cms_probe read expression)
+    // guarantees an OVERcount — so [mg_est, cms_est] provably contains
+    // the true corpus frequency without ever shuffling the token stream
+    // (both sketches collapse map-side; the 1-row sketch broadcasts to
+    // the 20-row head). Rows-only per the sketch discipline; CmsProbeSpec
+    // pins the bracket on an exact fixture.
+    "q_cms_terms" -> { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
+      val cms = words.agg(
+        count_min_sketch(col("w"), lit(0.0001d), lit(0.99d), lit(42)).as("sk"))
+      words
+        .agg(graft.functions.MisraGries(col("w"), 256).as("__hh"))
+        .select(explode(col("__hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.est_count").as("mg_est"))
+        .orderBy(col("mg_est").desc, col("token"))
+        .limit(20)
+        .crossJoin(broadcast(cms))
+        .select(col("token"), col("mg_est"),
+          graft.functions.CmsProbe(col("sk"), col("token")).as("cms_est"))
+        .orderBy(col("cms_est").desc, col("token"))
+    },
+
     // Per-source document-length quantiles without a value shuffle: the
     // mergeable deterministic KLL summary (capacity 256) sketches each
     // source's n_chars distribution map-side; the exchange carries a few
