@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, CmsProbe, DeflateLen, FloatDotProduct, MergePair, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
+import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, CmsProbe, InterleaveBits, DeflateLen, FloatDotProduct, MergePair, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 1, "simhash64(hashes)")
         SimHash64(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "interleave_bits(a, b)")
+        InterleaveBits(exprs(0), exprs(1))
       }))
     extensions.injectFunction((
       new FunctionIdentifier("cms_probe"),
@@ -343,11 +350,15 @@ object ExtensionsSmoke {
         |    SELECT explode(split('a a a b', ' ')) AS w))""".stripMargin).head()
     val cmsOk = cms.getLong(0) == 3L && cms.getLong(1) == 0L
 
+    // interleave_bits: 3 on even positions, 1 on odd -> 0b111
+    val il = spark.sql("SELECT interleave_bits(3L, 1L) AS z").head().getLong(0)
+    val ilOk = il == 7L
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&
-      kllOk && bkOk && gdOk && cmsOk
+      kllOk && bkOk && gdOk && cmsOk && ilOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk il=$ilOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -316,6 +316,9 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_zorder_layout", "z-order audit: codegen'd interleave_bits projection, 1-row zmax broadcast, one slim bucket shuffle; no UDF")(p =>
+      p.contains("interleave_bits") && !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1)
     check("q_cms_terms", "MG/CMS frequency bracket: both sketches collapse map-side (native agg + built-in CMS), codegen'd cms_probe reads the 1-row broadcast sketch; no UDF")(p =>
       p.contains("cms_probe") && p.contains("count_min_sketch") &&
         !p.contains("ScalaUDF"))

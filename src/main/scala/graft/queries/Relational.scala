@@ -398,6 +398,27 @@ object Relational {
         .orderBy(desc("rank_ppb"), asc("suppkey"))
         .limit(20)
     },
+
+    // Z-order layout audit: the Morton key (native interleave_bits
+    // kernel) clusters rows close in BOTH (partkey, suppkey); cutting the
+    // z-range into 16 equal slices — exactly what range-partitioning on
+    // the key would produce as files — shows every slice covering a
+    // bounded box in both dimensions, i.e. min-max pruning works for
+    // predicates on EITHER column. Pure integer arithmetic: the oracle
+    // re-derives the same key from shift/mask magic numbers.
+    "q_zorder_layout" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .withColumn("zkey",
+          graft.functions.InterleaveBits(col("l_partkey"), col("l_suppkey")))
+      val zmax = li.agg(max("zkey").as("zmax"))
+      li.crossJoin(broadcast(zmax))
+        .withColumn("bucket", expr("zkey * 16 div (zmax + 1)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("bucket")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -609,5 +630,30 @@ object Relational {
         |  UNION ALL SELECT 'domain', 'c_mktsegment', c3*1000000//n, 1000000 FROM m
         |  UNION ALL SELECT 'unique', 'c_custkey', u0*1000000//n, 1000000 FROM m)
         |ORDER BY check_name, col_name""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH s1 AS (SELECT l_partkey, l_suppkey,
+        |    l_partkey AS pa, l_suppkey AS sa FROM lineitem),
+        |s2 AS (SELECT l_partkey, l_suppkey,
+        |    (pa | (pa << 16)) & 281470681808895 AS pa,
+        |    (sa | (sa << 16)) & 281470681808895 AS sa FROM s1),
+        |s3 AS (SELECT l_partkey, l_suppkey,
+        |    (pa | (pa << 8)) & 71777214294589695 AS pa,
+        |    (sa | (sa << 8)) & 71777214294589695 AS sa FROM s2),
+        |s4 AS (SELECT l_partkey, l_suppkey,
+        |    (pa | (pa << 4)) & 1085102592571150095 AS pa,
+        |    (sa | (sa << 4)) & 1085102592571150095 AS sa FROM s3),
+        |s5 AS (SELECT l_partkey, l_suppkey,
+        |    (pa | (pa << 2)) & 3689348814741910323 AS pa,
+        |    (sa | (sa << 2)) & 3689348814741910323 AS sa FROM s4),
+        |s6 AS (SELECT l_partkey, l_suppkey,
+        |    (pa | (pa << 1)) & 6148914691236517205 AS pa,
+        |    (sa | (sa << 1)) & 6148914691236517205 AS sa FROM s5),
+        |z AS (SELECT l_partkey, l_suppkey, pa | (sa << 1) AS zkey FROM s6),
+        |m AS (SELECT MAX(zkey) AS zmax FROM z)
+        |SELECT zkey * 16 // (zmax + 1) AS bucket, COUNT(*) AS n,
+        |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+        |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+        |FROM z, m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
