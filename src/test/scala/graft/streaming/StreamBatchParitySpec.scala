@@ -143,6 +143,17 @@ class StreamBatchParitySpec extends SparkTestBase {
       "BootstrapSmoke reported a cross-job recovery mismatch")
   }
 
+  test("incrementally maintained Count-Min sketch equals the batch count_min_sketch " +
+    "aggregate probe-for-probe (forked)") {
+    // per-source CMS kept as per-key state across 3 disjoint microbatches
+    // (counting state is exactly-once territory — the checkpoint protocol
+    // guarantee, not replay idempotence); estimates must match the
+    // built-in aggregate + cms_probe path EXACTLY because CMS merges are
+    // commutative counter sums at fixed (eps, confidence, seed)
+    assert(forkSmoke("graft.streaming.CmsParitySmoke") == 0,
+      "CmsParitySmoke reported a stream/batch sketch estimate mismatch")
+  }
+
   test("TWS map-state surface: per-key sub-keyed counters equal the batch (user, type) " +
     "aggregate (forked)") {
     // per-user per-event-type counts maintained in getMapState across 4
