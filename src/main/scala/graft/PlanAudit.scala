@@ -316,6 +316,18 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_window_breadth", "six window functions over ONE exchange+sort (shared total order per event_type); no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        !p.contains("ScalaUDF"))
+    check("q_gap_fill", "gap fill: spine derives from the 1-row broadcast min/max (no driver literal); slim-key shuffles only")(p =>
+      p.contains("Window") && !p.contains("CartesianProduct") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 4)
+    check("q_merge_upsert", "merge: both snapshots reduce to per-key state BEFORE the single full-outer join; no UDF")(p =>
+      p.contains("FullOuter") && !p.contains("CartesianProduct") &&
+        !p.contains("ScalaUDF"))
+    check("q_null_safe_join", "null-safe join: per-key counts reduce before the full outer; no nested loop")(p =>
+      p.contains("FullOuter") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q_zorder_layout", "z-order audit: codegen'd interleave_bits projection, 1-row zmax broadcast, one slim bucket shuffle; no UDF")(p =>
       p.contains("interleave_bits") && !p.contains("ScalaUDF") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1)

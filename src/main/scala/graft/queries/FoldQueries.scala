@@ -516,6 +516,88 @@ object FoldQueries {
           when(col("valid_to_ms").isNull, 1L).otherwise(0L).as("is_current"))
         .orderBy("user_id", "version")
     },
+
+    // Window-function breadth: distribution ranks (percent_rank,
+    // cume_dist), frame-addressed values (nth_value, first/last over the
+    // full frame), offset with default (lag). One total order per
+    // event_type — (value, event_id) breaks double ties — so every
+    // function shares ONE exchange+sort. The rank fractions are ratios of
+    // identical integers on both engines, hence hash-exact doubles.
+    "q_window_breadth" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value", "event_id")
+      val wf = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("nth3", nth_value(col("value"), 3).over(wf))
+        .withColumn("fv", first(col("value")).over(wf))
+        .withColumn("lv", last(col("value")).over(wf))
+        .withColumn("lag2", lag(col("value"), 2, -1.0).over(w))
+        .orderBy("event_id")
+    },
+
+    // Time-series gap filling: the sparse high-value daily series joined
+    // onto a full (type x day) spine — missing days become explicit zero
+    // rows so the running cumulative is continuous (the resample step
+    // every dashboard needs before charting a sparse series). The spine
+    // derives from the 1-row min/max (broadcast), never a driver literal.
+    "q_gap_fill" -> { (s, dir) =>
+      val d = Tables(s, dir, "events")
+        .filter(col("value") > 250)
+        .select(col("event_type"), expr("ts div 1000000 div 86400000").as("day"),
+          col("value"))
+      val daily = d.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val mm = d.agg(min("day").as("dmin"), max("day").as("dmax"))
+      val spine = d.select("event_type").distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("event_type"), explode(sequence(col("dmin"), col("dmax"))).as("day"))
+      val filled = spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      filled.withColumn("running", sum("n").over(wc))
+        .orderBy("event_type", "day")
+    },
+
+    // MERGE/upsert semantics (SCD1 apply): the CDC batch — each user's
+    // last post-cutoff event, 'view' meaning delete, anything else upsert
+    // — applied onto the pre-cutoff base snapshot via ONE full outer
+    // join: matched+delete drops, matched+upsert updates, unmatched
+    // change inserts, unmatched base survives. The provenance tag proves
+    // each branch. Both snapshots reduce to per-key rows BEFORE the
+    // merge join (the 100 TB shape: the join moves state rows, not logs).
+    "q_merge_upsert" -> { (s, dir) =>
+      val cutoff = 1705363200000L // 2024-01-16 UTC
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ms").desc, col("event_id").desc)
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), expr("ts div 1000000").as("ms"))
+      def lastState(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("value"))
+      val base = lastState(e.filter(col("ms") < cutoff))
+      val changes = lastState(e.filter(col("ms") >= cutoff))
+        .withColumn("action",
+          when(col("event_type") === "view", lit("D")).otherwise(lit("U")))
+      base.as("b").join(changes.as("c"),
+          col("b.user_id") === col("c.user_id"), "full_outer")
+        .filter(col("c.action").isNull || col("c.action") =!= "D")
+        .select(
+          coalesce(col("b.user_id"), col("c.user_id")).as("user_id"),
+          coalesce(col("c.event_type"), col("b.event_type")).as("event_type"),
+          coalesce(col("c.value"), col("b.value")).as("value"),
+          when(col("c.user_id").isNull, lit("kept"))
+            .when(col("b.user_id").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("merge_op"))
+        .orderBy("user_id")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -784,5 +866,58 @@ object FoldQueries {
         |SELECT user_id, version, event_type, valid_from_ms, valid_to_ms,
         |  CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "q_window_breadth" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(value, 3) OVER wf AS nth3,
+        |  first_value(value) OVER wf AS fv,
+        |  last_value(value) OVER wf AS lv,
+        |  lag(value, 2, -1.0) OVER w AS lag2
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id),
+        |  wf AS (PARTITION BY event_type ORDER BY value, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts)//86400000 AS day
+        |           FROM events WHERE value > 250),
+        |daily AS (SELECT event_type, day, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |mm AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM d),
+        |spine AS (SELECT t.event_type, s.day
+        |          FROM (SELECT DISTINCT event_type FROM d) t,
+        |               (SELECT unnest(generate_series((SELECT dmin FROM mm),
+        |                                              (SELECT dmax FROM mm))) AS day) s),
+        |f AS (SELECT spine.event_type, spine.day, COALESCE(cnt, 0) AS n
+        |      FROM spine LEFT JOIN daily
+        |        ON spine.event_type = daily.event_type AND spine.day = daily.day)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms
+        |           FROM events),
+        |b AS (SELECT user_id, event_type, value FROM
+        |       (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY ms DESC, event_id DESC) AS rn
+        |        FROM e WHERE ms < 1705363200000) WHERE rn = 1),
+        |c AS (SELECT user_id, event_type, value,
+        |        CASE WHEN event_type = 'view' THEN 'D' ELSE 'U' END AS action FROM
+        |       (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY ms DESC, event_id DESC) AS rn
+        |        FROM e WHERE ms >= 1705363200000) WHERE rn = 1)
+        |SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+        |  COALESCE(c.event_type, b.event_type) AS event_type,
+        |  COALESCE(c.value, b.value) AS value,
+        |  CASE WHEN c.user_id IS NULL THEN 'kept'
+        |       WHEN b.user_id IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS merge_op
+        |FROM b FULL OUTER JOIN c ON b.user_id = c.user_id
+        |WHERE c.action IS NULL OR c.action <> 'D'
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -424,6 +424,24 @@ object Relational {
           min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
         .orderBy("bucket")
     },
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): residue 7 is
+    // deterministically nulled on BOTH sides, and the proof of null-safe
+    // semantics is the output itself — the NULL-key row carries counts
+    // from both sides (a plain equi-join would strand two unmatched
+    // rows). Both sides reduce to per-key counts before the join.
+    "q_null_safe_join" -> { (s, dir) =>
+      val a = Tables(s, dir, "customer")
+        .select(expr("nullif(c_custkey % 100, 7)").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_cust"))
+      val b = Tables(s, dir, "orders")
+        .select(expr("nullif(o_custkey % 100, 7)").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_ord"))
+      a.as("a").join(b.as("b"), col("a.k") <=> col("b.k"), "full_outer")
+        .select(coalesce(col("a.k"), col("b.k")).as("k"),
+          col("n_cust"), col("n_ord"))
+        .orderBy(asc_nulls_first("k"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -660,5 +678,14 @@ object Relational {
         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
         |FROM z, m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_null_safe_join" ->
+      """WITH a AS (SELECT nullif(c_custkey % 100, 7) AS k, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |b AS (SELECT nullif(o_custkey % 100, 7) AS k, COUNT(*) AS n_ord
+        |      FROM orders GROUP BY 1)
+        |SELECT COALESCE(a.k, b.k) AS k, n_cust, n_ord
+        |FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
   )
 }
