@@ -316,6 +316,15 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_triangles", "triangle enumeration: oriented equi-joins only (wedge join + closing check), never a cartesian")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF"))
+    check("q_k_anonymity", "k-anonymity audit: one slim partial-agg shuffle over the quasi-identifier grid; no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_phrase_search", "phrase search is LINEAR: positional tokens + lead window over one doc exchange, never a positional self-join")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("Window") && !p.contains("ScalaUDF"))
     check("q_window_breadth", "six window functions over ONE exchange+sort (shared total order per event_type); no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         !p.contains("ScalaUDF"))

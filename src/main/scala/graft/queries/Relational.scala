@@ -442,6 +442,44 @@ object Relational {
           col("n_cust"), col("n_ord"))
         .orderBy(asc_nulls_first("k"))
     },
+
+    // k-anonymity audit over quasi-identifiers (nation x balance band):
+    // every equivalence class smaller than k=5 is a re-identification
+    // risk the release pipeline must suppress or generalize. One slim
+    // partial-agg shuffle; the report carries class size + risk flag —
+    // the privacy twin of the data-quality expectations suite.
+    "q_k_anonymity" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy("nationkey", "bal_band")
+        .agg(count(lit(1)).as("k"))
+        .withColumn("risky", when(col("k") < 5, 1L).otherwise(0L))
+        .orderBy("nationkey", "bal_band")
+    },
+
+    // Triangle enumeration in the part co-purchase graph (edges = part
+    // pairs sharing >= 2 orders). The id-ordered orientation (u < v)
+    // makes each triangle appear exactly once as a < b < c: two equi-joins
+    // over the oriented edge list, no pairwise explosion beyond the wedge
+    // set. At 100 TB orient by DEGREE instead of id (bounds wedges by
+    // O(|E|^1.5) on skewed graphs — id orientation is the demo-scale
+    // simplification); the threshold keeps co-purchase edges, not
+    // co-occurrence noise.
+    "q_triangles" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
+      e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+        .orderBy("a", "b", "c")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -687,5 +725,23 @@ object Relational {
         |SELECT COALESCE(a.k, b.k) AS k, n_cust, n_ord
         |FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  COUNT(*) AS k,
+        |  CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS risky
+        |FROM customer GROUP BY 1, 2 ORDER BY nationkey, bal_band""".stripMargin,
+
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |ORDER BY a, b, c""".stripMargin,
   )
 }

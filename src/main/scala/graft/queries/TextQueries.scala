@@ -164,6 +164,26 @@ object TextQueries {
         .orderBy(col("cms_est").desc, col("token"))
     },
 
+    // Positional phrase search ("hash join" as an ADJACENT token pair) —
+    // the retrieval operator BM25/keyword search cannot express: term
+    // order matters. Tokens carry positions (posexplode), adjacency is a
+    // lead window over ONE doc exchange — never a positional self-join,
+    // so the cost is linear in token count. Per-doc hit count + first
+    // hit position (1-based, matching the oracle's subscripts).
+    "q_phrase_search" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+        .withColumn("nxt", lead("w", 1).over(w))
+        .filter(col("w") === "hash" && col("nxt") === "join")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min("pos").cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
+
     // Per-source document-length quantiles without a value shuffle: the
     // mergeable deterministic KLL summary (capacity 256) sketches each
     // source's n_chars distribution map-side; the exchange carries a few
@@ -2666,5 +2686,18 @@ object TextQueries {
         |   WHEN doc_id % 4 = 2 THEN CAST((doc_id + 1) * 471 % 7200000 AS BIGINT)
         |   END AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) AS pos FROM t),
+        |q AS (
+        |  SELECT doc_id, pos, w,
+        |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM p)
+        |SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(pos) AS BIGINT) AS first_pos
+        |FROM q WHERE w = 'hash' AND nxt = 'join'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
