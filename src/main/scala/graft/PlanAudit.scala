@@ -316,6 +316,12 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_market_basket", "association rules: supports reduce FIRST, item counts broadcast onto the rule table, basket total is a 1-row broadcast")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    check("q_linreg", "closed-form OLS: one scan + one 5-number-per-group shuffle; scan prunes to 3 columns")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        "FileScan parquet".r.findAllIn(p).size == 1 && !p.contains("ScalaUDF"))
     check("q_triangles", "triangle enumeration: oriented equi-joins only (wedge join + closing check), never a cartesian")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))

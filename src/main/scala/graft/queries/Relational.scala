@@ -480,6 +480,56 @@ object Relational {
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
         .orderBy("a", "b", "c")
     },
+
+    // Association rules over order baskets (support / confidence / lift,
+    // all integer ppm — market-basket analysis with an exact oracle).
+    // Item and pair supports reduce FIRST; the tiny item-count table
+    // broadcasts back onto the ≥3-support pairs, and the basket total is
+    // a 1-row broadcast — the raw basket table is joined once, never the
+    // rule table against raw data.
+    "q_market_basket" -> { (s, dir) =>
+      val b = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val nB = b.agg(countDistinct("l_orderkey").as("nb"))
+      val ic = b.groupBy("l_partkey").agg(count(lit(1)).as("n_i"))
+      val pc = b.as("x").join(b.as("y"), "l_orderkey")
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pc.join(broadcast(ic.select(col("l_partkey").as("pa"), col("n_i").as("n_a"))), "pa")
+        .join(broadcast(ic.select(col("l_partkey").as("pb"), col("n_i").as("n_b"))), "pb")
+        .crossJoin(broadcast(nB))
+        .select(col("pa"), col("pb"), col("n_ab"),
+          expr("n_ab * 1000000 div nb").as("support_ppm"),
+          expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+          expr("n_ab * nb * 1000000 div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(desc("lift_ppm"), asc("pa"), asc("pb"))
+    },
+
+    // Closed-form OLS per group from the same exact-decimal power sums as
+    // q_stats_moments — distributed linear regression in ONE scan, with
+    // slope/intercept/covariance derived through textually-identical
+    // double arithmetic in the oracle (hash-exact, unlike the built-in
+    // regr_slope whose float sums are partition-order dependent).
+    "q_linreg" -> { (s, dir) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast("decimal(18,0)")).cast("double").as("sx"),
+          sum((x * x).cast("decimal(18,0)")).cast("double").as("sxx"),
+          sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+          sum((x * y).cast("decimal(28,2)")).cast("double").as("sxy"))
+        .selectExpr(
+          "l_returnflag", "n",
+          "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope",
+          "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept",
+          "(n * sxy - sx * sy) / (n * n) AS covar_xy")
+        .orderBy("l_returnflag")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -743,5 +793,35 @@ object Relational {
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY a, b, c""".stripMargin,
+
+    "q_market_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM b),
+        |ic AS (SELECT l_partkey, COUNT(*) AS n_i FROM b GROUP BY 1),
+        |pc AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS n_ab
+        |       FROM b x JOIN b y USING (l_orderkey)
+        |       WHERE x.l_partkey < y.l_partkey
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pa, pb, n_ab,
+        |  n_ab * 1000000 // nb AS support_ppm,
+        |  n_ab * 1000000 // a.n_i AS conf_ppm,
+        |  n_ab * nb * 1000000 // (a.n_i * c.n_i) AS lift_ppm
+        |FROM pc JOIN ic a ON pc.pa = a.l_partkey
+        |  JOIN ic c ON pc.pb = c.l_partkey, n
+        |ORDER BY lift_ppm DESC, pa, pb""".stripMargin,
+
+    "q_linreg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+        |  (n * sxy - sx * sy) / (n * n) AS covar_xy
+        |FROM s ORDER BY l_returnflag""".stripMargin,
   )
 }
