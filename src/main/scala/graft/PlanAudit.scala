@@ -316,6 +316,13 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_temporal_join", "temporal join: as-of union+window (never an interval theta-join); bounded exchanges, no nested loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        "Window".r.findAllIn(p).size >= 2 &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3)
+    check("q_rfm_segments", "RFM: per-customer aggregates reduce first; NTILE windows run over the reduced grain only")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
     check("q_market_basket", "association rules: supports reduce FIRST, item counts broadcast onto the rule table, basket total is a 1-row broadcast")(p =>
       "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))

@@ -598,6 +598,36 @@ object FoldQueries {
             .otherwise(lit("updated")).as("merge_op"))
         .orderBy("user_id")
     },
+
+    // Temporal (validity-interval) join: every event matched to the SCD2
+    // version in force STRICTLY BEFORE it — composed from the q_scd2
+    // change rows and AsOfJoin.backward (strict, so a change event reads
+    // the state it is leaving, not the one it opens). The as-of
+    // union+window shape keeps this ONE user shuffle; an interval/theta
+    // join would explode pairs. Report: the (prior state x arriving
+    // event) transition matrix — off-diagonal cells are the state
+    // changes; first events have no prior state ('none'). The oracle
+    // derives the same state via a LAST_VALUE IGNORE NULLS fill over a
+    // 1-PRECEDING frame — two independent constructions, one hash.
+    "q_temporal_join" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ms", "event_id")
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ms"))
+      val versions = e
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("ms"), col("event_id"),
+          col("event_type").as("state"))
+      AsOfJoin.backward(e, versions,
+          on = Seq("user_id"), orderCols = Seq("ms", "event_id"),
+          payload = Seq("state"), strict = true)
+        .select(coalesce(col("state"), lit("none")).as("state"), col("event_type"))
+        .groupBy("state", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("state", "event_type")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -919,5 +949,21 @@ object FoldQueries {
         |FROM b FULL OUTER JOIN c ON b.user_id = c.user_id
         |WHERE c.action IS NULL OR c.action <> 'D'
         |ORDER BY user_id""".stripMargin,
+
+    "q_temporal_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |           FROM events),
+        |c AS (SELECT *, LAG(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ms, event_id) AS p FROM e),
+        |m AS (SELECT user_id, event_id, event_type, ms,
+        |        CASE WHEN p IS NULL OR p <> event_type THEN event_type END AS chg
+        |      FROM c),
+        |f AS (SELECT user_id, event_type,
+        |        COALESCE(LAST_VALUE(chg IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none') AS state
+        |      FROM m)
+        |SELECT state, event_type, COUNT(*) AS n
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

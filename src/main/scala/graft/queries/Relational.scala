@@ -530,6 +530,28 @@ object Relational {
           "(n * sxy - sx * sy) / (n * n) AS covar_xy")
         .orderBy("l_returnflag")
     },
+
+    // RFM segmentation (recency / frequency / monetary quintiles): the
+    // classic CRM cube. Per-customer aggregates reduce first (one slim
+    // shuffle); the three NTILE windows run over the reduced per-customer
+    // grain with custkey tiebreaks so the quintile cuts are total orders
+    // on both engines; segments roll up with exact decimal spend.
+    "q_rfm_segments" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val per = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_date"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      per
+        .withColumn("r", ntile(5).over(W.orderBy(col("last_date"), col("o_custkey"))).cast("long"))
+        .withColumn("f", ntile(5).over(W.orderBy(col("freq"), col("o_custkey"))).cast("long"))
+        .withColumn("m", ntile(5).over(W.orderBy(col("spend"), col("o_custkey"))).cast("long"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).cast("decimal(38,2)").cast("double").as("total_spend"))
+        .orderBy("r", "f", "m")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -823,5 +845,20 @@ object Relational {
         |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
         |  (n * sxy - sx * sy) / (n * n) AS covar_xy
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_date, COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT *,
+        |    CAST(NTILE(5) OVER (ORDER BY last_date, o_custkey) AS BIGINT) AS r,
+        |    CAST(NTILE(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f,
+        |    CAST(NTILE(5) OVER (ORDER BY spend, o_custkey) AS BIGINT) AS m
+        |  FROM per)
+        |SELECT r, f, m, COUNT(*) AS n_customers,
+        |  CAST(CAST(SUM(spend) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
   )
 }
