@@ -316,6 +316,12 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_outliers", "sigma-band outliers: group stats broadcast back onto the stream; no nested loop, no UDF")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("ScalaUDF"))
+    check("q_chisq", "chi-square: ONE file scan; marginals are window sums over the grid-sized cell table")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        "Window".r.findAllIn(p).size >= 2 && !p.contains("ScalaUDF"))
     check("q_temporal_join", "temporal join: as-of union+window (never an interval theta-join); bounded exchanges, no nested loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         "Window".r.findAllIn(p).size >= 2 &&

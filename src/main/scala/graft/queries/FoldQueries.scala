@@ -628,6 +628,31 @@ object FoldQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("state", "event_type")
     },
+
+    // Sigma-band outlier report: per event type, rows beyond mean ± 3
+    // stddev_pop — mean/σ derive from the exact decimal power sums
+    // (identical doubles on both engines, so the outlier SET is identical
+    // and the report is hash-exact, no float tolerance). Group stats
+    // broadcast back onto the stream: two scans, one of them a slim
+    // 3-number-per-group aggregate.
+    "q_outliers" -> { (s, dir) =>
+      val v = col("value")
+      val e = Tables(s, dir, "events").select(col("event_type"), v)
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(v.cast("decimal(18,2)")).cast("double").as("sv"),
+        sum((v * v).cast("decimal(18,4)")).cast("double").as("svv"))
+        .selectExpr("event_type", "n", "sv / n AS mu",
+          "sqrt(svv / n - (sv / n) * (sv / n)) AS sigma")
+      e.join(broadcast(stats), "event_type")
+        .filter(v > col("mu") + lit(3.0) * col("sigma") ||
+          v < col("mu") - lit(3.0) * col("sigma"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          floor(min(v) * 100).cast("long").as("min_out_cents"),
+          floor(max(v) * 100).cast("long").as("max_out_cents"))
+        .orderBy("event_type")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -965,5 +990,20 @@ object FoldQueries {
         |      FROM m)
         |SELECT state, event_type, COUNT(*) AS n
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT event_type, sv / n AS mu,
+        |        sqrt(svv / n - (sv / n) * (sv / n)) AS sigma FROM s)
+        |SELECT e.event_type, COUNT(*) AS n_outliers,
+        |  CAST(floor(MIN(value) * 100) AS BIGINT) AS min_out_cents,
+        |  CAST(floor(MAX(value) * 100) AS BIGINT) AS max_out_cents
+        |FROM events e JOIN t ON e.event_type = t.event_type
+        |WHERE value > mu + 3.0 * sigma OR value < mu - 3.0 * sigma
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -552,6 +552,27 @@ object Relational {
           sum(col("spend")).cast("decimal(38,2)").cast("double").as("total_spend"))
         .orderBy("r", "f", "m")
     },
+
+    // Chi-square independence report (priority x status contingency):
+    // observed counts, expected under independence, per-cell chi-square
+    // contribution — all derived from exact integer marginals through
+    // textually identical double arithmetic, so the statistic is
+    // hash-exact. ONE scan builds the cell table; marginals are window
+    // sums over the grid-sized cells (re-deriving them as separate
+    // aggregates re-scanned orders four times).
+    "q_chisq" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("obs"))
+        .withColumn("rt", sum("obs").over(W.partitionBy("o_orderpriority")))
+        .withColumn("ct", sum("obs").over(W.partitionBy("o_orderstatus")))
+        .withColumn("n", sum("obs").over(W.partitionBy()))
+        .selectExpr("o_orderpriority", "o_orderstatus", "obs",
+          "CAST(rt AS DOUBLE) * ct / n AS expected",
+          "(obs - CAST(rt AS DOUBLE) * ct / n) * (obs - CAST(rt AS DOUBLE) * ct / n) / (CAST(rt AS DOUBLE) * ct / n) AS contrib")
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -860,5 +881,19 @@ object Relational {
         |SELECT r, f, m, COUNT(*) AS n_customers,
         |  CAST(CAST(SUM(spend) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
         |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT o_orderpriority, o_orderstatus, obs,
+        |  CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS rt,
+        |  CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS ct,
+        |  CAST(SUM(obs) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT o_orderpriority, o_orderstatus, obs,
+        |  CAST(rt AS DOUBLE) * ct / n AS expected,
+        |  (obs - CAST(rt AS DOUBLE) * ct / n) * (obs - CAST(rt AS DOUBLE) * ct / n) / (CAST(rt AS DOUBLE) * ct / n) AS contrib
+        |FROM m ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
   )
 }
