@@ -12,17 +12,22 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * mode with a named corrupt-record column and split the result into
   * (good, rejects-with-raw-line).
   *
-  * The parsed frame is eagerly persisted before the split: Spark refuses
-  * a filter that references ONLY the internal corrupt-record column of a
-  * live scan (SPARK-21610), and the persist also guarantees the two legs
-  * split one parse instead of re-reading the files.
+  * The parsed frame is eagerly local-checkpointed before the split:
+  * Spark refuses a filter that references ONLY the internal
+  * corrupt-record column of a live scan (SPARK-21610), the checkpoint
+  * guarantees the two legs split one parse instead of re-reading the
+  * files, and — unlike persist() — it registers nothing with the cache
+  * manager: its blocks are reclaimed when the caller drops both legs
+  * (the connectedComponents handoff discipline; a persist here would be
+  * an unreleasable session-lived cache entry). At cluster scale swap
+  * for checkpoint() against a reliable dir.
   */
 object Ingest {
 
   private val CORRUPT = "_corrupt_record"
 
   private def withRejects(df: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
-    val parsed = df.persist()
+    val parsed = df.localCheckpoint(true)
     val good = parsed.filter(col(CORRUPT).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = parsed.filter(col(CORRUPT).isNotNull)
