@@ -316,6 +316,10 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_multi_touch", "multi-touch attribution: forward fill + split windows over user-prefixed exchanges only; no nested loop")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        "Window".r.findAllIn(p).size >= 2 &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3 && !p.contains("ScalaUDF"))
     check("q_outliers", "sigma-band outliers: group stats broadcast back onto the stream; no nested loop, no UDF")(p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         !p.contains("ScalaUDF"))

@@ -653,6 +653,47 @@ object FoldQueries {
           floor(max(v) * 100).cast("long").as("max_out_cents"))
         .orderBy("event_type")
     },
+
+    // Multi-touch (linear) attribution — the equal-split extension of
+    // last-touch q_attribution: each purchase's revenue divides EXACTLY
+    // across its preceding 24 h of non-purchase touches — integer cents,
+    // remainder to the earliest touch — so every touched purchase's cents
+    // are conserved to the cent by construction (purchases with no touch
+    // in the lookback stay unattributed, the 'direct' bucket of the
+    // last-touch query). Next-purchase lookup is a forward IGNORE-NULLS
+    // first over one user exchange; the per-purchase split adds one.
+    "q_multi_touch" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wFwd = W.partitionBy("user_id").orderBy("ms", "event_id")
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ms"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      // all three np_* come from the SAME (first following) purchase row:
+      // the CASEs null together, so the three IGNORE-NULLS firsts cannot
+      // mix rows (the q_attribution fill discipline)
+      val isP = col("event_type") === "purchase"
+      val np = e
+        .withColumn("np_ms", first(when(isP, col("ms")), ignoreNulls = true).over(wFwd))
+        .withColumn("np_id", first(when(isP, col("event_id")), ignoreNulls = true).over(wFwd))
+        .withColumn("np_cents", first(when(isP, col("cents")), ignoreNulls = true).over(wFwd))
+      val touches = np
+        .filter(col("event_type") =!= "purchase" &&
+          col("np_ms").isNotNull &&
+          col("np_ms") - col("ms") <= 24L * 3600 * 1000)
+      val wP = W.partitionBy("user_id", "np_id")
+      val wPo = wP.orderBy("ms", "event_id")
+      touches
+        .withColumn("n_t", count(lit(1)).over(wP))
+        .withColumn("r", row_number().over(wPo))
+        .withColumn("share",
+          expr("np_cents div n_t + CASE WHEN r = 1 THEN np_cents % n_t ELSE 0 END"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("share").cast("long").as("attributed_cents"))
+        .orderBy("event_type")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1005,5 +1046,29 @@ object FoldQueries {
         |FROM events e JOIN t ON e.event_type = t.event_type
         |WHERE value > mu + 3.0 * sigma OR value < mu - 3.0 * sigma
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_multi_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |n AS (SELECT *,
+        |  FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ms END IGNORE NULLS)
+        |    OVER w AS np_ms,
+        |  FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |    OVER w AS np_id,
+        |  FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN cents END IGNORE NULLS)
+        |    OVER w AS np_cents
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |t AS (SELECT * FROM n WHERE event_type <> 'purchase'
+        |        AND np_ms IS NOT NULL AND np_ms - ms <= 86400000),
+        |s AS (SELECT *, COUNT(*) OVER (PARTITION BY user_id, np_id) AS n_t,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, np_id
+        |          ORDER BY ms, event_id) AS r
+        |      FROM t)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |  CAST(SUM(np_cents // n_t +
+        |    CASE WHEN r = 1 THEN np_cents % n_t ELSE 0 END) AS BIGINT) AS attributed_cents
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
