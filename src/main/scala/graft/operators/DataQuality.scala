@@ -35,15 +35,18 @@ object DataQuality {
         countDistinct(col(u.column)).as(s"u$i")
       }
     val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+    // n = 0 (empty input) must degrade to a null metric + failed check,
+    // not an ANSI DIVIDE_BY_ZERO (DataQualitySpec pins this)
+    def ppm(c: String) = s"CASE WHEN n = 0 THEN CAST(NULL AS BIGINT) ELSE $c * 1000000 div n END"
     val rows =
       checks.zipWithIndex.map { case (c, i) =>
         struct(lit(c.name).as("check_name"), lit(c.column).as("col_name"),
-          expr(s"c$i * 1000000 div n").as("metric_ppm"),
-          expr(s"CASE WHEN c$i * 1000000 div n >= ${c.thresholdPpm}L THEN 1L ELSE 0L END").as("passed"))
+          expr(ppm(s"c$i")).as("metric_ppm"),
+          expr(s"CASE WHEN ${ppm(s"c$i")} >= ${c.thresholdPpm}L THEN 1L ELSE 0L END").as("passed"))
       } ++ uniques.zipWithIndex.map { case (u, i) =>
         struct(lit("unique").as("check_name"), lit(u.column).as("col_name"),
-          expr(s"u$i * 1000000 div n").as("metric_ppm"),
-          expr(s"CASE WHEN u$i * 1000000 div n >= ${u.thresholdPpm}L THEN 1L ELSE 0L END").as("passed"))
+          expr(ppm(s"u$i")).as("metric_ppm"),
+          expr(s"CASE WHEN ${ppm(s"u$i")} >= ${u.thresholdPpm}L THEN 1L ELSE 0L END").as("passed"))
       }
     one.select(explode(array(rows: _*)).as("r"))
       .select(col("r.check_name"), col("r.col_name"), col("r.metric_ppm"), col("r.passed"))

@@ -39,6 +39,18 @@ class DataQualitySpec extends SparkTestBase {
     assert(r.getAs[Long]("passed") === 0L)
   }
 
+  test("empty input degrades to null metrics and failed checks, never throws") {
+    val empty = df.filter(col("id") < 0)
+    val rows = DataQuality.report(empty,
+      Seq(Check("complete", "name", col("name").isNotNull)), Seq(UniqueCheck("id")))
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("metric_ppm"))) // 0 div 0 = null, not a crash
+      assert(r.getAs[Long]("passed") === 0L) // null metric can never pass
+    }
+  }
+
   test("full suite emits one sorted row per check") {
     val r = DataQuality.report(df,
       Seq(Check("complete", "name", col("name").isNotNull),
