@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, CmsProbe, InterleaveBits, DeflateLen, FloatDotProduct, MergePair, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
+import graft.functions.{AdjacentJoin, AudioMeta, BpeTokenCountExpr, CmsProbe, InterleaveBits, ZOrderKey, DeflateLen, FloatDotProduct, MergePair, ImageMeta, IntDotProduct, MinHashSig, PackedShingleSet, PositionalEqCount, QuantizeInt8, RepetitionPpm, ShingleSet, SimHash64, SimHashText, SortedIntersectCount, VideoMeta, WinnowFps}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -63,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "interleave_bits(a, b)")
         InterleaveBits(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length >= 2 && exprs.length <= 4, "zorder_key(c1, c2[, c3[, c4]])")
+        ZOrderKey(exprs)
       }))
     extensions.injectFunction((
       new FunctionIdentifier("cms_probe"),
@@ -350,9 +357,11 @@ object ExtensionsSmoke {
         |    SELECT explode(split('a a a b', ' ')) AS w))""".stripMargin).head()
     val cmsOk = cms.getLong(0) == 3L && cms.getLong(1) == 0L
 
-    // interleave_bits: 3 on even positions, 1 on odd -> 0b111
-    val il = spark.sql("SELECT interleave_bits(3L, 1L) AS z").head().getLong(0)
-    val ilOk = il == 7L
+    // interleave_bits: 3 on even positions, 1 on odd -> 0b111; 3-col
+    // zorder_key: (1,1,1) -> 0b111
+    val il = spark.sql(
+      "SELECT interleave_bits(3L, 1L) AS z, zorder_key(1L, 1L, 1L) AS z3").head()
+    val ilOk = il.getLong(0) == 7L && il.getLong(1) == 7L
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&

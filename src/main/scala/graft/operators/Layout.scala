@@ -42,6 +42,24 @@ object Layout {
     write(keyed, path, numFiles)
   }
 
+  /** N-column z-order (2-4 dims): each column normalizes to a common
+    * 16-bit range, then the variadic [[graft.functions.ZOrderKey]]
+    * interleaves them round-robin so every dimension shares the high
+    * bits of the file split evenly. */
+  def zorderWriteN(df: DataFrame, cols: Seq[String],
+                   path: String, numFiles: Int): Unit = {
+    require(cols.size >= 2 && cols.size <= 4, "zorderWriteN takes 2-4 columns")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      if (hi > lo) ((col(c).cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long")
+      else lit(0L)
+    }
+    write(df.withColumn("__z", graft.functions.ZOrderKey(normed)), path, numFiles)
+  }
+
   /** Baseline: linear sort layout on a single column. */
   def linearWrite(df: DataFrame, c: String, path: String, numFiles: Int): Unit =
     write(df.withColumn("__z", col(c)), path, numFiles)
