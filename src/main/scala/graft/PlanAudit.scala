@@ -316,6 +316,9 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_range_frame", "RANGE frame: both interval aggregates share ONE user exchange+sort; no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("Window") && !p.contains("ScalaUDF"))
     check("q_multi_touch", "multi-touch attribution: forward fill + split windows over user-prefixed exchanges only; no nested loop")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         "Window".r.findAllIn(p).size >= 2 &&

@@ -694,6 +694,25 @@ object FoldQueries {
           sum("share").cast("long").as("attributed_cents"))
         .orderBy("event_type")
     },
+
+    // Value-based RANGE window frame (the sliding-interval complement of
+    // the ROWS frames elsewhere): per event, that user's activity in the
+    // trailing hour BY TIMESTAMP — frame membership is decided by the ms
+    // value, so simultaneous events are tie-agnostic by construction.
+    // Both frame aggregates share ONE user exchange+sort.
+    "q_range_frame" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ms")
+        .rangeBetween(-3600000L, 0L)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("ms"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum("cents").over(w))
+        .select("event_id", "user_id", "ms", "n_1h", "cents_1h")
+        .orderBy("event_id")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1070,5 +1089,17 @@ object FoldQueries {
         |  CAST(SUM(np_cents // n_t +
         |    CASE WHEN r = 1 THEN np_cents % n_t ELSE 0 END) AS BIGINT) AS attributed_cents
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, ms,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 }
