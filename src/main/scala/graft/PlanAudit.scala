@@ -316,6 +316,10 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_pps_sample", "PPS sample: cumsum decomposed (range fan-out + bucket window); SinglePartition only above the bucket totals")(p =>
+      p.contains("Exchange rangepartitioning(doc_id") &&
+        p.contains("hashpartitioning(__b") &&
+        p.contains("HashAggregate(keys=[__b") && !p.contains("ScalaUDF"))
     check("q_range_frame", "RANGE frame: both interval aggregates share ONE user exchange+sort; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         p.contains("Window") && !p.contains("ScalaUDF"))

@@ -318,6 +318,58 @@ object Corpus {
     * BudgetSelectSpec both pin that. `spark_partition_id()` is stable
     * under task retry (a re-run recomputes the same partition) and only
     * ever feeds same-stage bookkeeping here, never a cross-run contract. */
+  /** Systematic probability-proportional-to-size sampling: lay every
+    * row's `sizeCol` mass end to end in `idCol` order, then take every
+    * `step = max(total div n, 1)`-th position starting at `step div 2` —
+    * each row is drawn with probability proportional to its size, big
+    * rows can be drawn multiple times (`multiplicity`), and the whole
+    * draw is EXACT integer arithmetic: deterministic for a given corpus
+    * on any engine, and oracle-provable (unlike hash-exponential
+    * weighted reservoirs, which are float territory). A fixed-n draw
+    * necessarily changes when the corpus grows (step = total/n); for an
+    * append-stable sample use [[graft.functions.BottomKByKey]] instead.
+    * This is the survey-sampling way to pull a token-mass-balanced audit
+    * sample from a 100 TB corpus: one cumulative-sum pass, no RNG.
+    *
+    * Scale shape: the same two-level cumsum decomposition as
+    * [[selectByBudget]] — range-partition by id, per-bucket totals give
+    * broadcast prefix offsets, the in-bucket window never leaves its
+    * partition; the driver never sees a row.
+    *
+    * Returns rows with `multiplicity >= 1` plus their `cum_start`.
+    * Σ multiplicity = number of sample positions under the total mass
+    * (== n up to the flooring of step; PpsSampleSpec pins conservation).
+    */
+  def ppsSample(df: DataFrame, idCol: String, sizeCol: String, n: Long,
+                buckets: Int = 64): DataFrame = {
+    require(n > 0, "need a positive sample size")
+    val sized = df.filter(col(sizeCol).isNotNull && col(sizeCol) > 0)
+    val ranged = sized
+      .repartitionByRange(buckets, col(idCol).asc)
+      .withColumn("__b", spark_partition_id())
+    val prefixW = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bt = ranged.groupBy("__b").agg(sum(col(sizeCol)).as("__bt"))
+    val prefix = bt
+      .withColumn("__pre", coalesce(sum("__bt").over(prefixW), lit(0L)))
+      .select("__b", "__pre")
+    val total = bt.agg(sum("__bt").as("__total"))
+    val inW = Window.partitionBy("__b").orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // positions hit in [cum_start, cum_end): f(end) - f(start) where
+    // f(x) = #{k >= 0 : off + k*step < x}; off = step div 2
+    def hitsBelow(x: String) =
+      s"CASE WHEN $x <= __step div 2 THEN 0L ELSE ($x - 1 - __step div 2) div __step + 1 END"
+    ranged.join(broadcast(prefix), "__b").crossJoin(broadcast(total))
+      .withColumn("cum_end", col("__pre") + sum(col(sizeCol)).over(inW))
+      .withColumn("cum_start", col("cum_end") - col(sizeCol))
+      .withColumn("__step", expr(s"greatest(__total div ${n}L, 1L)"))
+      .withColumn("multiplicity",
+        expr(s"${hitsBelow("cum_end")} - ${hitsBelow("cum_start")}"))
+      .filter(col("multiplicity") > 0)
+      .drop("__b", "__pre", "__step", "__total")
+  }
+
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
                      tokensCol: String, budgetTokens: Long,
                      buckets: Int = 64): DataFrame = {

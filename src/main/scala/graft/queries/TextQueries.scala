@@ -521,6 +521,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Systematic PPS sample (100 draws by char mass): big docs can be
+    // drawn multiply; exact integer arithmetic end to end, so the survey
+    // draw itself is oracle-provable. Two-level cumsum shape (no
+    // single-partition pass over the corpus).
+    "q_pps_sample" -> { (s, dir) =>
+      Corpus.ppsSample(
+          Tables(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", 100L)
+        .select("doc_id", "n_chars", "cum_start", "cum_end", "multiplicity")
+        .orderBy("doc_id")
+    },
+
     // Per-source quality-quantile gate: each source keeps its own top
     // half by quality score (rank ties broken by doc_id — total order on
     // both engines), so a weak source is thinned, not starved.
@@ -2091,6 +2103,27 @@ object TextQueries {
         | FROM documents)
         |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
         |FROM r WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin,
+
+    // windowed cumsum CAST per the HUGEINT rule; hit counting is pure
+    // integer floor division mirrored from the operator
+    "q_pps_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents
+        |           WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |c AS (SELECT doc_id, n_chars,
+        |  CAST(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+        |  FROM d),
+        |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM d),
+        |p AS (SELECT doc_id, n_chars, cum_end, cum_end - n_chars AS cum_start,
+        |        greatest(total // 100, 1) AS step FROM c, t),
+        |q AS (SELECT doc_id, n_chars, cum_start, cum_end,
+        |  (CASE WHEN cum_end <= step // 2 THEN 0
+        |        ELSE (cum_end - 1 - step // 2) // step + 1 END)
+        |  - (CASE WHEN cum_start <= step // 2 THEN 0
+        |          ELSE (cum_start - 1 - step // 2) // step + 1 END) AS multiplicity
+        |  FROM p)
+        |SELECT doc_id, n_chars, cum_start, cum_end, multiplicity FROM q
+        |WHERE multiplicity > 0 ORDER BY doc_id""".stripMargin,
 
     // quality CTE identical to q_quality's proven oracle (plus source);
     // the gate keeps rank <= floor(n * keep_ppm / 1e6) per source
