@@ -50,6 +50,21 @@ class ZOrderKeySpec extends SparkTestBase {
     assert(df4.head().getLong(0) === refMorton(Seq(1L, 2L, 3L, 4L)))
   }
 
+  test("whole-stage codegen actually compiles the kernel (no silent fallback)") {
+    // spark.range forces a WholeStageCodegen stage (a literal toDF would
+    // constant-fold to a LocalRelation and prove nothing)
+    val df = spark.range(8).select(col("id"),
+      ZOrderKey(Seq(col("id"), col("id") + 1, col("id") + 2)).as("z"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(code.contains("spreadN"),
+      "generated code lacks the kernel call — doGenCode fell back silently")
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === refMorton(Seq(id, id + 1, id + 2)))
+    }
+  }
+
   test("null input yields null key") {
     val df = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
       .select(ZOrderKey(Seq(col("a"), col("b"))).as("z"))
