@@ -143,6 +143,16 @@ class StreamBatchParitySpec extends SparkTestBase {
       "BootstrapSmoke reported a cross-job recovery mismatch")
   }
 
+  test("incrementally maintained SCD2 dimension equals the batch q_scd2 build " +
+    "row for row (forked)") {
+    // events replayed keyed by user in (ms, event_id) order across 4
+    // microbatches with a replay overlap; the change-detection fold is
+    // replay-safe ONLY through the engine's offset guard — a re-delivered
+    // change would otherwise append a phantom version
+    assert(forkSmoke("graft.streaming.Scd2ParitySmoke") == 0,
+      "Scd2ParitySmoke reported a version-history mismatch")
+  }
+
   test("incrementally maintained Count-Min sketch equals the batch count_min_sketch " +
     "aggregate probe-for-probe (forked)") {
     // per-source CMS kept as per-key state across 3 disjoint microbatches
