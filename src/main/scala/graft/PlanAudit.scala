@@ -316,6 +316,9 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_peak_concurrency", "sweep line: session assembly shares the user exchange; the global cumsum runs over the SESSION-bounded delta table, no interval join")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF") && p.contains("Window"))
     check("q_pps_sample", "PPS sample: cumsum decomposed (range fan-out + bucket window); SinglePartition only above the bucket totals")(p =>
       p.contains("Exchange rangepartitioning(doc_id") &&
         p.contains("hashpartitioning(__b") &&

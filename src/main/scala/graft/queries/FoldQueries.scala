@@ -695,6 +695,31 @@ object FoldQueries {
         .orderBy("event_type")
     },
 
+    // Peak session concurrency by sweep line: sessions become +1/-1
+    // boundary deltas (half-open [start, end+1)), per-ms deltas reduce
+    // first, and the running sum's per-day maximum is the load curve's
+    // peak — the interval-stabbing answer WITHOUT an interval join. The
+    // global cumsum runs over the per-ms delta table, which is
+    // session-bounded (two rows per session, collapsed by ms), not
+    // corpus-bounded — the same reduced-grain SinglePartition acceptance
+    // as q_user_deciles.
+    "q_peak_concurrency" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"))
+      val sess = Sessionize.byGap(e, "user_id", "ms", "event_id", 6L * 3600 * 1000)
+        .groupBy("user_id", "session_id")
+        .agg(min("ms").as("sms"), max("ms").as("ems"))
+      val deltas = sess.select(col("sms").as("ms"), lit(1L).as("dd"))
+        .union(sess.select((col("ems") + 1).as("ms"), lit(-1L).as("dd")))
+        .groupBy("ms").agg(sum("dd").as("delta"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ms")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      deltas.withColumn("conc", sum("delta").over(w))
+        .groupBy(expr("ms div 86400000").as("day"))
+        .agg(max("conc").as("peak"))
+        .orderBy("day")
+    },
+
     // Value-based RANGE window frame (the sliding-interval complement of
     // the ROWS frames elsewhere): per event, that user's activity in the
     // trailing hour BY TIMESTAMP — frame membership is decided by the ms
@@ -1089,6 +1114,28 @@ object FoldQueries {
         |  CAST(SUM(np_cents // n_t +
         |    CASE WHEN r = 1 THEN np_cents % n_t ELSE 0 END) AS BIGINT) AS attributed_cents
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 21600000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |g AS (
+        |  SELECT user_id, ms, CAST(SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |s AS (SELECT user_id, session_id, MIN(ms) AS sms, MAX(ms) AS ems
+        |      FROM g GROUP BY 1, 2),
+        |d AS (SELECT sms AS ms, 1 AS dd FROM s
+        |      UNION ALL SELECT ems + 1, -1 FROM s),
+        |h AS (SELECT ms, CAST(SUM(dd) AS BIGINT) AS delta FROM d GROUP BY 1),
+        |c AS (SELECT ms, CAST(SUM(delta) OVER (ORDER BY ms
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc FROM h)
+        |SELECT ms // 86400000 AS day, MAX(conc) AS peak
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_range_frame" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
