@@ -695,6 +695,26 @@ object FoldQueries {
         .orderBy("event_type")
     },
 
+    // Rolling 7-day distinct users (WAU by day). Cumulative reach
+    // (q_reach) decomposes into first-seen days, but a ROLLING distinct
+    // cannot — the exact scalable shape is the bounded day-explode: each
+    // (user, active-day) pair feeds the 7 windows it belongs to, so the
+    // cost is 7x the user-day table (slim), never a pairwise join or a
+    // per-window rescan. Partial head windows are excluded (full-window
+    // semantics).
+    "q_rolling_reach" -> { (s, dir) =>
+      val ud = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day"))
+        .distinct()
+      val mm = ud.agg(min("day").as("dmin"), max("day").as("dmax"))
+      ud.select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .groupBy("wday").agg(countDistinct("user_id").as("wau"))
+        .crossJoin(broadcast(mm))
+        .filter(col("wday").between(col("dmin") + 6, col("dmax")))
+        .select("wday", "wau")
+        .orderBy("wday")
+    },
+
     // Peak session concurrency by sweep line: sessions become +1/-1
     // boundary deltas (half-open [start, end+1)), per-ms deltas reduce
     // first, and the running sum's per-day maximum is the load curve's
@@ -1114,6 +1134,16 @@ object FoldQueries {
         |  CAST(SUM(np_cents // n_t +
         |    CASE WHEN r = 1 THEN np_cents % n_t ELSE 0 END) AS BIGINT) AS attributed_cents
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rolling_reach" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts)//86400000 AS day
+        |            FROM events),
+        |w AS (SELECT user_id, day + o AS wday
+        |      FROM ud, (SELECT unnest(generate_series(0, 6)) AS o)),
+        |m AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ud)
+        |SELECT wday, COUNT(DISTINCT user_id) AS wau
+        |FROM w, m WHERE wday BETWEEN dmin + 6 AND dmax
+        |GROUP BY wday ORDER BY wday""".stripMargin,
 
     "q_peak_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
