@@ -316,6 +316,9 @@ object PlanAudit {
     check("q_agg_breadth", "aggregate breadth: all six aggregates partial-combine over ONE slim shuffle; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         (p.contains("partial_") || p.contains("HashAggregate")) && !p.contains("ScalaUDF"))
+    check("q_lorenz", "Lorenz deciles: per-customer cents reduce first; rank/cum windows over the reduced grain only; pure integer output")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
     check("q_rolling_reach", "rolling WAU: bounded 7x day-explode of the slim user-day table; no per-window rescan, no nested loop beyond the 1-row bounds broadcast")(p =>
       p.contains("Generate explode") && !p.contains("CartesianProduct") &&
         !p.contains("ScalaUDF"))

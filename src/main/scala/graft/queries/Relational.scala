@@ -553,6 +553,29 @@ object Relational {
         .orderBy("r", "f", "m")
     },
 
+    // Revenue-concentration (Lorenz) deciles: users ranked by exact cent
+    // spend, cumulative share per rank-decile in integer ppm — the
+    // "top 10% carry X% of revenue" curve with no float anywhere. The
+    // windows run over the reduced per-customer grain (q_user_deciles
+    // acceptance); cum*1e6 stays in Long up to ~9.2e12 total cents
+    // (decompose like uniformMixWeights beyond that).
+    "q_lorenz" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wOrd = W.orderBy("cents", "o_custkey")
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum("cents").over(wOrd.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(W.partitionBy()))
+        .withColumn("total", sum("cents").over(W.partitionBy()))
+        .withColumn("decile", expr("(i - 1) * 10 div n + 1"))
+        .groupBy("decile")
+        .agg(max("i").as("cum_users"), max("cum").as("cum_cents"),
+          expr("max(cum) * 1000000 div max(total)").as("share_ppm"))
+        .orderBy("decile")
+    },
+
     // Chi-square independence report (priority x status contingency):
     // observed counts, expected under independence, per-cell chi-square
     // contribution — all derived from exact integer marginals through
@@ -881,6 +904,24 @@ object Relational {
         |SELECT r, f, m, COUNT(*) AS n_customers,
         |  CAST(CAST(SUM(spend) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
         |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+        |    CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(cents) OVER () AS BIGINT) AS total
+        |  FROM per WINDOW w AS (ORDER BY cents, o_custkey))
+        |SELECT (i - 1) * 10 // n + 1 AS decile,
+        |  MAX(i) AS cum_users, MAX(cum) AS cum_cents,
+        |  MAX(cum) * 1000000 // MAX(total) AS share_ppm
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "q_chisq" ->
       """WITH cells AS (
