@@ -395,6 +395,26 @@ object PlanAudit {
         "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("ReadSchema: struct<l_quantity:double,l_discount:double,l_returnflag:string>") &&
         !p.contains("ScalaUDF"))
+    check("q_changepoint", "CUSUM: events reduce to the (type, day) grid in one scan; all windows run over the 150-row grid")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        "Window".r.findAllIn(p).size >= 2 && !p.contains("ScalaUDF"))
+    check("q_time_to_convert", "conversion latency: two conditional MINs per user in ONE scan; NTILE runs over the reduced per-user grain")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_corr_matrix", "correlation matrix: ONE scan, nine integer power sums, no hash shuffle at all (global partial agg)")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        !p.contains("Exchange hashpartitioning") && !p.contains("ScalaUDF"))
+    check("q_fuzzy_join", "fuzzy join: blocked equi-join on the DISTINCT value table, Levenshtein verify — never all-pairs")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("levenshtein") && !p.contains("ScalaUDF"))
+    check("q_entity_cluster", "entity resolution: blocked verify + CC labels join back from the truncated table; no nested loop")(p =>
+      p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
+    check("q10_returns", "Q10: returnflag filter pushed to the lineitem scan; nation broadcast; top-20 is TakeOrderedAndProject")(p =>
+      p.contains("EqualTo(l_returnflag,R)") && p.contains("BroadcastHashJoin") &&
+        p.contains("TakeOrderedAndProject"))
     spark.stop()
   }
 }

@@ -758,6 +758,60 @@ object FoldQueries {
         .select("event_id", "user_id", "ms", "n_1h", "cents_1h")
         .orderBy("event_id")
     },
+
+    // CUSUM changepoint per event type, all-integer: with n days, total T
+    // and daily count x_i, S_k = Σ_{i<=k}(n·x_i − T) = n·cum_k − k·T stays
+    // in BIGINT (no mean, no float), and the changepoint is the day
+    // maximizing |S_k| (earliest day on ties). Pre/post rates are
+    // floor-scaled ppm of exact integers. One (type, day) reduction, then
+    // windows over the 150-row daily grid — the event stream is scanned
+    // once and everything after the first aggregate is grid-sized.
+    "q_changepoint" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts div 1000000 div 86400000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wt = W.partitionBy("event_type")
+      val wo = wt.orderBy("day")
+      daily
+        .withColumn("k", row_number().over(wo).cast("long"))
+        .withColumn("cum", sum("x").over(wo.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("t", sum("x").over(wt))
+        .withColumn("su", expr("n * cum - k * t"))
+        .withColumn("pick",
+          row_number().over(wt.orderBy(abs(col("su")).desc, col("day").asc)))
+        .filter(col("pick") === 1)
+        .selectExpr("event_type", "day AS cp_day", "su AS cusum",
+          "cum * 1000000 div k AS pre_rate_ppm",
+          "CASE WHEN k = n THEN NULL ELSE (t - cum) * 1000000 div (n - k) END AS post_rate_ppm")
+        .orderBy("event_type")
+    },
+
+    // Conversion-latency distribution: per user, first 'view' → first
+    // 'purchase' delta (ms, integer) for users converting after first
+    // view; deciles cut by NTILE over the reduced per-user grain with
+    // user_id tiebreaks (total order on both engines). The event stream
+    // reduces to two conditional MINs per user in one scan — the decile
+    // windows then touch user-count rows, never events.
+    "q_time_to_convert" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", expr("ts div 1000000"))).as("v_ms"),
+          min(when(col("event_type") === "purchase", expr("ts div 1000000"))).as("p_ms"))
+        .filter(col("v_ms").isNotNull && col("p_ms").isNotNull && col("p_ms") > col("v_ms"))
+        .withColumn("delta", col("p_ms") - col("v_ms"))
+        .withColumn("decile",
+          ntile(10).over(W.orderBy("delta", "user_id")).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          min("delta").as("min_ms"), max("delta").as("max_ms"),
+          expr("CAST(SUM(delta) AS BIGINT) div COUNT(*)").as("mean_ms"))
+        .orderBy("decile")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1178,5 +1232,50 @@ object FoldQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ms
         |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts)//86400000 AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER wo AS BIGINT) AS k,
+        |    CAST(SUM(x) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER wt AS BIGINT) AS t
+        |  FROM daily
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |         wt AS (PARTITION BY event_type)),
+        |s AS (
+        |  SELECT *, n * cum - k * t AS su,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - k * t) DESC, day ASC) AS pick
+        |  FROM w)
+        |SELECT event_type, day AS cp_day, su AS cusum,
+        |  cum * 1000000 // k AS pre_rate_ppm,
+        |  CASE WHEN k = n THEN NULL
+        |       ELSE (t - cum) * 1000000 // (n - k) END AS post_rate_ppm
+        |FROM s WHERE pick = 1 ORDER BY event_type""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v_ms,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p_ms
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, p_ms - v_ms AS delta
+        |  FROM per
+        |  WHERE v_ms IS NOT NULL AND p_ms IS NOT NULL AND p_ms > v_ms),
+        |t AS (
+        |  SELECT delta,
+        |    CAST(NTILE(10) OVER (ORDER BY delta, user_id) AS BIGINT) AS decile
+        |  FROM d)
+        |SELECT decile, COUNT(*) AS n_users,
+        |  MIN(delta) AS min_ms, MAX(delta) AS max_ms,
+        |  CAST(SUM(delta) AS BIGINT) // COUNT(*) AS mean_ms
+        |FROM t GROUP BY 1 ORDER BY decile""".stripMargin,
   )
 }

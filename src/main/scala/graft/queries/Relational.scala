@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -596,6 +597,104 @@ object Relational {
           "(obs - CAST(rt AS DOUBLE) * ct / n) * (obs - CAST(rt AS DOUBLE) * ct / n) / (CAST(rt AS DOUBLE) * ct / n) AS contrib")
         .orderBy("o_orderpriority", "o_orderstatus")
     },
+
+    // Pairwise Pearson correlation matrix from ONE scan. Correlation is
+    // invariant under linear scaling, so the measures first become exact
+    // integers (quantity is integral; discount/tax rescale to basis
+    // points) — all nine power sums are then BIGINT-exact and
+    // order-independent, with magnitudes < 2^53 so the numerator stays
+    // integer and the denominator's double arithmetic is textually
+    // identical on both engines (sqrt is correctly rounded IEEE). The
+    // built-in corr() (float sums, partition-order dependent) could not
+    // be hash-exact. The 1-row sum vector fans out to pair rows via
+    // stack, never by re-aggregating.
+    "q_corr_matrix" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .selectExpr(
+          "CAST(l_quantity AS BIGINT) AS x",
+          "CAST(ROUND(l_discount * 100) AS BIGINT) AS y",
+          "CAST(ROUND(l_tax * 100) AS BIGINT) AS z")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), expr("SUM(x * x)").as("sxx"),
+          sum("y").as("sy"), expr("SUM(y * y)").as("syy"),
+          sum("z").as("sz"), expr("SUM(z * z)").as("szz"),
+          expr("SUM(x * y)").as("sxy"), expr("SUM(x * z)").as("sxz"),
+          expr("SUM(y * z)").as("syz"))
+        .selectExpr("n",
+          "(n * sxy - sx * sy) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)) AS c_qd",
+          "(n * sxz - sx * sz) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * szz - sz * sz)) AS c_qt",
+          "(n * syz - sy * sz) / sqrt(CAST(n * syy - sy * sy AS DOUBLE) * (n * szz - sz * sz)) AS c_dt")
+        .selectExpr(
+          "stack(3, 'quantity~discount', c_qd, 'quantity~tax', c_qt, 'discount~tax', c_dt) AS (pair, corr)",
+          "n")
+        .select("pair", "n", "corr")
+        .orderBy("pair")
+    },
+
+    // Fuzzy string join (entity resolution step 1): candidate pairs are a
+    // BLOCKED equi-join on a cheap key (the name's noun), verified by
+    // Levenshtein — never all-pairs. The join runs on the DISTINCT value
+    // table, whose size is the attribute's cardinality, not the row
+    // count: at 100 TB of rows with a bounded dirty-attribute domain the
+    // resolve step stays dimension-sized and the result broadcasts back.
+    "q_fuzzy_join" -> { (s, dir) =>
+      val names = Tables(s, dir, "part").select("p_name").distinct()
+        .withColumn("noun", expr("split_part(p_name, ' ', 2)"))
+      val a = names.select(col("p_name").as("name_a"), col("noun"))
+      val b = names.select(col("p_name").as("name_b"), col("noun"))
+      a.join(b, Seq("noun"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    },
+
+    // Entity resolution step 2: fuzzy-equivalent names collapse to
+    // canonical entities via connected components over the verified pair
+    // edges (node id = the name's min partkey — derivable on both
+    // engines), then labels join back to the name table and roll up to
+    // cluster cards. Reuses Dedup.connectedComponents (pointer jumping,
+    // O(log n) rounds); the oracle closes the same edges with a recursive
+    // CTE, the q_dedup_cluster acceptance.
+    "q_entity_cluster" -> { (s, dir) =>
+      val names = Tables(s, dir, "part")
+        .groupBy("p_name")
+        .agg(min("p_partkey").as("nid"), count(lit(1)).as("n_parts"))
+        .withColumn("noun", expr("split_part(p_name, ' ', 2)"))
+        .localCheckpoint(true)
+      val a = names.select(col("nid").as("src"), col("p_name").as("na"), col("noun"))
+      val b = names.select(col("nid").as("dst"), col("p_name").as("nb"), col("noun"))
+      val edges = a.join(b, Seq("noun"))
+        .filter(col("na") < col("nb") && levenshtein(col("na"), col("nb")) <= 3)
+        .select("src", "dst")
+      val comp = Dedup.connectedComponents(edges, "src", "dst")
+      names.join(comp.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("nid")))
+        .groupBy("cluster")
+        .agg(min("p_name").as("canonical"), count(lit(1)).as("n_names"),
+          expr("CAST(SUM(n_parts) AS BIGINT)").as("n_parts"))
+        .select("canonical", "n_names", "n_parts")
+        .orderBy("canonical")
+    },
+
+    // TPC-H Q10 shape (returned-item revenue): which customers returned
+    // the most value. The returnflag filter pushes to the lineitem scan,
+    // nation broadcasts, and the top-20 is TakeOrderedAndProject — the
+    // canonical fact-to-fact join report at 100 TB.
+    "q10_returns" -> { (s, dir) =>
+      val nation = broadcast(Tables(s, dir, "nation"))
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -936,5 +1035,70 @@ object Relational {
         |  CAST(rt AS DOUBLE) * ct / n AS expected,
         |  (obs - CAST(rt AS DOUBLE) * ct / n) * (obs - CAST(rt AS DOUBLE) * ct / n) / (CAST(rt AS DOUBLE) * ct / n) AS contrib
         |FROM m ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH i AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+        |    CAST(ROUND(l_tax * 100) AS BIGINT) AS z
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(z * z) AS BIGINT) AS szz,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * z) AS BIGINT) AS sxz,
+        |    CAST(SUM(y * z) AS BIGINT) AS syz
+        |  FROM i),
+        |c AS (
+        |  SELECT n,
+        |    (n * sxy - sx * sy) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)) AS c_qd,
+        |    (n * sxz - sx * sz) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * szz - sz * sz)) AS c_qt,
+        |    (n * syz - sy * sz) / sqrt(CAST(n * syy - sy * sy AS DOUBLE) * (n * szz - sz * sz)) AS c_dt
+        |  FROM a)
+        |SELECT 'quantity~discount' AS pair, n, c_qd AS corr FROM c
+        |UNION ALL SELECT 'quantity~tax', n, c_qt FROM c
+        |UNION ALL SELECT 'discount~tax', n, c_dt FROM c
+        |ORDER BY pair""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_entity_cluster" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name, MIN(p_partkey) AS nid, COUNT(*) AS n_parts,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part GROUP BY 1),
+        |e AS (
+        |  SELECT a.nid AS src, b.nid AS dst
+        |  FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach AS (
+        |  SELECT src, dst FROM bi
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+        |comp AS (SELECT src AS nid, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src)
+        |SELECT MIN(p_name) AS canonical, COUNT(*) AS n_names,
+        |  CAST(SUM(n_parts) AS BIGINT) AS n_parts
+        |FROM n LEFT JOIN comp USING (nid)
+        |GROUP BY COALESCE(cluster, nid)
+        |ORDER BY canonical""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
   )
 }
