@@ -153,6 +153,15 @@ class StreamBatchParitySpec extends SparkTestBase {
       "Scd2ParitySmoke reported a version-history mismatch")
   }
 
+  test("incremental conversion tracking equals the batch q_time_to_convert grain " +
+    "user for user (forked)") {
+    // per-user (first view, first purchase) state maintained online with a
+    // replay overlap; the converted-user count must also tie back to the
+    // declared decile output's Σ n_users
+    assert(forkSmoke("graft.streaming.ConvertParitySmoke") == 0,
+      "ConvertParitySmoke reported a conversion-state mismatch")
+  }
+
   test("incrementally maintained Count-Min sketch equals the batch count_min_sketch " +
     "aggregate probe-for-probe (forked)") {
     // per-source CMS kept as per-key state across 3 disjoint microbatches
