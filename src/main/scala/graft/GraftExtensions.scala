@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => graft.functions.IntersectCountRewrite)
+    extensions.injectOptimizerRule(_ => graft.functions.LevenshteinBandRewrite)
     extensions.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
@@ -363,11 +364,42 @@ object ExtensionsSmoke {
       "SELECT interleave_bits(3L, 1L) AS z, zorder_key(1L, 1L, 1L) AS z3").head()
     val ilOk = il.getLong(0) == 7L && il.getLong(1) == 7L
 
+    // LevenshteinBandRewrite: `levenshtein(a,b) <= k` must become a
+    // length-band short-circuit + the banded 3-arg levenshtein, and agree
+    // row for row with a Scala reference on edge cases (null, equal,
+    // multibyte, far-apart lengths, boundary distance)
+    val levRows = Seq(
+      ("kitten", "sitting"),    // classic distance 3
+      ("abc", "abc"),           // 0
+      ("abc", null),            // null -> dropped
+      ("héllo", "hallo"),       // multibyte, distance 2
+      ("short", "muchlongerstring"), // length band rejects
+      ("ab", "ba"))             // 2
+    val levDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(levRows.map(p => org.apache.spark.sql.Row(p._1, p._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))))
+    val levFiltered = levDf.filter("levenshtein(a, b) <= 3")
+    val levPlan = levFiltered.queryExecution.optimizedPlan.toString
+    val levRewritten = levPlan.contains("length(") && levPlan.contains("Some(3)) >= 0")
+    def levRef(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val levExpected = levRows.filter(p => p._1 != null && p._2 != null && levRef(p._1, p._2) <= 3)
+      .map(_._1).sorted
+    val levGot = levFiltered.collect().map(_.getString(0)).sorted.toSeq
+    val levOk = levRewritten && levGot == levExpected
+
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&
-      kllOk && bkOk && gdOk && cmsOk && ilOk
+      kllOk && bkOk && gdOk && cmsOk && ilOk && levOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk il=$ilOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk il=$ilOk lev=$levOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }
