@@ -415,6 +415,15 @@ object PlanAudit {
     check("q10_returns", "Q10: returnflag filter pushed to the lineitem scan; nation broadcast; top-20 is TakeOrderedAndProject")(p =>
       p.contains("EqualTo(l_returnflag,R)") && p.contains("BroadcastHashJoin") &&
         p.contains("TakeOrderedAndProject"))
+    check("q_twap", "TWA: lead window and the final aggregate share ONE user exchange; all-integer area sum, no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("Window") && !p.contains("ScalaUDF"))
+    check("q_ivm", "IVM: both legs filter directly above their scan (pushes to parquet when ts is physically long); the merge shuffles partial state rows, never events")(p =>
+      "1705363200000000000".r.findAllIn(p).size >= 2 &&
+        p.contains("partial_count") && !p.contains("ScalaUDF"))
+    check("q_dow_profile", "seasonality grid: one slim (type, dow) reduction; share window over the 35-row grid")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

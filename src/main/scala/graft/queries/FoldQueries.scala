@@ -5,7 +5,7 @@ import graft.batch.{FoldAggregator, OrderedFold}
 import graft.fold.{FoldOption, SnapshotFold}
 import graft.model.Snapshot
 import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch-parity queries for the fold algebra (SURVEY.md §2.1 O1–O12 and
@@ -812,6 +812,73 @@ object FoldQueries {
           expr("CAST(SUM(delta) AS BIGINT) div COUNT(*)").as("mean_ms"))
         .orderBy("decile")
     },
+
+    // Time-weighted average (step-function integration): each event's
+    // value holds until the next event, so the per-user TWA is
+    // Σ cents_i·(ms_{i+1}−ms_i) div (ms_n − ms_1) — all integer (exact
+    // cents × ms durations; ≤2.6e13 per term, far inside Long). The lead
+    // window and the final aggregate share ONE user exchange; a plain
+    // AVG would weight a value by its event COUNT, not by how long it
+    // was in force — the classic telemetry-gauge mistake.
+    "q_twap" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ms", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("ms"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .withColumn("nms", lead("ms", 1).over(W))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("MAX(ms) - MIN(ms)").as("dur_ms"),
+          expr("CAST(SUM(CASE WHEN nms IS NULL THEN 0 ELSE cents * (nms - ms) END) AS BIGINT)").as("area"))
+        .selectExpr("user_id", "n_events", "dur_ms",
+          "CASE WHEN dur_ms = 0 THEN NULL ELSE area div dur_ms END AS twa_cents")
+        .orderBy("user_id")
+    },
+
+    // Incremental view maintenance: a day-15 cutoff splits the log into a
+    // maintained BASE aggregate (state rows: n, cents per (type, day))
+    // and a DELTA batch; the view updates by merging state rows — base is
+    // never rescanned. The oracle recomputes the view from the FULL log,
+    // so the hash-match IS the maintenance-correctness proof (sum/count
+    // are mergeable partials; the mean derives after the merge, never
+    // averaged across batches). Both legs push their disjoint time
+    // predicates to the scan.
+    "q_ivm" -> { (s, dir) =>
+      // cutoff 2024-01-16 as raw NANOS: the predicate sits directly above
+      // the scan and reaches PushedFilters when the driver ships ts as
+      // physical long nanos (with the TIMESTAMP_NTZ shipping it stays a
+      // scan-adjacent DataFilter — Tables' normalization is in between)
+      val cutNs = 19738L * 86400L * 1000000000L
+      def stateRows(pred: Column => Column) =
+        Tables(s, dir, "events")
+          .filter(pred(col("ts")))
+          .groupBy(col("event_type"), expr("ts div 1000000 div 86400000").as("day"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)").as("cents"))
+      stateRows(_ < cutNs).union(stateRows(_ >= cutNs))
+        .groupBy("event_type", "day")
+        .agg(expr("CAST(SUM(n) AS BIGINT)").as("n"),
+          expr("CAST(SUM(cents) AS BIGINT)").as("cents"))
+        .selectExpr("event_type", "day", "n", "cents",
+          "cents div n AS mean_cents")
+        .orderBy("event_type", "day")
+    },
+
+    // Calendar seasonality profile: weekday x event-type activity grid
+    // with per-type share in ppm. Weekday from pure epoch-day arithmetic
+    // ((day+4) mod 7 — 1970-01-01 was a Thursday), so no timezone
+    // function is in play on either engine.
+    "q_dow_profile" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(ts div 1000000 div 86400000 + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          expr("n * 1000000 div CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)"))
+        .orderBy("event_type", "dow")
+    },
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1277,5 +1344,41 @@ object FoldQueries {
         |  MIN(delta) AS min_ms, MAX(delta) AS max_ms,
         |  CAST(SUM(delta) AS BIGINT) // COUNT(*) AS mean_ms
         |FROM t GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ms, cents,
+        |    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS nms
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    MAX(ms) - MIN(ms) AS dur_ms,
+        |    CAST(SUM(CASE WHEN nms IS NULL THEN 0 ELSE cents * (nms - ms) END) AS BIGINT) AS area
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_events, dur_ms,
+        |  CASE WHEN dur_ms = 0 THEN NULL ELSE area // dur_ms END AS twa_cents
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_ivm" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_ms(ts)//86400000 AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, cents, cents // n AS mean_cents
+        |FROM g ORDER BY event_type, day""".stripMargin,
+
+    "q_dow_profile" ->
+      """WITH g AS (
+        |  SELECT event_type, (epoch_ms(ts)//86400000 + 4) % 7 AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, n,
+        |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        |FROM g ORDER BY event_type, dow""".stripMargin,
   )
 }
