@@ -230,6 +230,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 3, "bottom_k_by_key(sortKey, id, k)")
         graft.functions.BottomKByKey(exprs(0), exprs(1), intLit(exprs(2), "k"))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "kmv_sketch(hash, k)")
+        graft.functions.KmvSketch(exprs.head, intLit(exprs(1), "k"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("kmv_jaccard_ppm"),
+      new ExpressionInfo(classOf[graft.functions.KmvJaccardPpm].getName, "kmv_jaccard_ppm"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "kmv_jaccard_ppm(sketchA, sketchB, k)")
+        graft.functions.KmvJaccardPpm(exprs(0), exprs(1), intLit(exprs(2), "k"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("kmv_distinct_estimate"),
+      new ExpressionInfo(classOf[graft.functions.KmvDistinctEstimate].getName, "kmv_distinct_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "kmv_distinct_estimate(sketch, k)")
+        graft.functions.KmvDistinctEstimate(exprs.head, intLit(exprs(1), "k"))
+      }))
   }
 }
 
@@ -364,6 +385,18 @@ object ExtensionsSmoke {
       "SELECT interleave_bits(3L, 1L) AS z, zorder_key(1L, 1L, 1L) AS z3").head()
     val ilOk = il.getLong(0) == 7L && il.getLong(1) == 7L
 
+    // KMV distinct sketch: below capacity the sketches ARE the sets, so
+    // the Jaccard of {1..10} vs {6..15} is exactly floor(5e6/15) and the
+    // distinct estimate is exact
+    val kmv = spark.sql(
+      """SELECT kmv_jaccard_ppm(a.s, b.s, 16) AS j,
+        |  kmv_distinct_estimate(a.s, 16) AS da
+        |FROM (SELECT kmv_sketch(xxhash64(CAST(v AS STRING)), 16) AS s
+        |      FROM (SELECT explode(sequence(1, 10)) AS v)) a,
+        |     (SELECT kmv_sketch(xxhash64(CAST(v AS STRING)), 16) AS s
+        |      FROM (SELECT explode(sequence(6, 15)) AS v)) b""".stripMargin).head()
+    val kmvOk = kmv.getLong(0) == 333333L && kmv.getLong(1) == 10L
+
     // LevenshteinBandRewrite: `levenshtein(a,b) <= k` must become a
     // length-band short-circuit + the banded 3-arg levenshtein, and agree
     // row for row with a Scala reference on edge cases (null, equal,
@@ -397,9 +430,9 @@ object ExtensionsSmoke {
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&
-      kllOk && bkOk && gdOk && cmsOk && ilOk && levOk
+      kllOk && bkOk && gdOk && cmsOk && ilOk && kmvOk && levOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk il=$ilOk lev=$levOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk il=$ilOk kmv=$kmvOk lev=$levOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -424,6 +424,9 @@ object PlanAudit {
     check("q_dow_profile", "seasonality grid: one slim (type, dow) reduction; share window over the 35-row grid")(p =>
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_kmv_overlap", "KMV overlap: sketch table checkpointed (aggregation runs ONCE); the pair grid reads sketches via codegen'd readers, corpus never rescanned")(p =>
+      p.contains("Scan ExistingRDD") && p.contains("kmv_jaccard_ppm") &&
+        !p.contains("FileScan parquet") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{AudioMeta, ImageMeta, VideoMeta}
+import graft.functions.{AudioMeta, ImageMeta, KmvDistinctEstimate, KmvJaccardPpm, KmvSketch, VideoMeta}
 import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -791,6 +791,35 @@ object TextQueries {
       Dedup.ngramContainmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
         blockCols = Seq("lang"), k = 3, minPpm = 900000L)
         .orderBy("doc1", "doc2")
+    },
+
+    // KMV sketch twin of q_source_overlap: the exact matrix DISTINCTs the
+    // (source, token) population and self-joins it — two corpus-sized
+    // shuffles; here each partition ships ONE O(k) partial per source (the
+    // sketch absorbs duplicates, so no distinct pass exists at all) and
+    // the 190-pair grid reads 2k longs per cell through the codegen'd
+    // readers. The tiny non-equi pair join is dimension-scale by
+    // construction (sources², never corpus). Hash-based → rows-only; the
+    // estimator guarantees are spec-pinned (KmvSketchSpec: exact below
+    // capacity, merge-deterministic, ~1/sqrt(k-2) CV at capacity).
+    "q_kmv_overlap" -> { (s, dir) =>
+      val k = 256
+      // eager checkpoint: the sources-row sketch table computes ONCE (one
+      // corpus scan, one exchange of O(k) partials); a lazy self-join
+      // would re-run the whole aggregation for each side
+      val sk = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("token"))
+        .filter(length(col("token")) >= 3)
+        .groupBy("source")
+        .agg(KmvSketch(xxhash64(col("token")), k).as("sk"))
+        .localCheckpoint(true)
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          KmvJaccardPpm(col("a.sk"), col("b.sk"), k).as("jacc_est_ppm"),
+          KmvDistinctEstimate(col("a.sk"), k).as("n_a_est"),
+          KmvDistinctEstimate(col("b.sk"), k).as("n_b_est"))
+        .orderBy("src_a", "src_b")
     },
 
     // Adjacent-bigram collocation table: top-30 pairs by count with the
