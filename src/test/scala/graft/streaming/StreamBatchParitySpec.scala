@@ -162,6 +162,15 @@ class StreamBatchParitySpec extends SparkTestBase {
       "ConvertParitySmoke reported a conversion-state mismatch")
   }
 
+  test("incrementally maintained KMV sketch equals the batch kmv_sketch aggregate " +
+    "hash for hash (forked)") {
+    // bottom-k union is associative, commutative AND idempotent, so the
+    // replay overlap is harmless by construction (contrast CmsParitySmoke);
+    // a sampled overlap cell re-checks the declared reader expression
+    assert(forkSmoke("graft.streaming.KmvParitySmoke") == 0,
+      "KmvParitySmoke reported a sketch mismatch")
+  }
+
   test("incrementally maintained Count-Min sketch equals the batch count_min_sketch " +
     "aggregate probe-for-probe (forked)") {
     // per-source CMS kept as per-key state across 3 disjoint microbatches
