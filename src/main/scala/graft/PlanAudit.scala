@@ -427,6 +427,12 @@ object PlanAudit {
     check("q_kmv_overlap", "KMV overlap: sketch table checkpointed (aggregation runs ONCE); the pair grid reads sketches via codegen'd readers, corpus never rescanned")(p =>
       p.contains("Scan ExistingRDD") && p.contains("kmv_jaccard_ppm") &&
         !p.contains("FileScan parquet") && !p.contains("ScalaUDF"))
+    check("q_ab_test", "A/B readout: ONE scan reduces users, the 2-row variant table collapses driver-free; no UDF")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_benford", "Benford audit: one slim digit reduction; share window over the 9-row grid")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

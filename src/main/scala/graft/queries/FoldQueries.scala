@@ -870,6 +870,32 @@ object FoldQueries {
     // with per-type share in ppm. Weekday from pure epoch-day arithmetic
     // ((day+4) mod 7 — 1970-01-01 was a Thursday), so no timezone
     // function is in play on either engine.
+    // A/B experiment readout (two-proportion z-test): variant by user-id
+    // parity, conversion = heavy purchaser (>= 16 purchases — "ever
+    // purchased" is degenerate on this log: every user converts, p(1-p)=0
+    // and the statistic is 0/0). Counts reduce per user in one scan, the
+    // 2-row variant table collapses to one experiment row, and the z
+    // statistic derives from exact BIGINTs through textually identical
+    // double arithmetic (sqrt is IEEE-exact on both engines) — same
+    // discipline as q_linreg/q_corr_matrix. Rates stay integer ppm; the
+    // all-or-none degenerate case yields NULL by an identical guard.
+    "q_ab_test" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) >= 16 THEN 1 ELSE 0 END").as("conv"))
+        .groupBy(expr("user_id % 2").as("variant"))
+        .agg(count(lit(1)).as("n"), expr("CAST(SUM(conv) AS BIGINT)").as("c"))
+        .agg(
+          expr("CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT)").as("n_a"),
+          expr("CAST(SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT)").as("conv_a"),
+          expr("CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT)").as("n_b"),
+          expr("CAST(SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT)").as("conv_b"))
+        .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+          "conv_a * 1000000 div n_a AS rate_a_ppm",
+          "conv_b * 1000000 div n_b AS rate_b_ppm",
+          "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) END AS z")
+    },
+
     "q_dow_profile" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -1371,6 +1397,29 @@ object FoldQueries {
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day, n, cents, cents // n AS mean_cents
         |FROM g ORDER BY event_type, day""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) >= 16
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |e AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM v)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  conv_a * 1000000 // n_a AS rate_a_ppm,
+        |  conv_b * 1000000 // n_b AS rate_b_ppm,
+        |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) END AS z
+        |FROM e""".stripMargin,
 
     "q_dow_profile" ->
       """WITH g AS (

@@ -679,6 +679,29 @@ object Relational {
         .orderBy("canonical")
     },
 
+    // Benford first-digit audit (forensic analytics): the leading
+    // significant digit of order totals vs the Benford expectation —
+    // digit from exact integer cents via string head (×100 preserves the
+    // leading digit), expectation as literal ppm constants (floor of
+    // log10(1+1/d)·1e6, identical on both engines because they are
+    // literals, not engine log calls).
+    "q_benford" -> { (s, dir) =>
+      val benford = "CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938" +
+        " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991" +
+        " WHEN 8 THEN 51152 ELSE 45757 END"
+      Tables(s, dir, "orders")
+        .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .filter(col("cents") > 0)
+        .selectExpr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT) AS d")
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          expr("n * 1000000 div CAST(SUM(n) OVER () AS BIGINT)"))
+        .withColumn("benford_ppm", expr(benford))
+        .withColumn("dev_ppm", expr("abs(share_ppm - benford_ppm)"))
+        .orderBy("d")
+    },
+
     // TPC-H Q10 shape (returned-item revenue): which customers returned
     // the most value. The returnflag filter pushes to the lineitem scan,
     // nation broadcasts, and the top-20 is TakeOrderedAndProject — the
@@ -1091,6 +1114,25 @@ object Relational {
         |FROM n LEFT JOIN comp USING (nid)
         |GROUP BY COALESCE(cluster, nid)
         |ORDER BY canonical""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d
+        |  FROM c WHERE cents > 0),
+        |g AS (SELECT d, COUNT(*) AS n FROM d GROUP BY 1)
+        |SELECT d, n,
+        |  n * 1000000 // CAST(SUM(n) OVER () AS BIGINT) AS share_ppm,
+        |  CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+        |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+        |    WHEN 8 THEN 51152 ELSE 45757 END AS benford_ppm,
+        |  abs(n * 1000000 // CAST(SUM(n) OVER () AS BIGINT) -
+        |    (CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+        |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+        |      WHEN 8 THEN 51152 ELSE 45757 END)) AS dev_ppm
+        |FROM g ORDER BY d""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
