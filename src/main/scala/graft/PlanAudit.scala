@@ -433,6 +433,9 @@ object PlanAudit {
     check("q_benford", "Benford audit: one slim digit reduction; share window over the 9-row grid")(p =>
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_shortest_path", "Bellman-Ford: edge list checkpointed (corpus scanned once); relaxation joins the frontier, no nested loop")(p =>
+      p.contains("Scan ExistingRDD") && !p.contains("FileScan parquet") &&
+        !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -896,6 +896,38 @@ object FoldQueries {
           "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) END AS z")
     },
 
+    // Weighted shortest path by bounded Bellman-Ford: the event-type
+    // transition graph gets rarity costs (1e6 div transition count), and
+    // 4 relaxation rounds give the exact min-cost path of <= 4 hops from
+    // 'view' to every type — the oracle closes the same edges with a
+    // hop-bounded recursive CTE. The edge list reduces from one user-
+    // ordered scan and is checkpointed (graph-sized, here <= 20 rows);
+    // each relaxation joins the <= |V|-row frontier against it, so round
+    // cost is |E|-bounded — the q_dedup_cluster/pagerank iterative
+    // discipline at fixed depth (no fixpoint, no lineage growth risk).
+    "q_shortest_path" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ms", "event_id")
+      val edges = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ms"))
+        .withColumn("nxt", lead("event_type", 1).over(W))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("event_type"))
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("src", "dst", "1000000 div n AS w")
+        .localCheckpoint(true)
+      var dist = edges.sparkSession.range(1)
+        .selectExpr("'view' AS node", "CAST(0 AS BIGINT) AS cost")
+      for (_ <- 1 to 4) {
+        val stepped = dist.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+        dist = dist.union(stepped).groupBy("node").agg(min("cost").as("cost"))
+      }
+      dist.selectExpr("node AS event_type", "cost AS min_cost")
+        .orderBy("event_type")
+    },
+
     "q_dow_profile" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -1420,6 +1452,25 @@ object FoldQueries {
         |  conv_b * 1000000 // n_b AS rate_b_ppm,
         |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) END AS z
         |FROM e""".stripMargin,
+
+    "q_shortest_path" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS dst
+        |  FROM ev),
+        |e AS (
+        |  SELECT src, dst, 1000000 // COUNT(*) AS w
+        |  FROM t WHERE dst IS NOT NULL AND dst <> src
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT 'view' AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.dst, p.cost + e.w, p.hops + 1
+        |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 4)
+        |SELECT node AS event_type, CAST(MIN(cost) AS BIGINT) AS min_cost
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_dow_profile" ->
       """WITH g AS (
