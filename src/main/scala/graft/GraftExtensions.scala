@@ -231,6 +231,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BottomKByKey(exprs(0), exprs(1), intLit(exprs(2), "k"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[graft.functions.HilbertKey].getName, "hilbert_key"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "hilbert_key(x, y, bits)")
+        graft.functions.HilbertKey(exprs(0), exprs(1), intLit(exprs(2), "bits"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "kmv_sketch"),
       (exprs: Seq[Expression]) => {
@@ -382,8 +389,10 @@ object ExtensionsSmoke {
     // interleave_bits: 3 on even positions, 1 on odd -> 0b111; 3-col
     // zorder_key: (1,1,1) -> 0b111
     val il = spark.sql(
-      "SELECT interleave_bits(3L, 1L) AS z, zorder_key(1L, 1L, 1L) AS z3").head()
-    val ilOk = il.getLong(0) == 7L && il.getLong(1) == 7L
+      "SELECT interleave_bits(3L, 1L) AS z, zorder_key(1L, 1L, 1L) AS z3, " +
+        "hilbert_key(1L, 0L, 1) AS h").head()
+    // 1-bit Hilbert curve: (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3
+    val ilOk = il.getLong(0) == 7L && il.getLong(1) == 7L && il.getLong(2) == 3L
 
     // KMV distinct sketch: below capacity the sketches ARE the sets, so
     // the Jaccard of {1..10} vs {6..15} is exactly floor(5e6/15) and the

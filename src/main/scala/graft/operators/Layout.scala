@@ -60,6 +60,24 @@ object Layout {
     write(df.withColumn("__z", graft.functions.ZOrderKey(normed)), path, numFiles)
   }
 
+  /** Write `df` Hilbert-ordered on (c1, c2): same 16-bit range
+    * normalization as [[zorderWrite]], but the key walks the Hilbert
+    * curve — consecutive key ranges have no quadrant-boundary jumps, so
+    * per-file bounding boxes come out tighter than Morton's for the same
+    * file count (HilbertKeySpec quantifies chunk for chunk). */
+  def hilbertWrite(df: DataFrame, c1: String, c2: String,
+                   path: String, numFiles: Int): Unit = {
+    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi > lo) ((col(c).cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long")
+      else lit(0L)
+    val keyed = df.withColumn("__z", graft.functions.HilbertKey(
+      norm(c1, r.getDouble(0), r.getDouble(1)),
+      norm(c2, r.getDouble(2), r.getDouble(3)), 16))
+    write(keyed, path, numFiles)
+  }
+
   /** Baseline: linear sort layout on a single column. */
   def linearWrite(df: DataFrame, c: String, path: String, numFiles: Int): Unit =
     write(df.withColumn("__z", col(c)), path, numFiles)

@@ -26,6 +26,47 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~50k rows vs a uniform right side; payloads
+    // must be HIGH-ENTROPY — a constant pad compresses to almost nothing
+    // in the shuffle and the hot partition never crosses the size
+    // threshold; thresholds lowered so local-mode sizes qualify
+    def pad(i: Int): String =
+      java.lang.Long.toHexString(i * 0x9e3779b97f4a7c15L) * 8
+    val left = ((1 to 50000).map(_ => 0) ++ (1 to 2000).map(i => i % 40))
+      .zipWithIndex.map { case (k, i) => (k, pad(i)) }.toDF("k", "lv")
+    val right = (0 until 40).flatMap(k => (1 to 50).map(i => (k, s"r$i")))
+      .toDF("k", "rv")
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.enabled" -> spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled"),
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> spark.conf.getOption("spark.sql.adaptive.forceOptimizeSkewedJoin"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val joined = left.join(right, "k")
+      // execute THIS queryExecution (count()/write() build a different
+      // plan tree and would leave joined's adaptive plan unfinalized)
+      val rows = joined.queryExecution.executedPlan.execute().count()
+      assert(rows == 50000L * 50 + 2000 * 50)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), "adaptive plan did not finalize")
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val wh = spark.conf.get("spark.sql.warehouse.dir")
