@@ -436,6 +436,9 @@ object PlanAudit {
     check("q_shortest_path", "Bellman-Ford: edge list checkpointed (corpus scanned once); relaxation joins the frontier, no nested loop")(p =>
       p.contains("Scan ExistingRDD") && !p.contains("FileScan parquet") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    check("q_hilbert_layout", "hilbert audit: codegen'd hilbert_key projection, one slim bucket shuffle; no UDF")(p =>
+      p.contains("hilbert_key") && !p.contains("ScalaUDF") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 1)
     spark.stop()
   }
 }

@@ -426,6 +426,26 @@ object Relational {
         .orderBy("bucket")
     },
 
+    // Hilbert-layout audit (the locality sibling of q_zorder_layout):
+    // rows mapped onto the 256x256 Hilbert curve, the curve range cut
+    // into 16 equal slices — every slice must cover a bounded box in
+    // BOTH dimensions. Pure integer arithmetic: the oracle re-derives
+    // the curve position by unrolling the 8 quadrant-rotation rounds as
+    // CASE/bit CTE steps, so the codegen'd kernel is oracle-proven like
+    // InterleaveBits, not just spec-proven.
+    "q_hilbert_layout" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .selectExpr("l_partkey % 256 AS xm", "l_suppkey % 256 AS ym")
+        .withColumn("hkey",
+          graft.functions.HilbertKey(col("xm"), col("ym"), 8))
+      li.withColumn("bucket", expr("hkey div 4096"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("xm").as("min_x"), max("xm").as("max_x"),
+          min("ym").as("min_y"), max("ym").as("max_y"))
+        .orderBy("bucket")
+    },
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): residue 7 is
     // deterministically nulled on BOTH sides, and the proof of null-safe
     // semantics is the output itself — the NULL-key row carries counts
@@ -1133,6 +1153,28 @@ object Relational {
         |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
         |      WHEN 8 THEN 51152 ELSE 45757 END)) AS dev_ppm
         |FROM g ORDER BY d""".stripMargin,
+
+    "q_hilbert_layout" ->
+      """WITH s0 AS (SELECT l_partkey % 256 AS xm, l_suppkey % 256 AS ym, l_partkey % 256 AS x, l_suppkey % 256 AS y, CAST(0 AS BIGINT) AS d FROM lineitem),
+        |r1 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END AS ry FROM s0),
+        |u1 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 127 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 127 - x ELSE x END) ELSE y END AS y, d + 16384 * xor(3 * rx, ry) AS d FROM r1),
+        |r2 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END AS ry FROM u1),
+        |u2 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - x ELSE x END) ELSE y END AS y, d + 4096 * xor(3 * rx, ry) AS d FROM r2),
+        |r3 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END AS ry FROM u2),
+        |u3 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 31 - x ELSE x END) ELSE y END AS y, d + 1024 * xor(3 * rx, ry) AS d FROM r3),
+        |r4 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END AS ry FROM u3),
+        |u4 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 15 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 15 - x ELSE x END) ELSE y END AS y, d + 256 * xor(3 * rx, ry) AS d FROM r4),
+        |r5 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END AS ry FROM u4),
+        |u5 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 7 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 7 - x ELSE x END) ELSE y END AS y, d + 64 * xor(3 * rx, ry) AS d FROM r5),
+        |r6 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END AS ry FROM u5),
+        |u6 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 3 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 3 - x ELSE x END) ELSE y END AS y, d + 16 * xor(3 * rx, ry) AS d FROM r6),
+        |r7 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END AS ry FROM u6),
+        |u7 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 1 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 1 - x ELSE x END) ELSE y END AS y, d + 4 * xor(3 * rx, ry) AS d FROM r7),
+        |r8 AS (SELECT xm, ym, x, y, d, CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END AS rx, CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END AS ry FROM u7),
+        |u8 AS (SELECT xm, ym, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 0 - y ELSE y END) ELSE x END AS x, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 0 - x ELSE x END) ELSE y END AS y, d + 1 * xor(3 * rx, ry) AS d FROM r8)
+        |SELECT d // 4096 AS bucket, COUNT(*) AS n,
+        |  MIN(xm) AS min_x, MAX(xm) AS max_x, MIN(ym) AS min_y, MAX(ym) AS max_y
+        |FROM u8 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
