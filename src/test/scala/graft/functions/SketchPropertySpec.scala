@@ -85,4 +85,59 @@ class SketchPropertySpec extends AnyFunSuite {
       assert(b.subsetOf(a))
     }
   }
+
+  // ---- KmvBuffer
+
+  private def kmvContents(b: KmvBuffer): List[Long] = {
+    val it = b.set.iterator()
+    val out = collection.mutable.ListBuffer[Long]()
+    while (it.hasNext) out += it.next()
+    out.toList
+  }
+
+  test("KMV: any split/merge shape equals the sequential sketch equals the " +
+    "k unsigned-smallest distinct reference") {
+    forAll(r => (Array.fill(r.nextInt(2000))(r.nextLong()), r.nextInt(5) + 1, r)) {
+      case (xs, parts, r) =>
+        val k = 64
+        val seq = new KmvBuffer(k)
+        xs.foreach(seq.add)
+        val bufs = Array.fill(parts)(new KmvBuffer(k))
+        xs.foreach(v => bufs(r.nextInt(parts)).add(v))
+        val shuffled = r.shuffle(bufs.toList)
+        val root = shuffled.reduce { (a, b) => a.mergeIn(b); a }
+        assert(kmvContents(root) == kmvContents(seq))
+        val ref = xs.distinct.sortWith(java.lang.Long.compareUnsigned(_, _) < 0).take(k).toList
+        assert(kmvContents(seq) == ref)
+    }
+  }
+
+  test("KMV: replay idempotence (re-adding any subset changes nothing)") {
+    forAll(r => (Array.fill(r.nextInt(1500))(r.nextLong()), r)) { case (xs, r) =>
+      val a = new KmvBuffer(32)
+      xs.foreach(a.add)
+      val before = kmvContents(a)
+      r.shuffle(xs.toList).take(xs.length / 2).foreach(a.add)
+      assert(kmvContents(a) == before)
+    }
+  }
+
+  // ---- HilbertKey
+
+  test("Hilbert: xy2d/d2xy round-trip at random bits; unit-step adjacency") {
+    forAll(r => (r.nextInt(10) + 1, r)) { case (bits, r) =>
+      val n = 1L << bits
+      (1 to 50).foreach { _ =>
+        val x = (r.nextLong() & Long.MaxValue) % n
+        val y = (r.nextLong() & Long.MaxValue) % n
+        assert(HilbertKey.d2xy(HilbertKey.xy2d(x, y, bits), bits) == ((x, y)))
+        val d = (r.nextLong() & Long.MaxValue) % (n * n - 1)
+        val (x1, y1) = HilbertKey.d2xy(d, bits)
+        assert(HilbertKey.xy2d(x1, y1, bits) == d)
+        val (x2, y2) = HilbertKey.d2xy(d + 1, bits)
+        assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+          s"non-adjacent step at d=$d bits=$bits")
+      }
+    }
+  }
 }
