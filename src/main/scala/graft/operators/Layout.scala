@@ -82,6 +82,69 @@ object Layout {
   def linearWrite(df: DataFrame, c: String, path: String, numFiles: Int): Unit =
     write(df.withColumn("__z", col(c)), path, numFiles)
 
+  /** Plan small-file compaction for a parquet directory: list the file
+    * index, then quota-group files (in name order — stable across runs)
+    * by cumulative byte boundaries of targetBytes. Every group's byte sum
+    * is < targetBytes + max(file size) — the same guarantee parquet
+    * row-group targeting gives — and a file larger than the target lands
+    * in a group of its own unless followers share its quota window.
+    * Returns one row per file: (group_id, file, bytes, group_files,
+    * group_bytes).
+    *
+    * The listing is metadata-scale (one FS listing, not a data scan) and
+    * the packing is the proven cumulative-quota shape (q_pack_sequences):
+    * at a million files this runs as a DataFrame window over the file
+    * index, never touching row data. Groups then compact independently —
+    * each is a separate read-coalesce-write job ([[compact]]), so a
+    * 100 TB re-layout parallelizes per group and restarts cheaply. */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession,
+                     path: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+    import spark.implicits._
+    val idx = files.toSeq.toDF("file", "bytes")
+    // quota grouping: group = which targetBytes-window the file's
+    // cumulative total ENDS in — one running-total window pass over the
+    // file index, the q_pack_sequences shape (a strict greedy close-on-
+    // overflow is inherently sequential and buys nothing here: the bound
+    // above is what compaction needs).
+    val w = org.apache.spark.sql.expressions.Window.orderBy("file")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // cumulative greedy grouping is inherently sequential; on the
+    // metadata-sized index a single-partition window is the right tool
+    // (files count ~1e6 rows max — trivially window-able)
+    val planned = idx
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("grp", expr(s"CAST((cum - 1) div $targetBytes AS BIGINT)"))
+    planned
+      .withColumn("group_files", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+      .withColumn("group_bytes", sum("bytes")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+      .select(col("grp").as("group_id"), col("file"), col("bytes"),
+        col("group_files"), col("group_bytes"))
+  }
+
+  /** Execute a [[compactionPlan]]: rewrite each group as ONE parquet file
+    * under outPath. Groups are independent jobs (restart-safe; on a
+    * cluster submit them concurrently). */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              plan: DataFrame, outPath: String): Unit = {
+    val groups = plan.select("group_id", "file").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    groups.foreach { case (gid, rows) =>
+      val files = rows.map(_.getString(1))
+      spark.read.parquet(files: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outPath/group=$gid")
+    }
+  }
+
   private def write(keyed: DataFrame, path: String, numFiles: Int): Unit =
     keyed.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -51,4 +51,44 @@ class LayoutSpec extends SparkTestBase {
     val zAvgP = z.map(b => (b._2 - b._1).toDouble).sum / z.size
     assert(zAvgP < 0.8 * (maxP - minP).toDouble)
   }
+
+  test("compaction plan covers every file once, bounds group bytes, and " +
+    "executing it preserves rows while shrinking the file count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    // 40 deliberately tiny files
+    (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(40).write.mode("overwrite").parquet(s"$tmp/small")
+    val target = 64L * 1024
+    val plan = Layout.compactionPlan(spark, s"$tmp/small", target)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    // exact cover: every parquet file planned exactly once
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/small")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/small"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSet
+    assert(plan.map(_._2).toSet == onDisk && plan.length == onDisk.size)
+
+    // bound: every group < target + max single file
+    val maxFile = plan.map(_._3).max
+    plan.groupBy(_._1).foreach { case (g, rows) =>
+      val bytes = rows.map(_._3).sum
+      assert(bytes == rows.head._5, s"group_bytes mismatch for $g")
+      assert(bytes < target + maxFile, s"group $g bytes $bytes over bound")
+    }
+    val nGroups = plan.map(_._1).distinct.length
+    assert(nGroups > 1 && nGroups < 40, s"expected real grouping, got $nGroups")
+
+    // execute: row counts preserved, file count shrinks to one per group
+    Layout.compact(spark, Layout.compactionPlan(spark, s"$tmp/small", target),
+      s"$tmp/out")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 10000)
+    assert(out.select("id").distinct().count() == 10000)
+    val outFiles = out.select(input_file_name()).distinct().count()
+    assert(outFiles == nGroups, s"expected $nGroups output files, got $outFiles")
+  }
 }
