@@ -439,6 +439,12 @@ object PlanAudit {
     check("q_hilbert_layout", "hilbert audit: codegen'd hilbert_key projection, one slim bucket shuffle; no UDF")(p =>
       p.contains("hilbert_key") && !p.contains("ScalaUDF") &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    check("q_cycle_time", "cycle time: fact-to-fact join reduces to (priority, days) before stats; no UDF")(p =>
+      p.contains("HashAggregate") && !p.contains("CartesianProduct") &&
+        !p.contains("ScalaUDF"))
+    check("q7_volume", "Q7: both nation dims broadcast; the bilateral pair filter prunes before aggregation")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !p.contains("CartesianProduct"))
     spark.stop()
   }
 }

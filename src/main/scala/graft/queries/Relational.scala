@@ -722,6 +722,49 @@ object Relational {
         .orderBy("d")
     },
 
+    // Order-fulfillment cycle time: ship-date minus order-date per
+    // priority (integer days — negative lags exist in the synthetic
+    // data, so the mean uses floor of DOUBLE division: integer div
+    // truncates toward zero on Spark but floors on DuckDB). Percentiles
+    // via the proven floor(percentile) pattern.
+    "q_cycle_time" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(days) AS BIGINT)").as("sum_days"),
+          min("days").as("min_days"), max("days").as("max_days"),
+          floor(expr("percentile(days, 0.5)")).cast("long").as("p50_days"),
+          floor(expr("percentile(days, 0.9)")).cast("long").as("p90_days"))
+        .withColumn("mean_days_x100",
+          expr("CAST(floor(sum_days * 100.0 / n) AS BIGINT)"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations by ship year. Both nation dims broadcast; the pair filter
+    // lands in the join, revenue is the proven exact-decimal sum.
+    "q7_volume" -> { (s, dir) =>
+      val n1 = broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // TPC-H Q10 shape (returned-item revenue): which customers returned
     // the most value. The returnflag filter pushes to the lineitem scan,
     // nation broadcasts, and the top-20 is TakeOrderedAndProject — the
@@ -1175,6 +1218,31 @@ object Relational {
         |SELECT d // 4096 AS bucket, COUNT(*) AS n,
         |  MIN(xm) AS min_x, MAX(xm) AS max_x, MIN(ym) AS min_y, MAX(ym) AS max_y
         |FROM u8 GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_cycle_time" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(days) AS BIGINT) AS sum_days,
+        |  MIN(days) AS min_days, MAX(days) AS max_days,
+        |  CAST(floor(quantile_cont(days, 0.5)) AS BIGINT) AS p50_days,
+        |  CAST(floor(quantile_cont(days, 0.9)) AS BIGINT) AS p90_days,
+        |  CAST(floor(CAST(SUM(days) AS BIGINT) * 100.0 / COUNT(*)) AS BIGINT) AS mean_days_x100
+        |FROM d GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
