@@ -1,0 +1,81 @@
+package graft.state
+
+import graft.SparkTestBase
+
+/** The transactional-publish contract: atomic swap, crash invisibility,
+  * snapshot isolation / time travel, race-safe version allocation, and
+  * vacuum retention.
+  */
+class TxnParquetSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  private def base(): String =
+    java.nio.file.Files.createTempDirectory("txnpq").toString + "/table"
+
+  test("publish then read round-trips; second publish swaps atomically; " +
+    "old version stays readable (time travel)") {
+    import spark.implicits._
+    val b = base()
+    val v1 = TxnParquet.publish((1 to 100).toDF("id"), b)
+    assert(v1 == 1L)
+    assert(TxnParquet.read(spark, b).count() == 100)
+    val v2 = TxnParquet.publish((1 to 250).toDF("id"), b)
+    assert(v2 == 2L)
+    assert(TxnParquet.read(spark, b).count() == 250)
+    assert(TxnParquet.readVersion(spark, b, 1).count() == 100)
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L))
+  }
+
+  test("a crash before commit (data files, no manifest) is invisible") {
+    import spark.implicits._
+    val b = base()
+    TxnParquet.publish((1 to 50).toDF("id"), b)
+    // simulate a dying writer: orphan data directory, no manifest
+    (1 to 999).toDF("id").write.parquet(s"$b/data/orphan-crashed-writer")
+    assert(TxnParquet.read(spark, b).count() == 50)
+    assert(TxnParquet.versions(spark, b) == Seq(1L))
+    // the next successful publish is unaffected
+    val v = TxnParquet.publish((1 to 60).toDF("id"), b)
+    assert(v == 2L && TxnParquet.read(spark, b).count() == 60)
+  }
+
+  test("losing a commit race costs one rename, not a rewrite") {
+    import spark.implicits._
+    val b = base()
+    TxnParquet.publish((1 to 10).toDF("id"), b)
+    // another committer claims version 2 between our write and commit:
+    // pre-create the manifest name the publisher will try first
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stolen = new org.apache.hadoop.fs.Path(s"$b/_manifests/2.json")
+    val out = fs.create(stolen, false)
+    // a valid manifest written by the "other" committer: reuse v1's files
+    val v1Files = TxnParquet.readVersion(spark, b, 1)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    out.write(v1Files.mkString("\n").getBytes("UTF-8")); out.close()
+    val v = TxnParquet.publish((1 to 30).toDF("id"), b)
+    assert(v == 3L, s"publisher should slide past the stolen version, got $v")
+    assert(TxnParquet.read(spark, b).count() == 30)
+    assert(TxnParquet.readVersion(spark, b, 2).count() == 10) // the thief's view
+  }
+
+  test("vacuum keeps the last K versions and deletes unreferenced data dirs") {
+    import spark.implicits._
+    val b = base()
+    (1 to 4).foreach(i => TxnParquet.publish((1 to i * 10).toDF("id"), b))
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L, 4L))
+    TxnParquet.vacuum(spark, b, keepLast = 2)
+    assert(TxnParquet.versions(spark, b) == Seq(3L, 4L))
+    assert(TxnParquet.read(spark, b).count() == 40)
+    assert(TxnParquet.readVersion(spark, b, 3).count() == 30)
+    // dropped versions' data dirs are gone
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$b/data"))
+      .count(_.isDirectory)
+    assert(dataDirs == 2, s"expected 2 surviving data dirs, got $dataDirs")
+    intercept[IllegalArgumentException] {
+      TxnParquet.readVersion(spark, b, 1).count()
+    }
+  }
+}
