@@ -89,6 +89,32 @@ object TxnParquet {
     spark.read.parquet(files: _*)
   }
 
+  /** Change-data feed between two committed versions, keyed by `key`:
+    * one full-outer join of the two snapshots (both sides reduce to
+    * their key grain by the caller's contract that `key` is unique per
+    * version) emitting `op` ∈ insert / delete / update — the
+    * q_merge_upsert shape applied to time travel. Rows equal on all
+    * columns are omitted. */
+  def diff(spark: SparkSession, base: String, key: String,
+           fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, base, fromV)
+    val b = readVersion(spark, base, toV)
+    val cols = a.columns.toSeq
+    require(cols == b.columns.toSeq, "schemas differ between versions")
+    val ah = a.select(col(key).as("__k"),
+      xxhash64(struct(cols.map(col): _*)).as("__ha"), struct(cols.map(col): _*).as("__a"))
+    val bh = b.select(col(key).as("__k"),
+      xxhash64(struct(cols.map(col): _*)).as("__hb"), struct(cols.map(col): _*).as("__b"))
+    ah.join(bh, Seq("__k"), "full_outer")
+      .withColumn("op",
+        when(col("__ha").isNull, lit("insert"))
+          .when(col("__hb").isNull, lit("delete"))
+          .when(col("__ha") =!= col("__hb"), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col("__k").as(key), col("op"), col("__a").as("before"), col("__b").as("after"))
+  }
+
   /** Drop manifests older than `keepLast` versions and delete data
     * directories no surviving manifest references. */
   def vacuum(spark: SparkSession, base: String, keepLast: Int): Unit = {

@@ -59,6 +59,16 @@ class TxnParquetSpec extends SparkTestBase {
     assert(TxnParquet.readVersion(spark, b, 2).count() == 10) // the thief's view
   }
 
+  test("diff between versions emits exactly the inserts/updates/deletes") {
+    import spark.implicits._
+    val b = base()
+    TxnParquet.publish(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), b)
+    TxnParquet.publish(Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "v"), b)
+    val d = TxnParquet.diff(spark, b, "id", 1L, 2L)
+      .select("id", "op").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((1L, "delete"), (3L, "update"), (4L, "insert")))
+  }
+
   test("vacuum keeps the last K versions and deletes unreferenced data dirs") {
     import spark.implicits._
     val b = base()
