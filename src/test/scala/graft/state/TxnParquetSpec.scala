@@ -69,6 +69,33 @@ class TxnParquetSpec extends SparkTestBase {
     assert(d == Set((1L, "delete"), (3L, "update"), (4L, "insert")))
   }
 
+  test("a streaming foreachBatch sink publishes one atomic version per " +
+    "microbatch; readers see whole snapshots only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val b = base()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDS().toDF("id").writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txnstream").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { TxnParquet.publish(batch, b); () }
+      }
+      .start()
+    Seq(1L to 10L, 11L to 25L, 26L to 30L).foreach { r =>
+      input.addData(r); q.processAllAvailable()
+    }
+    q.stop()
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L))
+    assert(TxnParquet.read(spark, b).count() == 5)        // newest microbatch
+    assert(TxnParquet.readVersion(spark, b, 2).count() == 15)
+    // union of versions reconstructs the full stream
+    val all = TxnParquet.versions(spark, b)
+      .map(v => TxnParquet.readVersion(spark, b, v)).reduce(_ union _)
+    assert(all.count() == 30 && all.distinct().count() == 30)
+  }
+
   test("vacuum keeps the last K versions and deletes unreferenced data dirs") {
     import spark.implicits._
     val b = base()
