@@ -445,6 +445,11 @@ object PlanAudit {
     check("q7_volume", "Q7: both nation dims broadcast; the bilateral pair filter prunes before aggregation")(p =>
       "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
         !p.contains("CartesianProduct"))
+    check("q8_market_share", "Q8: region filter pushed to its scan; all three dims broadcast")(p =>
+      p.contains("EqualTo(r_name,EUROPE)") &&
+        "BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    check("q14_promo", "Q14: one scan per fact/dim, filtered ratio computed in the aggregate; no UDF")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 2 && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -765,6 +765,47 @@ object Relational {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // TPC-H Q8 shape (market share): NATION_3 suppliers' share of
+    // EUROPE-customer revenue by order year. Numerator and denominator
+    // are each exact-decimal sums rounded to 2 decimals before the cast,
+    // so the final double division is textually identical on both
+    // engines — the filtered-ratio pattern.
+    "q8_market_share" -> { (s, dir) =>
+      val nc = broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+      val ns = broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val reg = broadcast(Tables(s, dir, "region").filter(col("r_name") === "EUROPE"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(nc, col("c_nationkey") === col("c_nk"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .join(ns, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          expr("CAST(ROUND(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE)").as("nation_rev"),
+          expr("CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE)").as("total_rev"))
+        .selectExpr("o_year", "nation_rev", "total_rev",
+          "nation_rev / total_rev AS mkt_share")
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q14 shape (promotion effect): share of shipped revenue on
+    // PROMO-type parts by ship year — the same filtered-ratio pattern.
+    "q14_promo" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          expr("CAST(ROUND(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE)").as("promo_rev"),
+          expr("CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE)").as("total_rev"))
+        .selectExpr("l_year", "promo_rev", "total_rev",
+          "100.0 * promo_rev / total_rev AS promo_pct")
+        .orderBy("l_year")
+    },
+
     // TPC-H Q10 shape (returned-item revenue): which customers returned
     // the most value. The returnflag filter pushes to the lineitem scan,
     // nation broadcasts, and the top-20 is TakeOrderedAndProject — the
@@ -1243,6 +1284,32 @@ object Relational {
         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH g AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(ROUND(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE) AS nation_rev,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem, orders, customer, supplier, nation n1, region, nation n2
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_suppkey = s_suppkey AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |    AND s_nationkey = n2.n_nationkey
+        |  GROUP BY 1)
+        |SELECT o_year, nation_rev, total_rev,
+        |  nation_rev / total_rev AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
+
+    "q14_promo" ->
+      """WITH g AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(ROUND(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE) AS promo_rev,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT l_year, promo_rev, total_rev,
+        |  100.0 * promo_rev / total_rev AS promo_pct
+        |FROM g ORDER BY l_year""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
