@@ -162,6 +162,13 @@ class StreamBatchParitySpec extends SparkTestBase {
       "ConvertParitySmoke reported a conversion-state mismatch")
   }
 
+  test("online time-weighted average equals the batch q_twap row for row (forked)") {
+    // the interval integral is NOT replay-idempotent — the replay overlap
+    // passes only through the P9 offset guard
+    assert(forkSmoke("graft.streaming.TwapParitySmoke") == 0,
+      "TwapParitySmoke reported an integral mismatch")
+  }
+
   test("incrementally maintained KMV sketch equals the batch kmv_sketch aggregate " +
     "hash for hash (forked)") {
     // bottom-k union is associative, commutative AND idempotent, so the
