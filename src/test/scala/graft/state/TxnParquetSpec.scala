@@ -96,6 +96,29 @@ class TxnParquetSpec extends SparkTestBase {
     assert(all.count() == 30 && all.distinct().count() == 30)
   }
 
+  test("two genuinely concurrent publishers both commit, to distinct versions") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val b = base()
+    TxnParquet.publish((1 to 5).toDF("id"), b)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def racer(n: Int): Future[Long] = Future {
+      gate.await()
+      TxnParquet.publish((1 to n).toDF("id"), b)
+    }
+    val (fa, fb) = (racer(100), racer(200))
+    gate.countDown()
+    val va = Await.result(fa, 120.seconds)
+    val vb = Await.result(fb, 120.seconds)
+    assert(va != vb, s"both committers claimed version $va")
+    assert(Set(va, vb) == Set(2L, 3L))
+    assert(TxnParquet.readVersion(spark, b, va).count() == 100)
+    assert(TxnParquet.readVersion(spark, b, vb).count() == 200)
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L))
+  }
+
   test("vacuum keeps the last K versions and deletes unreferenced data dirs") {
     import spark.implicits._
     val b = base()
