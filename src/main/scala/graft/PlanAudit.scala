@@ -450,6 +450,9 @@ object PlanAudit {
         "BroadcastHashJoin".r.findAllIn(p).size >= 3)
     check("q14_promo", "Q14: one scan per fact/dim, filtered ratio computed in the aggregate; no UDF")(p =>
       "FileScan parquet".r.findAllIn(p).size == 2 && !p.contains("ScalaUDF"))
+    check("q_event_pattern", "CEP pattern: ONE user exchange builds the sequence; match count is a per-row regexp, no window, no UDF")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        !p.contains("Window") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -928,6 +928,27 @@ object FoldQueries {
         .orderBy("event_type")
     },
 
+    // CEP-style sequence pattern detection (the MATCH_RECOGNIZE / Flink
+    // CEP analogue): each user's ordered event stream becomes a string of
+    // type initials (all five types have distinct first letters), and the
+    // pattern "view, any clicks, purchase" is a regex counted left-to-
+    // right non-overlapping — identical semantics on both engines for
+    // this alternation-free pattern. One user exchange builds the
+    // sequence; the match count is a per-row codegen'd regexp_count.
+    "q_event_pattern" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          struct(expr("ts div 1000000").as("ms"), col("event_id"),
+            expr("substring(event_type, 1, 1)").as("i")).as("ev"))
+        .groupBy("user_id")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(ev)), x -> x.i), '')").as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          expr("CAST(regexp_count(seq, 'vc*p') AS BIGINT)").as("n_funnels"))
+        .orderBy("user_id")
+    },
+
     "q_dow_profile" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -1471,6 +1492,16 @@ object FoldQueries {
         |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 4)
         |SELECT node AS event_type, CAST(MIN(cost) AS BIGINT) AS min_cost
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_event_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY epoch_ms(ts), event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "q_dow_profile" ->
       """WITH g AS (
