@@ -162,6 +162,13 @@ class StreamBatchParitySpec extends SparkTestBase {
       "ConvertParitySmoke reported a conversion-state mismatch")
   }
 
+  test("online CEP pattern DFA equals the batch regex count user for user (forked)") {
+    // 'vc*p' as a 2-state DFA in fold state; equivalence to the
+    // left-to-right non-overlapping regex scan argued in the smoke's doc
+    assert(forkSmoke("graft.streaming.CepParitySmoke") == 0,
+      "CepParitySmoke reported a pattern-count mismatch")
+  }
+
   test("online time-weighted average equals the batch q_twap row for row (forked)") {
     // the interval integral is NOT replay-idempotent — the replay overlap
     // passes only through the P9 offset guard
