@@ -453,6 +453,10 @@ object PlanAudit {
     check("q_event_pattern", "CEP pattern: ONE user exchange builds the sequence; match count is a per-row regexp, no window, no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         !p.contains("Window") && !p.contains("ScalaUDF"))
+    check("q_mannwhitney", "Mann-Whitney: events reduce to the user grain first; rank windows run over users, never events")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && p.contains("Window") &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -949,6 +949,36 @@ object FoldQueries {
         .orderBy("user_id")
     },
 
+    // Mann-Whitney U (nonparametric A/B): rank-sum comparison of per-user
+    // exact cent spend between the parity variants — robust where the
+    // z-test's normal approximation is not. All integer: ranks double via
+    // the tie trick (2·avgrank = 2·rank + ties − 1, exact for any tie
+    // group), so U2 = 2·U stays BIGINT and U2_a + U2_b = 2·n_a·n_b holds
+    // identically (conservation is part of the hash-checked output). One
+    // user reduction, one global rank window over the user grain.
+    "q_mannwhitney" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val per = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)").as("cents"))
+        .selectExpr("user_id % 2 AS variant", "cents")
+      per
+        .withColumn("r", rank().over(W.orderBy("cents")).cast("long"))
+        .withColumn("t", count(lit(1)).over(W.partitionBy("cents")))
+        .withColumn("r2", expr("2 * r + t - 1"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), expr("CAST(SUM(r2) AS BIGINT)").as("s2"))
+        .agg(
+          expr("CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT)").as("n_a"),
+          expr("CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT)").as("n_b"),
+          expr("CAST(SUM(CASE WHEN variant = 0 THEN s2 ELSE 0 END) AS BIGINT)").as("s2_a"),
+          expr("CAST(SUM(CASE WHEN variant = 1 THEN s2 ELSE 0 END) AS BIGINT)").as("s2_b"))
+        .selectExpr("n_a", "n_b",
+          "s2_a - n_a * (n_a + 1) AS u2_a",
+          "s2_b - n_b * (n_b + 1) AS u2_b",
+          "(s2_a - n_a * (n_a + 1)) * 1000000 div (2 * n_a * n_b) AS auc_ppm")
+    },
+
     "q_dow_profile" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -1502,6 +1532,33 @@ object FoldQueries {
         |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
         |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
         |FROM s ORDER BY user_id""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT variant,
+        |    CAST(RANK() OVER (ORDER BY cents) AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY cents) AS BIGINT) AS t
+        |  FROM per),
+        |v AS (
+        |  SELECT variant, COUNT(*) AS n,
+        |    CAST(SUM(2 * r + t - 1) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN s2 ELSE 0 END) AS BIGINT) AS s2_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN s2 ELSE 0 END) AS BIGINT) AS s2_b
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |  s2_a - n_a * (n_a + 1) AS u2_a,
+        |  s2_b - n_b * (n_b + 1) AS u2_b,
+        |  (s2_a - n_a * (n_a + 1)) * 1000000 // (2 * n_a * n_b) AS auc_ppm
+        |FROM e""".stripMargin,
 
     "q_dow_profile" ->
       """WITH g AS (
