@@ -457,6 +457,10 @@ object PlanAudit {
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && p.contains("Window") &&
         !p.contains("ScalaUDF"))
+    check("q_ks_test", "KS: events reduce to user grain then the distinct-value grid; ECDF windows run over the grid, never events")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && p.contains("Window") &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

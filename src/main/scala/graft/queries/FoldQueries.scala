@@ -979,6 +979,33 @@ object FoldQueries {
           "(s2_a - n_a * (n_a + 1)) * 1000000 div (2 * n_a * n_b) AS auc_ppm")
     },
 
+    // Two-sample Kolmogorov-Smirnov (distribution-shape complement of the
+    // location tests): D = max |ECDF_a − ECDF_b| over per-user cent
+    // spend, computed exactly as max |cumA·n_b − cumB·n_a| (integer — no
+    // float ECDF anywhere); the report carries the gap's location and
+    // D in ppm. Same reduced-grain shape as the other rank statistics:
+    // one user reduction, windows over the user grain.
+    "q_ks_test" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)").as("cents"))
+        .selectExpr("user_id % 2 AS variant", "cents")
+        .groupBy("cents")
+        .agg(expr("CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("ca"),
+          expr("CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)").as("cb"))
+        .withColumn("cum_a", sum("ca").over(wc))
+        .withColumn("cum_b", sum("cb").over(wc))
+        .withColumn("n_a", sum("ca").over(W.partitionBy()))
+        .withColumn("n_b", sum("cb").over(W.partitionBy()))
+        .withColumn("gap", expr("abs(cum_a * n_b - cum_b * n_a)"))
+        .withColumn("pick", row_number().over(W.orderBy(col("gap").desc, col("cents").asc)))
+        .filter(col("pick") === 1)
+        .selectExpr("n_a", "n_b", "cents AS at_cents", "gap AS d_num",
+          "gap * 1000000 div (n_a * n_b) AS d_ppm")
+    },
+
     "q_dow_profile" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -1559,6 +1586,31 @@ object FoldQueries {
         |  s2_b - n_b * (n_b + 1) AS u2_b,
         |  (s2_a - n_a * (n_a + 1)) * 1000000 // (2 * n_a * n_b) AS auc_ppm
         |FROM e""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT cents,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM per GROUP BY 1),
+        |c AS (
+        |  SELECT cents,
+        |    CAST(SUM(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+        |    CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+        |  FROM g),
+        |p AS (
+        |  SELECT *, abs(cum_a * n_b - cum_b * n_a) AS gap,
+        |    ROW_NUMBER() OVER (ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, cents ASC) AS pick
+        |  FROM c)
+        |SELECT n_a, n_b, cents AS at_cents, gap AS d_num,
+        |  gap * 1000000 // (n_a * n_b) AS d_ppm
+        |FROM p WHERE pick = 1""".stripMargin,
 
     "q_dow_profile" ->
       """WITH g AS (
