@@ -461,6 +461,10 @@ object PlanAudit {
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && p.contains("Window") &&
         !p.contains("ScalaUDF"))
+    check("q_gini", "Gini: orders reduce to per-customer cents first; the rank window runs over the customer grain")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && p.contains("Window") &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

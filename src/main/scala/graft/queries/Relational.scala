@@ -597,6 +597,24 @@ object Relational {
         .orderBy("decile")
     },
 
+    // Gini coefficient (the scalar the q_lorenz curve integrates to):
+    // G = (2·Σ i·x_(i) − (n+1)·T) / (n·T) over rank-ordered exact cents.
+    // Both numerator and denominator stay BIGINT-exact and < 2^53, so
+    // the final double division is textually identical — no float
+    // anywhere before the last step.
+    "q_gini" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+        .withColumn("i", row_number().over(W.orderBy("cents", "o_custkey")).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(cents) AS BIGINT)").as("t"),
+          expr("CAST(SUM(i * cents) AS BIGINT)").as("s"))
+        .selectExpr("n", "t",
+          "CAST(2 * s - (n + 1) * t AS DOUBLE) / (CAST(n AS DOUBLE) * t) AS gini")
+    },
+
     // Chi-square independence report (priority x status contingency):
     // observed counts, expected under independence, per-cell chi-square
     // contribution — all derived from exact integer marginals through
@@ -1148,6 +1166,22 @@ object Relational {
         |  MAX(i) AS cum_users, MAX(cum) AS cum_cents,
         |  MAX(cum) * 1000000 // MAX(total) AS share_ppm
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_gini" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+        |  FROM per),
+        |a AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS t,
+        |    CAST(SUM(i * cents) AS BIGINT) AS s
+        |  FROM r)
+        |SELECT n, t,
+        |  CAST(2 * s - (n + 1) * t AS DOUBLE) / (CAST(n AS DOUBLE) * t) AS gini
+        |FROM a""".stripMargin,
 
     "q_chisq" ->
       """WITH cells AS (
