@@ -465,6 +465,13 @@ object PlanAudit {
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && p.contains("Window") &&
         !p.contains("ScalaUDF"))
+    check("q_ref_integrity", "FK audit: each relation is an anti join against the parent's distinct keys; no nested loop")(p =>
+      "LeftAnti".r.findAllIn(p).size >= 5 &&
+        !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    check("q_decay_score", "decay score: 1-row max-day broadcast + per-row power-of-two division; ONE user exchange")(p =>
+      p.contains("BroadcastNestedLoopJoin") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -1006,6 +1006,29 @@ object FoldQueries {
           "gap * 1000000 div (n_a * n_b) AS d_ppm")
     },
 
+    // Recency-decay engagement score with an exact integer half-life:
+    // weight = 1/2^age_weeks realized as floor division by power-of-two
+    // literals (no float pow anywhere), anchored at the corpus max day
+    // (1-row broadcast, the q_gap_fill bounds pattern). The decay rolls
+    // up per user next to the raw sum, so the report shows exactly what
+    // recency weighting changed.
+    "q_decay_score" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts div 1000000 div 86400000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val mm = e.agg(max("day").as("dmax"))
+      e.crossJoin(broadcast(mm))
+        .withColumn("w", expr("(dmax - day) div 7"))
+        .withColumn("decayed", expr(
+          "cents div (CASE w WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(SUM(cents) AS BIGINT)").as("raw_cents"),
+          expr("CAST(SUM(decayed) AS BIGINT)").as("decay_cents"))
+        .orderBy("user_id")
+    },
+
     "q_dow_profile" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -1611,6 +1634,22 @@ object FoldQueries {
         |SELECT n_a, n_b, cents AS at_cents, gap AS d_num,
         |  gap * 1000000 // (n_a * n_b) AS d_ppm
         |FROM p WHERE pick = 1""".stripMargin,
+
+    "q_decay_score" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts)//86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT MAX(day) AS dmax FROM e),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    cents // (CASE (dmax - day) // 7 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |      WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END) AS decayed
+        |  FROM e, m)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS raw_cents,
+        |  CAST(SUM(decayed) AS BIGINT) AS decay_cents
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_dow_profile" ->
       """WITH g AS (

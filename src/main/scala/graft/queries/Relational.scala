@@ -597,6 +597,31 @@ object Relational {
         .orderBy("decile")
     },
 
+    // Referential-integrity audit (the cross-TABLE complement of the
+    // single-table expectations suite): orphan counts per FK relation as
+    // anti-join cardinalities, with child totals and orphan ppm. Each
+    // relation is one anti join against the parent's key projection —
+    // the parent side reduces to keys before shipping.
+    "q_ref_integrity" -> { (s, dir) =>
+      def orphans(rel: String, child: DataFrame, ck: String,
+                  parent: DataFrame, pk: String) =
+        child.select(col(ck)).join(
+            parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(child.agg(count(lit(1)).as("n_child")))
+          .selectExpr(s"'$rel' AS relation", "n_child", "n_orphans",
+            "n_orphans * 1000000 div n_child AS orphan_ppm")
+      val li = Tables(s, dir, "lineitem")
+      orphans("lineitem.orderkey->orders", li, "l_orderkey", Tables(s, dir, "orders"), "o_orderkey")
+        .union(orphans("lineitem.partkey->part", li, "l_partkey", Tables(s, dir, "part"), "p_partkey"))
+        .union(orphans("lineitem.suppkey->supplier", li, "l_suppkey", Tables(s, dir, "supplier"), "s_suppkey"))
+        .union(orphans("orders.custkey->customer", Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey"))
+        .union(orphans("customer.nationkey->nation", Tables(s, dir, "customer"), "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"))
+        .orderBy("relation")
+    },
+
     // Gini coefficient (the scalar the q_lorenz curve integrates to):
     // G = (2·Σ i·x_(i) − (n+1)·T) / (n·T) over rank-ordered exact cents.
     // Both numerator and denominator stay BIGINT-exact and < 2^53, so
@@ -1166,6 +1191,37 @@ object Relational {
         |  MAX(i) AS cum_users, MAX(cum) AS cum_cents,
         |  MAX(cum) * 1000000 // MAX(total) AS share_ppm
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_ref_integrity" ->
+      """WITH x AS (
+        |  SELECT 'lineitem.orderkey->orders' AS relation,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey->part',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey->supplier',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'customer.nationkey->nation',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)))
+        |SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  CAST(n_orphans AS BIGINT) * 1000000 // CAST(n_child AS BIGINT) AS orphan_ppm
+        |FROM x ORDER BY relation""".stripMargin,
 
     "q_gini" ->
       """WITH per AS (
