@@ -70,6 +70,30 @@ class ShuffleFootprintSpec extends SparkTestBase {
       s"dedup shuffled $sw of $corpusBytes corpus bytes — keep-min must ship digests, not text")
   }
 
+  test("brute-force ANN: the shuffle is DIMENSION-INDEPENDENT — scoring rows " +
+    "move, 6 MB of vectors never do (< 12% of vector bytes)") {
+    import spark.implicits._
+    // 1500 x 1024-dim float vectors (~6 MB) + 5 query vectors: the ranking
+    // exchange carries (qid, cand_id, sim) rows (~7.5k slim rows), so its
+    // bytes are set by corpus COUNT, not vector WIDTH — the property that
+    // makes the broadcast BNLJ shape survive embedding-dimension growth
+    val baseVecs = (0 until 1500).map { i =>
+      val r = new scala.util.Random(i * 2654435761L)
+      (i.toLong, Array.fill(1024)(r.nextFloat() * 2 - 1))
+    }
+    val vecs = baseVecs.toDF("id", "vec").repartition(8).localCheckpoint(true)
+    val queries = baseVecs.take(5).map { case (i, v) => (90000L + i, v) }
+      .toDF("id", "vec")
+    val vecBytes = 1500L * 1024 * 4
+    val sw = shuffleBytes {
+      graft.operators.Similarity
+        .bruteForceTopK(vecs, queries, "id", "vec", k = 10).collect()
+      ()
+    }
+    assert(sw < vecBytes / 8,
+      s"brute-force ANN shuffled $sw of $vecBytes vector bytes — vectors are leaking into the ranking exchange")
+  }
+
   test("decontamination: train text never shuffles (eval grams broadcast; < 5% of corpus)") {
     import spark.implicits._
     val eval = (0 until 20).map { i =>
