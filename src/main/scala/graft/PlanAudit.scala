@@ -472,6 +472,10 @@ object PlanAudit {
       p.contains("BroadcastNestedLoopJoin") &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         !p.contains("ScalaUDF"))
+    check("q_order_aging", "aging report: status filter above the scan, 1-row anchor broadcast, one slim bucket shuffle")(p =>
+      p.contains("BroadcastNestedLoopJoin") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -597,6 +597,30 @@ object Relational {
         .orderBy("decile")
     },
 
+    // Open-order aging report (the backlog triage every ops team runs):
+    // non-finalized orders bucketed by age against the corpus max date
+    // (1-row broadcast anchor — "today" must be data-derived or the
+    // query isn't reproducible), exact cent value per bucket. Age
+    // buckets by integer day arithmetic.
+    "q_order_aging" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .selectExpr("o_orderstatus",
+          "CAST(datediff(o_orderdate, TIMESTAMP '1992-01-01') AS BIGINT) AS day",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      val anchor = o.agg(max("day").as("dmax"))
+      o.filter(col("o_orderstatus") =!= "F")
+        .crossJoin(broadcast(anchor))
+        .withColumn("age_days", col("dmax") - col("day"))
+        .withColumn("bucket", expr(
+          "CASE WHEN age_days <= 30 THEN '0-30' WHEN age_days <= 90 THEN '31-90' " +
+            "WHEN age_days <= 365 THEN '91-365' ELSE '365+' END"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(SUM(cents) AS BIGINT)").as("open_cents"),
+          max("age_days").as("oldest_days"))
+        .orderBy("o_orderstatus", "bucket")
+    },
+
     // Referential-integrity audit (the cross-TABLE complement of the
     // single-table expectations suite): orphan counts per FK relation as
     // anti-join cardinalities, with child totals and orphan ppm. Each
@@ -1191,6 +1215,24 @@ object Relational {
         |  MAX(i) AS cum_users, MAX(cum) AS cum_cents,
         |  MAX(cum) * 1000000 // MAX(total) AS share_ppm
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_order_aging" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT MAX(day) AS dmax FROM o),
+        |a AS (
+        |  SELECT o_orderstatus, dmax - day AS age_days, cents
+        |  FROM o, m WHERE o_orderstatus <> 'F')
+        |SELECT o_orderstatus,
+        |  CASE WHEN age_days <= 30 THEN '0-30' WHEN age_days <= 90 THEN '31-90'
+        |    WHEN age_days <= 365 THEN '91-365' ELSE '365+' END AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS open_cents,
+        |  MAX(age_days) AS oldest_days
+        |FROM a GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin,
 
     "q_ref_integrity" ->
       """WITH x AS (
