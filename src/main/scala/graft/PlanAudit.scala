@@ -476,6 +476,10 @@ object PlanAudit {
       p.contains("BroadcastNestedLoopJoin") &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         !p.contains("ScalaUDF"))
+    check("q_lang_confusion", "confusion matrix: predictor runs in the scan projection, ONE matrix-grain shuffle; share window over the matrix")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+        !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

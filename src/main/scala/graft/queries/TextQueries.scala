@@ -82,6 +82,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Label-vs-predictor consistency audit: the confusion matrix between
+    // the shipped `lang` label and the engine's language-ID — the check
+    // a pipeline runs before TRUSTING either signal for filtering. Same
+    // predictor as q_langid (oracle reuses its proven CTE), reduced to
+    // the matrix grain with per-label mismatch ppm.
+    "q_lang_confusion" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), TA.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label_total",
+          expr("CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)"))
+        .withColumn("cell_ppm", expr("n * 1000000 div label_total"))
+        .orderBy("lang", "lang_pred")
+    },
+
     // Corpus token accounting per source (pre-training data budgeting).
     "q_token_stats" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -1528,6 +1544,30 @@ object TextQueries {
         |      WHEN s_es > 0 THEN 'es'
         |      ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_lang_confusion" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, ' '||text||' ' AS p FROM documents),
+        |s AS (
+        | SELECT doc_id, lang,
+        |  (len(p)-len(replace(p,' the ','')))//5 + (len(p)-len(replace(p,' and ','')))//5 + (len(p)-len(replace(p,' of ','')))//4 AS s_en,
+        |  (len(p)-len(replace(p,' der ','')))//5 + (len(p)-len(replace(p,' und ','')))//5 + (len(p)-len(replace(p,' die ','')))//5 AS s_de,
+        |  (len(p)-len(replace(p,' le ','')))//4 + (len(p)-len(replace(p,' et ','')))//4 + (len(p)-len(replace(p,' la ','')))//4 AS s_fr,
+        |  (len(p)-len(replace(p,' el ','')))//4 + (len(p)-len(replace(p,' y ','')))//3 + (len(p)-len(replace(p,' los ','')))//5 AS s_es
+        | FROM t),
+        |pr AS (
+        | SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        | FROM s),
+        |g AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pr GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS label_total,
+        |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS cell_ppm
+        |FROM g ORDER BY lang, lang_pred""".stripMargin,
 
     "q_token_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
