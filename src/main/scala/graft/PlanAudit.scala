@@ -480,6 +480,10 @@ object PlanAudit {
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
         !p.contains("ScalaUDF"))
+    check("q_discount_depth", "discount profile: one scan, one band-grain partial-agg shuffle; exact integer ratios, no UDF")(p =>
+      "FileScan parquet".r.findAllIn(p).size == 1 &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
     spark.stop()
   }
 }

@@ -597,6 +597,24 @@ object Relational {
         .orderBy("decile")
     },
 
+    // Volume-discount profile (pricing analytics): how discount depth
+    // and unit price move with order-line quantity. Quantity bands by
+    // integer division; per band the mean discount in basis points and
+    // the mean unit price in cents — both exact integer ratios of exact
+    // sums, never an AVG over floats.
+    "q_discount_depth" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .selectExpr("CAST(l_quantity AS BIGINT) div 10 AS qty_band",
+          "CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc_bp",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents",
+          "CAST(l_quantity AS BIGINT) AS qty")
+        .groupBy("qty_band")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("CAST(SUM(disc_bp) AS BIGINT) div COUNT(*)").as("mean_disc_bp"),
+          expr("CAST(SUM(price_cents) AS BIGINT) div CAST(SUM(qty) AS BIGINT)").as("unit_price_cents"))
+        .orderBy("qty_band")
+    },
+
     // Open-order aging report (the backlog triage every ops team runs):
     // non-finalized orders bucketed by age against the corpus max date
     // (1-row broadcast anchor — "today" must be data-derived or the
@@ -1215,6 +1233,18 @@ object Relational {
         |  MAX(i) AS cum_users, MAX(cum) AS cum_cents,
         |  MAX(cum) * 1000000 // MAX(total) AS share_ppm
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_discount_depth" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) // 10 AS qty_band,
+        |    CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc_bp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT qty_band, COUNT(*) AS n_lines,
+        |  CAST(SUM(disc_bp) AS BIGINT) // COUNT(*) AS mean_disc_bp,
+        |  CAST(SUM(price_cents) AS BIGINT) // CAST(SUM(qty) AS BIGINT) AS unit_price_cents
+        |FROM b GROUP BY 1 ORDER BY qty_band""".stripMargin,
 
     "q_order_aging" ->
       """WITH o AS (
