@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as one
+// JSON object. Two sbt decorations defeated that for five rounds (r08 tail:
+// the JSON arrived prefixed "[info] " and followed by "[success] Total
+// time"): forked-run output is re-logged by default, and the success
+// trailer prints after it. StdoutOutput passes the child's stdout/stderr
+// through verbatim; showSuccess drops the trailer.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

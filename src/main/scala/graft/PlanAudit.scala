@@ -19,6 +19,20 @@ object PlanAudit {
       println(f"AUDIT ${if (cond(p)) "PASS" else "FAIL"}%-4s $name%-18s $what")
     }
 
+    // The 100 TB anti-pattern: a Window (or its required Sort) executing
+    // directly over an Exchange SinglePartition — all rows in one task. A
+    // SinglePartition above a partial scalar aggregate is NOT flagged (its
+    // input is one row per task). Detection: any SinglePartition exchange
+    // whose few enclosing plan lines include a Window/Sort operator.
+    def windowOverSinglePartition(p: String): Boolean = {
+      val ls = p.split('\n')
+      ls.indices.exists { i =>
+        ls(i).contains("Exchange SinglePartition") &&
+          (math.max(0, i - 3) until i).exists(j =>
+            ls(j).contains("Window") || ls(j).contains("Sort "))
+      }
+    }
+
     check("q1_agg", "quantity filter pushed to parquet scan")(
       _.contains("PushedFilters: [IsNotNull(l_quantity), LessThanOrEqual(l_quantity,45"))
     check("q1_agg", "scan reads only needed columns (pruning)")(p =>
@@ -206,14 +220,11 @@ object PlanAudit {
     check("q_hybrid_search", "hybrid fuse = two bounded top-k lists, 1-row query broadcast")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
-    check("q_budget_select", "global cumsum decomposed: corpus window hash-partitioned by bucket, range fan-out")(p =>
-      p.contains("Exchange rangepartitioning(quality_ppm") &&
-        p.contains("hashpartitioning(__b") && !p.contains("ScalaUDF"))
-    check("q_budget_select", "single-partition exchange only below the bucket-totals aggregate (tiny side)")(p =>
-      // the one SinglePartition sits above the per-bucket HashAggregate,
-      // never above a corpus-sized input
-      "Exchange SinglePartition".r.findAllIn(p).size == 1 &&
-        p.contains("HashAggregate(keys=[__b"))
+    check("q_budget_select", "global cumsum decomposed: in-bucket window hash-partitioned on the materialized range buckets")(p =>
+      p.contains("Scan ExistingRDD") &&
+        p.contains("hashpartitioning(__rb") && !p.contains("ScalaUDF"))
+    check("q_budget_select", "prefix offsets are literal-map projections: NO SinglePartition exchange anywhere")(p =>
+      !p.contains("Exchange SinglePartition"))
     check("q_corpus_line_dedup", "keep-first via min-struct AGGREGATE, never a line-partitioned window (skew)")(p =>
       !p.contains("Window") && !p.contains("CartesianProduct") &&
         p.contains("Scan ExistingRDD") && !p.contains("ScalaUDF"))
@@ -223,20 +234,19 @@ object PlanAudit {
     check("q_token_drift", "snapshots reduce to checkpointed vocab tables before any join")(p =>
       p.contains("Scan ExistingRDD") && p.contains("FullOuter") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
-    check("q_epoch_order", "global rank decomposed: range fan-out + bucket window, SinglePartition only on counts")(p =>
-      p.contains("Exchange rangepartitioning(__h") &&
-        p.contains("hashpartitioning(__b") &&
-        "Exchange SinglePartition".r.findAllIn(p).size == 1)
+    check("q_epoch_order", "global rank decomposed: in-bucket window over materialized range buckets, literal prefix offsets")(p =>
+      p.contains("Scan ExistingRDD") &&
+        p.contains("hashpartitioning(__rb") &&
+        !p.contains("Exchange SinglePartition"))
     check("q_lm_cross_score", "cross-LM: reference reduces to a checkpointed model; target scores via LEFT equi-join")(p =>
       p.contains("Scan ExistingRDD") && p.contains("LeftOuter") &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
     check("q_encoding_report", "encoding report = one scan, one slim-key partial-agg shuffle, no UDF")(p =>
       p.contains("partial_count") && !p.contains("ScalaUDF") &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 1)
-    check("q_shard_manifest", "shard manifest inherits the decomposed ranks; only the bucket-counts stage is single-partition")(p =>
-      p.contains("Exchange rangepartitioning(__h") &&
-        p.contains("hashpartitioning(shard") &&
-        "Exchange SinglePartition".r.findAllIn(p).size == 1)
+    check("q_shard_manifest", "shard manifest inherits the decomposed ranks; NO SinglePartition exchange")(p =>
+      p.contains("hashpartitioning(shard") &&
+        !p.contains("Exchange SinglePartition"))
     check("q_heavy_hitters", "heavy hitters = map-side MG partials; the exchange ships one O(k) sketch per partition, never the vocabulary")(p =>
       p.contains("partial_misra_gries_topk") &&
         p.contains("ObjectHashAggregate") && !p.contains("ScalaUDF"))
@@ -325,10 +335,9 @@ object PlanAudit {
     check("q_peak_concurrency", "sweep line: session assembly shares the user exchange; the global cumsum runs over the SESSION-bounded delta table, no interval join")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF") && p.contains("Window"))
-    check("q_pps_sample", "PPS sample: cumsum decomposed (range fan-out + bucket window); SinglePartition only above the bucket totals")(p =>
-      p.contains("Exchange rangepartitioning(doc_id") &&
-        p.contains("hashpartitioning(__b") &&
-        p.contains("HashAggregate(keys=[__b") && !p.contains("ScalaUDF"))
+    check("q_pps_sample", "PPS sample: cumsum decomposed over materialized range buckets; step is a driver literal, NO SinglePartition")(p =>
+      p.contains("hashpartitioning(__rb") &&
+        !p.contains("Exchange SinglePartition") && !p.contains("ScalaUDF"))
     check("q_range_frame", "RANGE frame: both interval aggregates share ONE user exchange+sort; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         p.contains("Window") && !p.contains("ScalaUDF"))
@@ -399,10 +408,9 @@ object PlanAudit {
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
         "Window".r.findAllIn(p).size >= 2 && !p.contains("ScalaUDF"))
-    check("q_time_to_convert", "conversion latency: two conditional MINs per user in ONE scan; NTILE runs over the reduced per-user grain")(p =>
-      "FileScan parquet".r.findAllIn(p).size == 1 &&
-        "Exchange hashpartitioning".r.findAllIn(p).size <= 1 &&
-        p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q_time_to_convert", "conversion latency: decomposed NTILE over the reduced per-user grain; no SinglePartition")(p =>
+      p.contains("Scan ExistingRDD") &&
+        !p.contains("Exchange SinglePartition") && !p.contains("ScalaUDF"))
     check("q_corr_matrix", "correlation matrix: ONE scan, nine integer power sums, no hash shuffle at all (global partial agg)")(p =>
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         !p.contains("Exchange hashpartitioning") && !p.contains("ScalaUDF"))
@@ -453,18 +461,15 @@ object PlanAudit {
     check("q_event_pattern", "CEP pattern: ONE user exchange builds the sequence; match count is a per-row regexp, no window, no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         !p.contains("Window") && !p.contains("ScalaUDF"))
-    check("q_mannwhitney", "Mann-Whitney: events reduce to the user grain first; rank windows run over users, never events")(p =>
-      "FileScan parquet".r.findAllIn(p).size == 1 &&
-        p.contains("HashAggregate") && p.contains("Window") &&
-        !p.contains("ScalaUDF"))
-    check("q_ks_test", "KS: events reduce to user grain then the distinct-value grid; ECDF windows run over the grid, never events")(p =>
-      "FileScan parquet".r.findAllIn(p).size == 1 &&
-        p.contains("HashAggregate") && p.contains("Window") &&
-        !p.contains("ScalaUDF"))
-    check("q_gini", "Gini: orders reduce to per-customer cents first; the rank window runs over the customer grain")(p =>
-      "FileScan parquet".r.findAllIn(p).size == 1 &&
-        p.contains("HashAggregate") && p.contains("Window") &&
-        !p.contains("ScalaUDF"))
+    check("q_mannwhitney", "Mann-Whitney: decomposed rank over the distinct-value grid; only the final scalar agg is single-partition")(p =>
+      p.contains("Window") && p.contains("hashpartitioning(__rb") &&
+        !windowOverSinglePartition(p) && !p.contains("ScalaUDF"))
+    check("q_ks_test", "KS: decomposed ECDF cumsums + TakeOrdered argmax; no SinglePartition stage, no global sort")(p =>
+      p.contains("Window") && p.contains("TakeOrderedAndProject") &&
+        !p.contains("Exchange SinglePartition") && !p.contains("ScalaUDF"))
+    check("q_gini", "Gini: decomposed global row_number; only the final scalar agg is single-partition")(p =>
+      p.contains("Window") && p.contains("hashpartitioning(__rb") &&
+        !windowOverSinglePartition(p) && !p.contains("ScalaUDF"))
     check("q_ref_integrity", "FK audit: each relation is an anti join against the parent's distinct keys; no nested loop")(p =>
       "LeftAnti".r.findAllIn(p).size >= 5 &&
         !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
@@ -484,6 +489,17 @@ object PlanAudit {
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    // Round 9: every global-rank statistic runs through the Ranks
+    // decomposition — no Window or Sort ever executes over a
+    // SinglePartition exchange (the r8 verdict's 8 perf-weak queries; the
+    // Corpus prefix windows moved to the same bounded driver-gather
+    // literal-map projection). A SinglePartition above a partial scalar
+    // aggregate (one row per task) is fine and excluded by construction.
+    for (q <- Seq("q_user_deciles", "q_time_to_convert", "q_peak_concurrency",
+        "q_mannwhitney", "q_ks_test", "q_rfm_segments", "q_lorenz", "q_gini",
+        "q_epoch_order", "q_pps_sample", "q_budget_select", "q_shard_manifest"))
+      check(q, "no Window/Sort over a SinglePartition exchange (Ranks decomposition)")(p =>
+        !windowOverSinglePartition(p))
     spark.stop()
   }
 }

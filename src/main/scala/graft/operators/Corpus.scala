@@ -242,23 +242,11 @@ object Corpus {
   def epochOrder(df: DataFrame, idCol: String, epoch: Int = 0,
                  buckets: Int = 64): DataFrame = {
     require(epoch >= 0, "epoch must be non-negative")
-    require(buckets > 0, "need at least one bucket")
-    val ranged = df
+    val hashed = df
       .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000))
-      .repartitionByRange(buckets, col("__h").asc, col(idCol).asc)
-      .withColumn("__b", spark_partition_id())
-    val prefixW = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = ranged.groupBy("__b")
-      .agg(count(lit(1)).as("__bn"))
-      .withColumn("__pre", coalesce(sum("__bn").over(prefixW), lit(0L)))
-      .select("__b", "__pre")
-    val inBucketW = Window.partitionBy("__b")
-      .orderBy(col("__h").asc, col(idCol).asc)
-    ranged.join(broadcast(prefix), "__b")
-      .withColumn("epoch_rank",
-        col("__pre") + row_number().over(inBucketW).cast("long"))
-      .drop("__b", "__pre", "__h")
+    Ranks.bucketRange(hashed, Seq(col("__h").asc, col(idCol).asc), buckets = buckets)
+      .withRowNumber("epoch_rank")
+      .result.drop("__h")
   }
 
   /** Deterministic weighted source interleaving — stride scheduling
@@ -306,8 +294,9 @@ object Corpus {
     *     partitions — sampled boundaries, so skewed scores still land in
     *     balanced buckets, and every bucket owns a contiguous slice of
     *     the total order;
-    *  2. per-bucket token totals (tiny: `buckets` rows) get an exclusive
-    *     prefix sum on the driver-sized table and broadcast back;
+    *  2. per-bucket token totals (tiny: `buckets` rows) come to the
+    *     driver (bounded gather) and return as a literal prefix-map
+    *     projection — see [[Ranks]], which owns the implementation;
     *  3. a within-bucket running sum (hash-partitioned window — each
     *     bucket sorts independently) plus the bucket's prefix is the
     *     exact global running sum.
@@ -344,53 +333,30 @@ object Corpus {
                 buckets: Int = 64): DataFrame = {
     require(n > 0, "need a positive sample size")
     val sized = df.filter(col(sizeCol).isNotNull && col(sizeCol) > 0)
-    val ranged = sized
-      .repartitionByRange(buckets, col(idCol).asc)
-      .withColumn("__b", spark_partition_id())
-    val prefixW = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bt = ranged.groupBy("__b").agg(sum(col(sizeCol)).as("__bt"))
-    val prefix = bt
-      .withColumn("__pre", coalesce(sum("__bt").over(prefixW), lit(0L)))
-      .select("__b", "__pre")
-    val total = bt.agg(sum("__bt").as("__total"))
-    val inW = Window.partitionBy("__b").orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = Ranks.bucketRange(sized, Seq(col(idCol).asc),
+      valueCols = Seq(sizeCol), buckets = buckets)
+    // step falls out of the same bounded bucket gather as a literal
+    val step = math.max(b.valueTotal(sizeCol) / n, 1L)
     // positions hit in [cum_start, cum_end): f(end) - f(start) where
     // f(x) = #{k >= 0 : off + k*step < x}; off = step div 2
     def hitsBelow(x: String) =
-      s"CASE WHEN $x <= __step div 2 THEN 0L ELSE ($x - 1 - __step div 2) div __step + 1 END"
-    ranged.join(broadcast(prefix), "__b").crossJoin(broadcast(total))
-      .withColumn("cum_end", col("__pre") + sum(col(sizeCol)).over(inW))
+      s"CASE WHEN $x <= ${step / 2}L THEN 0L ELSE ($x - 1 - ${step / 2}L) div ${step}L + 1 END"
+    b.withCumSum(sizeCol, "cum_end").result
       .withColumn("cum_start", col("cum_end") - col(sizeCol))
-      .withColumn("__step", expr(s"greatest(__total div ${n}L, 1L)"))
       .withColumn("multiplicity",
         expr(s"${hitsBelow("cum_end")} - ${hitsBelow("cum_start")}"))
       .filter(col("multiplicity") > 0)
-      .drop("__b", "__pre", "__step", "__total")
   }
 
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
                      tokensCol: String, budgetTokens: Long,
                      buckets: Int = 64): DataFrame = {
     require(budgetTokens >= 0, "budget must be non-negative")
-    require(buckets > 0, "need at least one bucket")
-    val ranged = df
-      .repartitionByRange(buckets, col(scoreCol).desc, col(idCol).asc)
-      .withColumn("__b", spark_partition_id())
-    val prefixW = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = ranged.groupBy("__b")
-      .agg(sum(col(tokensCol)).as("__bt"))
-      .withColumn("__pre", coalesce(sum("__bt").over(prefixW), lit(0L)))
-      .select("__b", "__pre")
-    val inBucketW = Window.partitionBy("__b")
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(prefix), "__b")
-      .withColumn("cum_tokens", col("__pre") + sum(col(tokensCol)).over(inBucketW))
+    Ranks.bucketRange(df, Seq(col(scoreCol).desc, col(idCol).asc),
+        valueCols = Seq(tokensCol), buckets = buckets)
+      .withCumSum(tokensCol, "cum_tokens")
+      .result
       .filter(col("cum_tokens") - col(tokensCol) < budgetTokens)
-      .drop("__b", "__pre")
   }
 
   /** Data-mixing weights: given per-group token totals, the sampling

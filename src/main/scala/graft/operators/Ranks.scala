@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global order statistics — row_number / running sum / NTILE
+  * over a TOTAL order — with NO single-partition stage anywhere.
+  *
+  * The classic 100 TB trap: `Window.orderBy(...)` with no partition spec
+  * plans a `WindowExec` that moves the whole input into ONE task ("No
+  * Partition Defined" warning). The fix is the two-level range-bucket
+  * prefix decomposition (the [[Corpus.selectByBudget]] shape, hoisted here
+  * so every global-rank query shares one audited implementation):
+  *
+  *  1. `repartitionByRange` on the order columns — sampled boundaries, so
+  *     skewed keys still land in balanced buckets, and every bucket owns a
+  *     contiguous slice of the total order;
+  *  2. per-bucket row counts / value sums (≤ `buckets` rows — a BOUNDED
+  *     driver gather, the IvfIndex-centroid pattern) become exclusive
+  *     prefix offsets embedded as a literal map projection — no join, no
+  *     broadcast, no tiny single-partition prefix window (which, although
+  *     bounded, still tripped the WindowExec warning in rounds ≤ 8);
+  *  3. a within-bucket window (hash-partitioned on the bucket id — each
+  *     bucket sorts independently) plus the bucket's prefix is the exact
+  *     global statistic.
+  *
+  * The decomposition is invariant to WHERE the sampled range boundaries
+  * fall (associativity of + over a fixed total order), so results are
+  * bit-identical to the naive global window — RanksSpec property-tests
+  * that against Spark's own `row_number`/`sum`/`ntile`, and the DuckDB
+  * oracles of the eight q_* callers pin it end to end.
+  *
+  * The input is eagerly `localCheckpoint`ed once: the prefix gather and
+  * every downstream job must see the SAME materialized bucketing
+  * (`spark_partition_id` is only meaningful within one materialization;
+  * range-boundary sampling is not stable across separate executions).
+  * The checkpoint holds the REDUCED grain a rank query windows over
+  * (per-user / per-key aggregates), never the raw corpus.
+  */
+object Ranks {
+  val BucketCol = "__rb"
+
+  /** A range-bucketed, materialized frame plus its driver-computed prefix
+    * offsets. `rowPrefix` = #rows in strictly-lower buckets; `valuePrefix`
+    * likewise for each requested value column; totals are exact. */
+  final case class RangeBuckets(
+      df: DataFrame,
+      order: Seq[Column],
+      rowPrefix: Column,
+      rowTotal: Long,
+      valuePrefix: Map[String, Column],
+      valueTotal: Map[String, Long]) {
+
+    private def inBucket = Window.partitionBy(BucketCol).orderBy(order: _*)
+
+    /** Exact global 1-based row_number over the total order. */
+    def withRowNumber(out: String): RangeBuckets =
+      copy(df = df.withColumn(out,
+        rowPrefix + row_number().over(inBucket).cast("long")))
+
+    /** Exact global inclusive running sum of `valueCol` (must have been
+      * requested in [[Ranks.bucketRange]]'s `valueCols`). */
+    def withCumSum(valueCol: String, out: String): RangeBuckets =
+      copy(df = df.withColumn(out,
+        valuePrefix(valueCol) + sum(col(valueCol))
+          .over(inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long")))
+
+    /** Exact global NTILE(n) from a row_number column added by
+      * [[withRowNumber]] — replicates Spark/DuckDB NTILE semantics
+      * (first `total % n` tiles get one extra row) from the row number
+      * and the driver-known total, all integer arithmetic. */
+    def withNtile(rowNumCol: String, n: Int, out: String): RangeBuckets = {
+      require(n > 0, "NTILE needs a positive tile count")
+      val q = rowTotal / n
+      val rem = rowTotal % n
+      val boundary = rem * (q + 1) // rows 1..boundary live in the padded tiles
+      // CASE is lazy per-row: when q == 0 every row satisfies the first
+      // branch (boundary == rowTotal), so the `div q` arm never evaluates.
+      copy(df = df.withColumn(out, expr(
+        s"CASE WHEN $rowNumCol <= ${boundary}L THEN ($rowNumCol - 1) div ${q + 1}L + 1 " +
+          s"ELSE ${rem}L + ($rowNumCol - 1 - ${boundary}L) div ${q}L + 1 END")))
+    }
+
+    /** Drop the bookkeeping bucket column once all statistics are added. */
+    def result: DataFrame = df.drop(BucketCol)
+  }
+
+  /** Range-bucket `df` by `order` (a total order), materialize once, and
+    * gather per-bucket counts/sums (≤ `buckets` rows) to build prefix
+    * offsets. `valueCols` must be integral (LONG-safe) columns. */
+  def bucketRange(df: DataFrame, order: Seq[Column],
+                  valueCols: Seq[String] = Nil, buckets: Int = 64): RangeBuckets = {
+    require(buckets > 0, "need at least one bucket")
+    val ranged = df.repartitionByRange(buckets, order: _*)
+      .withColumn(BucketCol, spark_partition_id())
+      .localCheckpoint(true)
+    val aggs = count(lit(1)).cast("long").as("__n") +:
+      valueCols.map(v => sum(col(v)).cast("long").as(s"__s_$v"))
+    // bounded driver gather: one row per non-empty bucket
+    val stats = ranged.groupBy(BucketCol).agg(aggs.head, aggs.tail: _*)
+      .orderBy(BucketCol).collect()
+    def prefixes(idx: Int): (Map[Int, Long], Long) = {
+      var acc = 0L
+      val m = Map.newBuilder[Int, Long]
+      stats.foreach { r =>
+        m += (r.getInt(0) -> acc)
+        acc += (if (r.isNullAt(idx)) 0L else r.getLong(idx))
+      }
+      (m.result(), acc)
+    }
+    def litMap(m: Map[Int, Long]): Column =
+      if (m.isEmpty) lit(0L)
+      else element_at(typedLit(m), col(BucketCol)) // every data bucket has an entry
+    val (rowPre, rowTot) = prefixes(1)
+    val valuePre = valueCols.zipWithIndex.map { case (v, i) => v -> prefixes(i + 2) }.toMap
+    RangeBuckets(ranged, order, litMap(rowPre), rowTot,
+      valuePre.map { case (v, (m, _)) => v -> litMap(m) },
+      valuePre.map { case (v, (_, t)) => v -> t })
+  }
+}

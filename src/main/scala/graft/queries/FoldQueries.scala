@@ -4,7 +4,7 @@ import graft.Tables
 import graft.batch.{FoldAggregator, OrderedFold}
 import graft.fold.{FoldOption, SnapshotFold}
 import graft.model.Snapshot
-import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Ranks, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -409,18 +409,20 @@ object FoldQueries {
 
     // Spend-decile report — NTILE over per-user totals (the whale-curve
     // table: how concentrated is revenue). Totals reduce first (one
-    // user shuffle); the decile window runs over the tiny per-user
-    // table; the (spend, user) order is total so both engines tile
-    // identically; sums are exact cents.
+    // user shuffle); the decile cut is the decomposed global NTILE
+    // ([[Ranks]] — range buckets + literal prefix offsets, no
+    // single-partition window even over the reduced grain); the
+    // (spend, user) order is total so both engines tile identically;
+    // sums are exact cents.
     "q_user_deciles" -> { (s, dir) =>
       val totals = Tables(s, dir, "events")
         .groupBy("user_id")
         .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
           .cast("long").as("spend_cents"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("spend_cents").desc, col("user_id"))
-      totals
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      Ranks.bucketRange(totals, Seq(col("spend_cents").desc, col("user_id").asc))
+        .withRowNumber("__i")
+        .withNtile("__i", 10, "decile")
+        .result.drop("__i")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_users"),
           sum(col("spend_cents")).as("decile_cents"),
@@ -719,10 +721,9 @@ object FoldQueries {
     // boundary deltas (half-open [start, end+1)), per-ms deltas reduce
     // first, and the running sum's per-day maximum is the load curve's
     // peak — the interval-stabbing answer WITHOUT an interval join. The
-    // global cumsum runs over the per-ms delta table, which is
-    // session-bounded (two rows per session, collapsed by ms), not
-    // corpus-bounded — the same reduced-grain SinglePartition acceptance
-    // as q_user_deciles.
+    // global cumsum is the decomposed two-level prefix ([[Ranks]]) over
+    // the per-ms delta table (session-bounded, collapsed by ms) — no
+    // single-partition stage at any grain.
     "q_peak_concurrency" -> { (s, dir) =>
       val e = Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"))
@@ -732,9 +733,9 @@ object FoldQueries {
       val deltas = sess.select(col("sms").as("ms"), lit(1L).as("dd"))
         .union(sess.select((col("ems") + 1).as("ms"), lit(-1L).as("dd")))
         .groupBy("ms").agg(sum("dd").as("delta"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("ms")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      deltas.withColumn("conc", sum("delta").over(w))
+      Ranks.bucketRange(deltas, Seq(col("ms").asc), valueCols = Seq("delta"))
+        .withCumSum("delta", "conc")
+        .result
         .groupBy(expr("ms div 86400000").as("day"))
         .agg(max("conc").as("peak"))
         .orderBy("day")
@@ -790,13 +791,13 @@ object FoldQueries {
 
     // Conversion-latency distribution: per user, first 'view' → first
     // 'purchase' delta (ms, integer) for users converting after first
-    // view; deciles cut by NTILE over the reduced per-user grain with
-    // user_id tiebreaks (total order on both engines). The event stream
-    // reduces to two conditional MINs per user in one scan — the decile
-    // windows then touch user-count rows, never events.
+    // view; deciles cut by the decomposed global NTILE ([[Ranks]]) over
+    // the reduced per-user grain with user_id tiebreaks (total order on
+    // both engines). The event stream reduces to two conditional MINs per
+    // user in one scan — the decile buckets then touch user-count rows,
+    // never events, and no single-partition window anywhere.
     "q_time_to_convert" -> { (s, dir) =>
-      val W = org.apache.spark.sql.expressions.Window
-      Tables(s, dir, "events")
+      val per = Tables(s, dir, "events")
         .filter(col("event_type").isin("view", "purchase"))
         .groupBy("user_id")
         .agg(
@@ -804,8 +805,10 @@ object FoldQueries {
           min(when(col("event_type") === "purchase", expr("ts div 1000000"))).as("p_ms"))
         .filter(col("v_ms").isNotNull && col("p_ms").isNotNull && col("p_ms") > col("v_ms"))
         .withColumn("delta", col("p_ms") - col("v_ms"))
-        .withColumn("decile",
-          ntile(10).over(W.orderBy("delta", "user_id")).cast("long"))
+      Ranks.bucketRange(per, Seq(col("delta").asc, col("user_id").asc))
+        .withRowNumber("__i")
+        .withNtile("__i", 10, "decile")
+        .result.drop("__i")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_users"),
           min("delta").as("min_ms"), max("delta").as("max_ms"),
@@ -955,24 +958,30 @@ object FoldQueries {
     // the tie trick (2·avgrank = 2·rank + ties − 1, exact for any tie
     // group), so U2 = 2·U stays BIGINT and U2_a + U2_b = 2·n_a·n_b holds
     // identically (conservation is part of the hash-checked output). One
-    // user reduction, one global rank window over the user grain.
+    // user reduction, then a per-DISTINCT-cents reduction whose decomposed
+    // global cumsum ([[Ranks]]) replaces the rank window: the tie-group
+    // min-rank is (rows strictly below) + 1 = cum_t − t + 1, so the
+    // doubled avg rank is r2 = 2·cum_t − t + 1 and per-variant sums
+    // weight r2 by the group's variant counts — no rank window, no
+    // single-partition stage.
     "q_mannwhitney" -> { (s, dir) =>
-      val W = org.apache.spark.sql.expressions.Window
       val per = Tables(s, dir, "events")
         .groupBy("user_id")
         .agg(expr("CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)").as("cents"))
         .selectExpr("user_id % 2 AS variant", "cents")
-      per
-        .withColumn("r", rank().over(W.orderBy("cents")).cast("long"))
-        .withColumn("t", count(lit(1)).over(W.partitionBy("cents")))
-        .withColumn("r2", expr("2 * r + t - 1"))
-        .groupBy("variant")
-        .agg(count(lit(1)).as("n"), expr("CAST(SUM(r2) AS BIGINT)").as("s2"))
+      val grp = per.groupBy("cents")
+        .agg(expr("CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("ca"),
+          expr("CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)").as("cb"))
+        .withColumn("t", expr("ca + cb"))
+      Ranks.bucketRange(grp, Seq(col("cents").asc), valueCols = Seq("t"))
+        .withCumSum("t", "cum_t")
+        .result
+        .withColumn("r2", expr("2 * cum_t - t + 1"))
         .agg(
-          expr("CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT)").as("n_a"),
-          expr("CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT)").as("n_b"),
-          expr("CAST(SUM(CASE WHEN variant = 0 THEN s2 ELSE 0 END) AS BIGINT)").as("s2_a"),
-          expr("CAST(SUM(CASE WHEN variant = 1 THEN s2 ELSE 0 END) AS BIGINT)").as("s2_b"))
+          expr("CAST(SUM(ca) AS BIGINT)").as("n_a"),
+          expr("CAST(SUM(cb) AS BIGINT)").as("n_b"),
+          expr("CAST(SUM(ca * r2) AS BIGINT)").as("s2_a"),
+          expr("CAST(SUM(cb * r2) AS BIGINT)").as("s2_b"))
         .selectExpr("n_a", "n_b",
           "s2_a - n_a * (n_a + 1) AS u2_a",
           "s2_b - n_b * (n_b + 1) AS u2_b",
@@ -983,25 +992,26 @@ object FoldQueries {
     // location tests): D = max |ECDF_a − ECDF_b| over per-user cent
     // spend, computed exactly as max |cumA·n_b − cumB·n_a| (integer — no
     // float ECDF anywhere); the report carries the gap's location and
-    // D in ppm. Same reduced-grain shape as the other rank statistics:
-    // one user reduction, windows over the user grain.
+    // D in ppm. One user reduction, then a per-DISTINCT-cents reduction;
+    // both ECDFs ride ONE decomposed global cumsum pass ([[Ranks]] — the
+    // totals fall out of the same bounded bucket gather as literals), and
+    // the argmax is orderBy+limit(1) (TakeOrdered — a per-partition top-1
+    // reduce), so no single-partition window anywhere.
     "q_ks_test" -> { (s, dir) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
-      Tables(s, dir, "events")
+      val grp = Tables(s, dir, "events")
         .groupBy("user_id")
         .agg(expr("CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)").as("cents"))
         .selectExpr("user_id % 2 AS variant", "cents")
         .groupBy("cents")
         .agg(expr("CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("ca"),
           expr("CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)").as("cb"))
-        .withColumn("cum_a", sum("ca").over(wc))
-        .withColumn("cum_b", sum("cb").over(wc))
-        .withColumn("n_a", sum("ca").over(W.partitionBy()))
-        .withColumn("n_b", sum("cb").over(W.partitionBy()))
+      val b = Ranks.bucketRange(grp, Seq(col("cents").asc), valueCols = Seq("ca", "cb"))
+      b.withCumSum("ca", "cum_a").withCumSum("cb", "cum_b")
+        .result
+        .withColumn("n_a", lit(b.valueTotal("ca")))
+        .withColumn("n_b", lit(b.valueTotal("cb")))
         .withColumn("gap", expr("abs(cum_a * n_b - cum_b * n_a)"))
-        .withColumn("pick", row_number().over(W.orderBy(col("gap").desc, col("cents").asc)))
-        .filter(col("pick") === 1)
+        .orderBy(col("gap").desc, col("cents").asc).limit(1)
         .selectExpr("n_a", "n_b", "cents AS at_cents", "gap AS d_num",
           "gap * 1000000 div (n_a * n_b) AS d_ppm")
     },

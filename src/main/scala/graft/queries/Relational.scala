@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Ranks}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -554,20 +554,27 @@ object Relational {
 
     // RFM segmentation (recency / frequency / monetary quintiles): the
     // classic CRM cube. Per-customer aggregates reduce first (one slim
-    // shuffle); the three NTILE windows run over the reduced per-customer
-    // grain with custkey tiebreaks so the quintile cuts are total orders
-    // on both engines; segments roll up with exact decimal spend.
+    // shuffle); each quintile cut is the decomposed global NTILE
+    // ([[Ranks]] — three independent range-bucket passes over the reduced
+    // per-customer grain, custkey tiebreaks so the cuts are total orders
+    // on both engines, no single-partition window); segments roll up with
+    // exact decimal spend.
     "q_rfm_segments" -> { (s, dir) =>
-      val W = org.apache.spark.sql.expressions.Window
       val per = Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(max("o_orderdate").as("last_date"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-      per
-        .withColumn("r", ntile(5).over(W.orderBy(col("last_date"), col("o_custkey"))).cast("long"))
-        .withColumn("f", ntile(5).over(W.orderBy(col("freq"), col("o_custkey"))).cast("long"))
-        .withColumn("m", ntile(5).over(W.orderBy(col("spend"), col("o_custkey"))).cast("long"))
+      def quintile(df: DataFrame, out: String, order: Column*): DataFrame =
+        Ranks.bucketRange(df, order)
+          .withRowNumber("__i").withNtile("__i", 5, out)
+          .result.drop("__i")
+      val cut = quintile(
+        quintile(
+          quintile(per, "r", col("last_date").asc, col("o_custkey").asc),
+          "f", col("freq").asc, col("o_custkey").asc),
+        "m", col("spend").asc, col("o_custkey").asc)
+      cut
         .groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("spend")).cast("decimal(38,2)").cast("double").as("total_spend"))
@@ -577,19 +584,21 @@ object Relational {
     // Revenue-concentration (Lorenz) deciles: users ranked by exact cent
     // spend, cumulative share per rank-decile in integer ppm — the
     // "top 10% carry X% of revenue" curve with no float anywhere. The
-    // windows run over the reduced per-customer grain (q_user_deciles
-    // acceptance); cum*1e6 stays in Long up to ~9.2e12 total cents
-    // (decompose like uniformMixWeights beyond that).
+    // rank and running sum ride ONE decomposed range-bucket pass
+    // ([[Ranks]]) over the reduced per-customer grain, and the grand
+    // totals fall out of the same bounded bucket gather as literals — no
+    // single-partition window at any grain; cum*1e6 stays in Long up to
+    // ~9.2e12 total cents (decompose like uniformMixWeights beyond that).
     "q_lorenz" -> { (s, dir) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val wOrd = W.orderBy("cents", "o_custkey")
-      Tables(s, dir, "orders")
+      val per = Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
-        .withColumn("i", row_number().over(wOrd).cast("long"))
-        .withColumn("cum", sum("cents").over(wOrd.rowsBetween(W.unboundedPreceding, 0)))
-        .withColumn("n", count(lit(1)).over(W.partitionBy()))
-        .withColumn("total", sum("cents").over(W.partitionBy()))
+      val b = Ranks.bucketRange(per,
+        Seq(col("cents").asc, col("o_custkey").asc), valueCols = Seq("cents"))
+      b.withRowNumber("i").withCumSum("cents", "cum")
+        .result
+        .withColumn("n", lit(b.rowTotal))
+        .withColumn("total", lit(b.valueTotal("cents")))
         .withColumn("decile", expr("(i - 1) * 10 div n + 1"))
         .groupBy("decile")
         .agg(max("i").as("cum_users"), max("cum").as("cum_cents"),
@@ -668,13 +677,15 @@ object Relational {
     // G = (2·Σ i·x_(i) − (n+1)·T) / (n·T) over rank-ordered exact cents.
     // Both numerator and denominator stay BIGINT-exact and < 2^53, so
     // the final double division is textually identical — no float
-    // anywhere before the last step.
+    // anywhere before the last step. The rank is the decomposed global
+    // row_number ([[Ranks]]) — no single-partition window.
     "q_gini" -> { (s, dir) =>
-      val W = org.apache.spark.sql.expressions.Window
-      Tables(s, dir, "orders")
+      val per = Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
-        .withColumn("i", row_number().over(W.orderBy("cents", "o_custkey")).cast("long"))
+      Ranks.bucketRange(per, Seq(col("cents").asc, col("o_custkey").asc))
+        .withRowNumber("i")
+        .result
         .agg(count(lit(1)).as("n"),
           expr("CAST(SUM(cents) AS BIGINT)").as("t"),
           expr("CAST(SUM(i * cents) AS BIGINT)").as("s"))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Ranks]] must be bit-identical to the naive single-partition window
+  * for every statistic it decomposes — row_number, inclusive running sum,
+  * and NTILE — including heavy ties, skewed keys, and bucket counts that
+  * exceed / equal / divide the row count. The eight q_* oracle rows pin
+  * the same thing end to end against DuckDB; this spec pins the algebra
+  * directly against Spark's own window functions so a future edit can't
+  * pass the oracles by accident on one data shape. */
+class RanksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic skewed fixture: many ties in v (xorshift mod 37), ids total-order
+  private def fixture(n: Int) = {
+    var x = 0x9e3779b97f4a7c15L
+    (0 until n).map { i =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (i.toLong, java.lang.Long.remainderUnsigned(x, 37L),
+        1L + java.lang.Long.remainderUnsigned(x >>> 7, 1000L))
+    }.toDF("id", "v", "size")
+  }
+
+  test("decomposed row_number == Window.orderBy row_number (ties, several bucket counts)") {
+    val df = fixture(500)
+    val naive = df.withColumn("i",
+      row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+    for (buckets <- Seq(1, 7, 64, 700)) {
+      val dec = Ranks.bucketRange(df, Seq(col("v").desc, col("id").asc), buckets = buckets)
+        .withRowNumber("i").result
+      assert(dec.join(naive.withColumnRenamed("i", "i0"), Seq("id", "v", "size"))
+        .filter(col("i") =!= col("i0")).count() === 0, s"buckets=$buckets")
+      assert(dec.count() === 500)
+    }
+  }
+
+  test("decomposed running sum == Window.orderBy cumsum; totals exact") {
+    val df = fixture(300)
+    val w = Window.orderBy(col("id").asc).rowsBetween(Window.unboundedPreceding, 0)
+    val naive = df.withColumn("c0", sum("size").over(w))
+    val b = Ranks.bucketRange(df, Seq(col("id").asc), valueCols = Seq("size"), buckets = 16)
+    val dec = b.withCumSum("size", "c").result
+    assert(dec.join(naive, Seq("id", "v", "size"))
+      .filter(col("c") =!= col("c0")).count() === 0)
+    assert(b.valueTotal("size") === df.agg(sum("size")).as[Long].head())
+    assert(b.rowTotal === 300L)
+  }
+
+  test("decomposed NTILE == Spark ntile for n in {2,3,10,97} including total<n") {
+    for (rows <- Seq(5, 96, 100); n <- Seq(2, 3, 10, 97)) {
+      val df = fixture(rows)
+      val naive = df.withColumn("t0",
+        ntile(n).over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      val dec = Ranks.bucketRange(df, Seq(col("v").asc, col("id").asc), buckets = 8)
+        .withRowNumber("i").withNtile("i", n, "t").result
+      assert(dec.join(naive, Seq("id", "v", "size"))
+        .filter(col("t") =!= col("t0")).count() === 0, s"rows=$rows n=$n")
+    }
+  }
+
+  test("empty input yields empty output, no analysis error") {
+    val df = fixture(0)
+    val b = Ranks.bucketRange(df, Seq(col("id").asc), valueCols = Seq("size"))
+    assert(b.withRowNumber("i").withCumSum("size", "c").result.count() === 0)
+    assert(b.rowTotal === 0L && b.valueTotal("size") === 0L)
+  }
+
+  test("plan has no SinglePartition exchange and no unpartitioned window") {
+    val dec = Ranks.bucketRange(fixture(100), Seq(col("v").asc, col("id").asc),
+      valueCols = Seq("size"), buckets = 8)
+      .withRowNumber("i").withCumSum("size", "c").result
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+}
