@@ -7,25 +7,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * batch analogue of the engine's streaming state+offset atomic commit,
   * for the common "recompute a table, swap it in atomically" job.
   *
-  * Protocol (manifest-last, rename-committed):
+  * Protocol (manifest-last, claim-arbitrated, rename-committed):
   *  1. data files land under `basePath/data/<uuid>/` — invisible to
   *     readers, because readers only trust manifests;
-  *  2. a manifest (one file path per line) is written to a temp name and
-  *     COMMITTED via an atomic `rename` to `basePath/_manifests/<v>.json`
-  *     where v = highest committed version + 1;
-  *  3. if the rename loses a race (target exists), the committer retries
-  *     with the next version — data files never move, so a lost race
-  *     costs one rename, not a rewrite.
+  *  2. a manifest (one file path per line) is written to a temp name
+  *     (`.tmp-<uuid>`, ignored by readers);
+  *  3. the committer CLAIMS a version by create-exclusive of
+  *     `basePath/_manifests/<v>.claim` starting at v = highest committed
+  *     version + 1, incrementing on every claim miss — exclusivity comes
+  *     from O_CREAT|O_EXCL (java.nio on local paths, `create(path,
+  *     overwrite=false)` on HDFS-class stores, both atomic server-side),
+  *     NEVER from rename-refuses-existing-target semantics, which
+  *     RawLocalFileSystem does not reliably provide (java.io.File
+  *     .renameTo → POSIX rename(2) overwrites silently);
+  *  4. the claim winner renames its temp manifest onto `<v>.json` — the
+  *     target cannot exist (only the claim holder writes it), so the
+  *     rename is pure atomic content publication; data files never move
+  *     and a lost claim costs one create attempt, not a rewrite.
   *
   * Consequences, each pinned by TxnParquetSpec: a crash before commit
-  * leaves only an orphan uuid directory that no reader ever sees; readers
-  * get snapshot isolation (the manifest they resolved keeps its files —
-  * publishes never delete); every historical version remains readable
-  * (time travel) until `vacuum` drops manifests and unreferenced files.
+  * leaves only an orphan uuid directory / tmp manifest / claim that no
+  * reader ever sees (a dead claim just makes later committers skip that
+  * number — versions may have gaps); readers get snapshot isolation (the
+  * manifest they resolved keeps its files — publishes never delete);
+  * every historical version remains readable (time travel) until `vacuum`
+  * drops manifests, claims, stale tmp manifests, and unreferenced files.
+  * `vacuum` concurrent with an in-flight `publish` is not supported (it
+  * may delete the publisher's tmp manifest; the publish then fails
+  * cleanly — nothing is half-committed).
   *
-  * Rename atomicity holds on HDFS/ABFS/local file systems. On S3-class
-  * stores a conditional-put commit (or a log-based protocol à la Delta)
-  * replaces step 2 — the manifest-last structure is unchanged.
+  * On S3-class stores a conditional-put commit (if-none-match — the same
+  * claim primitive) or a log-based protocol à la Delta replaces step 3 —
+  * the manifest-last structure is unchanged.
   */
 object TxnParquet {
 
@@ -60,13 +73,44 @@ object TxnParquet {
     val out = f.create(tmp, true)
     out.write(files.mkString("\n").getBytes("UTF-8"))
     out.close()
-    // commit loop: rename is atomic and fails if the target exists, so
-    // the first committer of a version wins and the loser just tries the
-    // next number — data files are never rewritten
-    var v = versions(spark, base).lastOption.getOrElse(0L) + 1
-    while (!f.rename(tmp, new Path(manifestDir(base), s"$v.json"))) {
-      v += 1
+    commitFrom(f, base, tmp, versions(spark, base).lastOption.getOrElse(0L) + 1)
+  }
+
+  /** Atomically claim `claim` via create-exclusive. True O_EXCL on local
+    * paths (java.nio — Hadoop's local `create(overwrite=false)` is
+    * check-then-act); HDFS-class stores enforce `overwrite=false`
+    * atomically server-side. Returns false iff the claim already exists. */
+  private def claimVersion(f: FileSystem, claim: Path): Boolean = {
+    val scheme = claim.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (f.exists(claim)) false else throw e
+      }
     }
+  }
+
+  /** Commit step, separated so the two-committers-same-version race is
+    * deterministically testable: claim the first free version >= `startV`
+    * (create-exclusive — the race's linearization point), then publish the
+    * manifest content with one rename onto the claimed, guaranteed-free
+    * target. */
+  private[state] def commitFrom(f: FileSystem, base: String, tmp: Path,
+                                startV: Long): Long = {
+    var v = startV
+    // skip versions whose manifest already exists (an out-of-band
+    // committer that bypassed claims) as well as claimed ones — never
+    // depend on rename refusing an existing target
+    while (f.exists(new Path(manifestDir(base), s"$v.json")) ||
+        !claimVersion(f, new Path(manifestDir(base), s"$v.claim"))) v += 1
+    val target = new Path(manifestDir(base), s"$v.json")
+    require(!f.exists(target), s"manifest $v appeared without a claim — refusing to clobber")
+    require(f.rename(tmp, target),
+      s"manifest rename failed for version $v (concurrent vacuum?)")
     v
   }
 
@@ -94,7 +138,9 @@ object TxnParquet {
     * their key grain by the caller's contract that `key` is unique per
     * version) emitting `op` ∈ insert / delete / update — the
     * q_merge_upsert shape applied to time travel. Rows equal on all
-    * columns are omitted. */
+    * columns are omitted. Update detection compares the row structs
+    * directly (null-safe) — the already-shipped values, no hash proxy
+    * and so no collision blind spot. */
   def diff(spark: SparkSession, base: String, key: String,
            fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -102,21 +148,24 @@ object TxnParquet {
     val b = readVersion(spark, base, toV)
     val cols = a.columns.toSeq
     require(cols == b.columns.toSeq, "schemas differ between versions")
-    val ah = a.select(col(key).as("__k"),
-      xxhash64(struct(cols.map(col): _*)).as("__ha"), struct(cols.map(col): _*).as("__a"))
-    val bh = b.select(col(key).as("__k"),
-      xxhash64(struct(cols.map(col): _*)).as("__hb"), struct(cols.map(col): _*).as("__b"))
+    val ah = a.select(col(key).as("__k"), struct(cols.map(col): _*).as("__a"))
+    val bh = b.select(col(key).as("__k"), struct(cols.map(col): _*).as("__b"))
     ah.join(bh, Seq("__k"), "full_outer")
       .withColumn("op",
-        when(col("__ha").isNull, lit("insert"))
-          .when(col("__hb").isNull, lit("delete"))
-          .when(col("__ha") =!= col("__hb"), lit("update")))
+        when(col("__a").isNull, lit("insert"))
+          .when(col("__b").isNull, lit("delete"))
+          .when(!(col("__a") <=> col("__b")), lit("update")))
       .filter(col("op").isNotNull)
       .select(col("__k").as(key), col("op"), col("__a").as("before"), col("__b").as("after"))
   }
 
-  /** Drop manifests older than `keepLast` versions and delete data
-    * directories no surviving manifest references. */
+  /** Drop manifests older than `keepLast` versions, delete data
+    * directories no surviving manifest references, and clean the commit
+    * machinery's leftovers: orphan `.tmp-*` manifests (writers that died
+    * before commit) and `.claim` files at or below the newest committed
+    * version (claims that can no longer arbitrate anything — committers
+    * always start above the newest `.json`). Not supported concurrently
+    * with an in-flight publish (see protocol note). */
   def vacuum(spark: SparkSession, base: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least one version")
     val f = fs(spark, base)
@@ -126,6 +175,15 @@ object TxnParquet {
       readVersionFiles(spark, base, v)
     }.map(p => new Path(p).getParent.toString).toSet
     drop.foreach(v => f.delete(new Path(manifestDir(base), s"$v.json"), false))
+    val newest = vs.lastOption.getOrElse(0L)
+    if (f.exists(manifestDir(base))) {
+      f.listStatus(manifestDir(base)).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val staleClaim = n.endsWith(".claim") &&
+          n.stripSuffix(".claim").toLongOption.exists(_ <= newest)
+        if (n.startsWith(".tmp-") || staleClaim) f.delete(p, false)
+      }
+    }
     val dataRoot = new Path(base, "data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).filter(_.isDirectory).foreach { st =>

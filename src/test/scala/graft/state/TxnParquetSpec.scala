@@ -48,6 +48,7 @@ class TxnParquetSpec extends SparkTestBase {
     val fs = new org.apache.hadoop.fs.Path(b)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stolen = new org.apache.hadoop.fs.Path(s"$b/_manifests/2.json")
+    fs.create(new org.apache.hadoop.fs.Path(s"$b/_manifests/2.claim"), false).close()
     val out = fs.create(stolen, false)
     // a valid manifest written by the "other" committer: reuse v1's files
     val v1Files = TxnParquet.readVersion(spark, b, 1)
@@ -117,6 +118,58 @@ class TxnParquetSpec extends SparkTestBase {
     assert(TxnParquet.readVersion(spark, b, va).count() == 100)
     assert(TxnParquet.readVersion(spark, b, vb).count() == 200)
     assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L))
+  }
+
+  test("DETERMINISTIC race: two committers starting from the SAME next " +
+    "version get distinct versions; neither manifest is clobbered") {
+    // the r8-flagged failure mode: both publishers compute next = 2, and
+    // on a rename-overwrites filesystem both 'succeed' onto 2.json. The
+    // claim protocol makes the second committer slide to 3 even when both
+    // start at exactly the same number — reproduced here sequentially, so
+    // the old code fails deterministically (its second rename clobbers).
+    import spark.implicits._
+    val b = base()
+    TxnParquet.publish((1 to 10).toDF("id"), b)
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tmpManifest(rows: Int, name: String): org.apache.hadoop.fs.Path = {
+      val dir = s"$b/data/$name"
+      (1 to rows).toDF("id").write.parquet(dir)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+      val tmp = new org.apache.hadoop.fs.Path(s"$b/_manifests/.tmp-$name")
+      val out = fs.create(tmp, true)
+      out.write(files.mkString("\n").getBytes("UTF-8")); out.close()
+      tmp
+    }
+    val t1 = tmpManifest(111, "racer-one")
+    val t2 = tmpManifest(222, "racer-two")
+    val v1 = TxnParquet.commitFrom(fs, b, t1, startV = 2L) // same startV:
+    val v2 = TxnParquet.commitFrom(fs, b, t2, startV = 2L) // the race, forced
+    assert(v1 == 2L && v2 == 3L, s"expected (2,3), got ($v1,$v2)")
+    assert(TxnParquet.readVersion(spark, b, 2).count() == 111)
+    assert(TxnParquet.readVersion(spark, b, 3).count() == 222)
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L))
+  }
+
+  test("vacuum cleans stale .tmp manifests and spent .claim files") {
+    import spark.implicits._
+    val b = base()
+    TxnParquet.publish((1 to 10).toDF("id"), b)
+    TxnParquet.publish((1 to 20).toDF("id"), b)
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer that died between manifest write and commit
+    val dead = new org.apache.hadoop.fs.Path(s"$b/_manifests/.tmp-dead-writer")
+    val out = fs.create(dead, true); out.write("x".getBytes("UTF-8")); out.close()
+    TxnParquet.vacuum(spark, b, keepLast = 2)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$b/_manifests"))
+      .map(_.getPath.getName).toSet
+    assert(!names.exists(_.startsWith(".tmp-")), s"tmp survived: $names")
+    assert(!names.exists(_.endsWith(".claim")), s"claims survived: $names")
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L)) // manifests intact
+    assert(TxnParquet.read(spark, b).count() == 20)
   }
 
   test("vacuum keeps the last K versions and deletes unreferenced data dirs") {
