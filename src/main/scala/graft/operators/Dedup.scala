@@ -170,22 +170,59 @@ object Dedup {
     out
   }
 
+  /** Fail-fast population guard for the blocked all-pairs demo paths: a
+    * block of n docs enumerates C(n,2) candidate pairs, so a silently hot
+    * block (boilerplate language tag, empty length band) turns the "demo
+    * quadratic" into a cluster-eating join with only a doc comment in the
+    * way. The guard computes per-block populations (one slim aggregate
+    * over the doc table), broadcasts only the OFFENDERS (expected empty),
+    * and raises a runtime error naming the block and the scale paths the
+    * caller should be on — [[lshVerifiedPairs]] / [[winnowedPairs]] —
+    * before the pair join materializes anything. `Long.MaxValue`
+    * disables (the explicit caller override). */
+  private def guardBlockPopulation(
+      df: DataFrame, blockCols: Seq[String],
+      maxBlockPopulation: Long, caller: String): DataFrame = {
+    require(maxBlockPopulation > 0, "maxBlockPopulation must be positive")
+    if (maxBlockPopulation == Long.MaxValue) return df
+    val tagged = if (blockCols.nonEmpty) df else df.withColumn("__gblk", lit(1))
+    val cols = if (blockCols.nonEmpty) blockCols else Seq("__gblk")
+    val hot = tagged.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__blk_n"))
+      .filter(col("__blk_n") > maxBlockPopulation)
+    val guarded = tagged.join(broadcast(hot), cols, "left")
+      .withColumn("__blk_guard", assert_true(col("__blk_n").isNull,
+        concat(lit(s"graft.Dedup.$caller: block ("),
+          concat_ws(",", cols.map(c => col(c).cast("string")): _*),
+          lit(") has population "), col("__blk_n"),
+          lit(s" > maxBlockPopulation=$maxBlockPopulation; this demo path is " +
+            "O(block^2) — use lshVerifiedPairs/winnowedPairs (scale paths) " +
+            "or raise the cap explicitly"))))
+      .filter(col("__blk_guard").isNull)
+      .drop("__blk_n", "__blk_guard")
+    if (blockCols.nonEmpty) guarded else guarded.drop("__gblk")
+  }
+
   /** Shared scaffolding of the blocked all-pairs builders
     * ([[ngramJaccardPairs]], [[ngramContainmentPairs]]): shingle
     * projection, (doc1, sh1) / (doc2, sh2) sides with block columns
     * renamed on the right, the block-equality + doc1<doc2 join condition,
     * and the intersect-cardinality expression (merge-pass kernel for
-    * packed shingles, array_intersect otherwise). */
+    * packed shingles, array_intersect otherwise). The population guard
+    * runs on the shingled table BEFORE the self-join fan-out. */
   private def blockedPairScaffold(
       docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], k: Int, packedAscii: Boolean)
+      blockCols: Seq[String], k: Int, packedAscii: Boolean,
+      maxBlockPopulation: Long, caller: String)
       : (DataFrame, DataFrame, Column, Column) = {
     // packed + sorted shingles unlock the merge-pass intersect expression
     val shingleExpr =
       if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
       else TextAnalysis.shingles(col(textCol), k)
-    val withShingles = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+ shingleExpr.as("__sh"): _*)
+    val withShingles = guardBlockPopulation(
+      docs.select(
+        (col(idCol) +: blockCols.map(col)) :+ shingleExpr.as("__sh"): _*),
+      blockCols, maxBlockPopulation, caller)
     val a = withShingles.select(
       col(idCol).as("doc1") +: col("__sh").as("sh1") +: blockCols.map(col): _*)
     val b = withShingles.select(
@@ -201,7 +238,14 @@ object Dedup {
 
   /** Exact k-shingle Jaccard pairs above `minPpm`, blocked by (lang,
     * length band) to bound the candidate set. Returns (doc1, doc2,
-    * jacc_ppm) with doc1 < doc2. */
+    * jacc_ppm) with doc1 < doc2.
+    *
+    * DEMO PATH — quadratic in block population. Any block exceeding
+    * `maxBlockPopulation` fails fast at runtime (see
+    * [[guardBlockPopulation]]); the scale paths are [[lshVerifiedPairs]]
+    * (bounded candidates, identical exact scores) and
+    * [[prefixCandidates]] (rare-token prefix filtering). Pass
+    * `Long.MaxValue` to disable the guard explicitly. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -209,9 +253,11 @@ object Dedup {
       blockCols: Seq[String],
       k: Int,
       minPpm: Long,
-      packedAscii: Boolean = true): DataFrame = {
+      packedAscii: Boolean = true,
+      maxBlockPopulation: Long = 10000L): DataFrame = {
     val (a, b, blockCond, inter) =
-      blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii)
+      blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii,
+        maxBlockPopulation, "ngramJaccardPairs")
     // size-ratio prefilter: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so
     // pairs failing the ratio can never reach minPpm — provably
     // result-equivalent, and it skips the expensive intersect for most
@@ -239,8 +285,9 @@ object Dedup {
     * page has J = |A|/|B| (arbitrarily small) but containment = 1.
     *
     * Same blocked-all-pairs shape and caveat as [[ngramJaccardPairs]]:
-    * quadratic in block population, the oracle-exact demo; production
-    * candidates come from the LSH paths. Note there is deliberately NO
+    * quadratic in block population, the oracle-exact demo, guarded by the
+    * same `maxBlockPopulation` fail-fast; production candidates come from
+    * the LSH paths ([[winnowedPairs]] for the subset-dup case). Note there is deliberately NO
     * size-ratio prefilter here — the size-asymmetric pairs a Jaccard
     * blocker may discard are exactly containment's targets (so block on
     * size-independent keys, e.g. language, not length bands). The
@@ -253,9 +300,11 @@ object Dedup {
       blockCols: Seq[String],
       k: Int,
       minPpm: Long,
-      packedAscii: Boolean = true): DataFrame = {
+      packedAscii: Boolean = true,
+      maxBlockPopulation: Long = 10000L): DataFrame = {
     val (a, b, joinCond, inter) =
-      blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii)
+      blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii,
+        maxBlockPopulation, "ngramContainmentPairs")
     val minSize =
       greatest(least(size(col("sh1")), size(col("sh2"))).cast("long"), lit(1L))
     if (packedAscii) {

@@ -241,6 +241,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out((1L, 4L)) == 1000000L) // identical docs contain each other
   }
 
+  test("block-population guard: fail-fast on a planted hot block; output " +
+    "unchanged under the cap; explicit opt-out works") {
+    import org.apache.spark.sql.functions._
+    val texts = (1L to 60L).map(i => i -> s"document number $i with shared boilerplate text common to all")
+    val docs = docsDf(texts: _*).withColumn("blk", lit(0))
+    // 60 docs in one block, cap 50 -> the demo path must refuse to run
+    val e = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 800000L, maxBlockPopulation = 50L).count()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("maxBlockPopulation"), rootMsg(e).take(500))
+    assert(rootMsg(e).contains("lshVerifiedPairs"), "error must name the scale path")
+    // same planted block passes untouched when the cap accommodates it /
+    // is explicitly disabled, and both produce the identical pair set
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 100000L, maxBlockPopulation = 60L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 100000L, maxBlockPopulation = Long.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    assert(capped == uncapped && capped.nonEmpty)
+    // containment twin honours the same guard
+    val e2 = intercept[Exception] {
+      Dedup.ngramContainmentPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 900000L, maxBlockPopulation = 50L).count()
+    }
+    assert(rootMsg(e2).contains("ngramContainmentPairs"), rootMsg(e2).take(500))
+    // empty blockCols = one global block, still guarded
+    val e3 = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", Nil,
+        k = 3, minPpm = 800000L, maxBlockPopulation = 50L).count()
+    }
+    assert(rootMsg(e3).contains("maxBlockPopulation"), rootMsg(e3).take(500))
+  }
+
   test("Containment threshold kernel: exact boundary, early exits, degenerate arrays") {
     import graft.functions.ContainmentAtLeast.atLeast
     import org.apache.spark.sql.catalyst.util.GenericArrayData
