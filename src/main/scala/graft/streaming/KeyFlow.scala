@@ -64,7 +64,23 @@ final case class KeyFlowConfig(
       * `maxIdle` no tick runs and no tombstone is emitted — the state
       * just ages out. Processing-time domain only; ignored by the classic
       * flatMapGroupsWithState engine (no state-TTL support there). */
-    stateTtl: Option[Duration] = None) {
+    stateTtl: Option[Duration] = None,
+    /** USER-FACING OFFSET-DOMAIN TIMER (T9 — reference
+      * timer/KafkaTimer.scala:16-45 `KafkaTimer.Offset` +
+      * `TimerWindow.of(value, window)`): run the Tick every time the key's
+      * source-partition offset clock advances `n` offsets past the last
+      * tick basis — volume-based wakeups ("every 100k records on my
+      * partition"), the third timer domain next to Clock and Watermark.
+      * The basis arms at the key's first folded offset and re-arms
+      * window-aligned (basis += fired·n, so a clock jump of several
+      * windows ticks once, like TimerWindow). A tick returning None
+      * removes the key (`removeOnIdle` is NOT consulted — offset ticks
+      * are periodic wakeups, not idle expiry). Emulation bound (SURVEY
+      * §7.4): the partition clock is observed when the key receives
+      * records, so a key with no traffic ticks on its next record —
+      * the reference's poll-driven clock has the same data-driven
+      * granularity per partition. transformWithState engine only. */
+    tickEveryOffsets: Option[Long] = None) {
   /** Grouping key: the reference namespaces state by (topic, key) so equal
     * keys on different topics never share state (KafkaKey.scala:6-11);
     * opt in when subscribing to multiple topics. */

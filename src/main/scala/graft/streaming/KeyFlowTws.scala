@@ -23,12 +23,19 @@ class KeyFlowProcessor[S](
   extends StatefulProcessorWithInitialState[String, KeyFlow.RecordEnv, KeyOutput[S], FlowState[S]] {
 
   @transient private var state: ValueState[FlowState[S]] = _
+  // offset-domain timer basis (T9): the partition-clock value the last
+  // offset tick re-armed at — separate state cell so FlowState's wire
+  // format (and the external snapshot format) is untouched
+  @transient private var offsetBasis: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     val ttl = config.stateTtl
       .map(d => new TTLConfig(java.time.Duration.ofMillis(d.toMillis)))
       .getOrElse(TTLConfig.NONE)
     state = getHandle.getValueState[FlowState[S]]("flowState", stateEnc, ttl)
+    if (config.tickEveryOffsets.isDefined)
+      offsetBasis = getHandle.getValueState[Long]("offsetTimerBasis",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
   }
 
   /** Eager recovery seed (reference KeyStateOf.eagerRecovery +
@@ -49,6 +56,9 @@ class KeyFlowProcessor[S](
     }
     state.update(initial.copy(processedAtMs = now))
     config.maxIdle.foreach(d => getHandle.registerTimer(now + d.toMillis))
+    // arm the offset timer from the seeded snapshot offset: the recovered
+    // key's next window starts where the previous job's fold left off
+    config.tickEveryOffsets.foreach(_ => offsetBasis.update(initial.snapshot.offset))
   }
 
   override def handleInputRows(
@@ -76,8 +86,10 @@ class KeyFlowProcessor[S](
       case _ => Long.MaxValue
     }
     var basis = prev.map(_.processedAtMs).getOrElse(Long.MinValue)
+    var firstFolded = Long.MinValue
     sorted.foreach { e =>
       if (e.record.offset > snapOffset) { // replay dedup guard (P9)
+        if (firstFolded == Long.MinValue) firstFolded = e.record.offset
         val ts = e.record.timestamp.getTime
         if (current.isDefined && basis != Long.MinValue && ts - basis > retroGapMs) {
           val ticked = tick.run(current)
@@ -99,6 +111,22 @@ class KeyFlowProcessor[S](
         current = fold.run(current, e.record)
         snapOffset = e.record.offset
         if (ts > basis) basis = ts
+      }
+    }
+    // offset-domain user timer (T9): tick when the key's source-partition
+    // clock has advanced >= n offsets past the armed basis; re-arm
+    // window-aligned (a multi-window jump ticks once — TimerWindow
+    // semantics). The ticked state flows into the final emission below; a
+    // None tick removes the key through the ordinary removal branch.
+    config.tickEveryOffsets.foreach { n =>
+      val armBasis =
+        if (offsetBasis.exists) offsetBasis.get()
+        else prev.map(_.snapshot.offset).getOrElse(firstFolded)
+      if (!offsetBasis.exists && armBasis != Long.MinValue) offsetBasis.update(armBasis)
+      if (current.isDefined && armBasis != Long.MinValue &&
+          maxSeen != Long.MinValue && maxSeen - armBasis >= n) {
+        current = tick.run(current)
+        offsetBasis.update(armBasis + ((maxSeen - armBasis) / n) * n)
       }
     }
     val lagged = config.maxOffsetDifference.exists(d => maxSeen - snapOffset > d)
@@ -127,6 +155,7 @@ class KeyFlowProcessor[S](
       case _ =>
         deletePrevTimer() // removed keys must not leave a pending timer
         state.clear()
+        if (config.tickEveryOffsets.isDefined) offsetBasis.clear()
         retro.iterator ++ Iterator.single(KeyOutput[S](key, snapOffset, None, tombstone = true))
     }
   }
@@ -150,6 +179,7 @@ class KeyFlowProcessor[S](
       val remove = config.removeOnIdle || ticked.isEmpty
       if (remove) {
         state.clear()
+        if (config.tickEveryOffsets.isDefined) offsetBasis.clear()
         Iterator.single(KeyOutput[S](key, st.snapshot.offset, None, tombstone = true))
       } else {
         // processedAtMs moves with the re-registered timer so the stale
@@ -202,7 +232,8 @@ object KeyFlowTws {
     }
     val keyed = records.filter((r: Record) => r.key != null)
     val enriched =
-      if (config.maxOffsetDifference.isDefined) KeyFlow.withPartitionClock(keyed)
+      if (config.maxOffsetDifference.isDefined || config.tickEveryOffsets.isDefined)
+        KeyFlow.withPartitionClock(keyed)
       else keyed.map(r => KeyFlow.RecordEnv(r, Long.MinValue))
     enriched
       .groupByKey((e: KeyFlow.RecordEnv) => config.keyOf(e.record))
@@ -238,7 +269,8 @@ object KeyFlowTws {
     }
     val keyed = records.filter((r: Record) => r.key != null)
     val enriched =
-      if (config.maxOffsetDifference.isDefined) KeyFlow.withPartitionClock(keyed)
+      if (config.maxOffsetDifference.isDefined || config.tickEveryOffsets.isDefined)
+        KeyFlow.withPartitionClock(keyed)
       else keyed.map(r => KeyFlow.RecordEnv(r, Long.MinValue))
     enriched
       .groupByKey((e: KeyFlow.RecordEnv) => config.keyOf(e.record))

@@ -200,4 +200,10 @@ class KeyFlowSpec extends SparkTestBase {
     assert(forkSmoke("graft.streaming.TtlSmoke") == 0,
       "TtlSmoke forked JVM reported state-TTL failure")
   }
+
+  test("user offset-domain timers: tickEveryOffsets fires on partition-clock " +
+    "windows with per-key bases (T9, KafkaTimer.Offset analogue)") {
+    assert(forkSmoke("graft.streaming.OffsetTimerSmoke") == 0,
+      "OffsetTimerSmoke forked JVM reported offset-timer failure")
+  }
 }
