@@ -489,6 +489,13 @@ object PlanAudit {
       "FileScan parquet".r.findAllIn(p).size == 1 &&
         "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         p.contains("HashAggregate") && !p.contains("ScalaUDF"))
+    check("q9_profit", "Q9: part filter + nation are broadcast dims pruning lineitem map-side; no nested loop")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        p.contains("StringContains(p_name,red)") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q18_big_orders", "Q18: HAVING qualifier reaches orders as LEFT SEMI; top-100 is TakeOrdered, no global sort")(p =>
+      p.contains("LeftSemi") && p.contains("TakeOrderedAndProject") &&
+        !p.contains("CartesianProduct"))
     // Round 9: every global-rank statistic runs through the Ranks
     // decomposition — no Window or Sort ever executes over a
     // SinglePartition exchange (the r8 verdict's 8 perf-weak queries; the

@@ -77,6 +77,54 @@ object Relational {
         .orderBy(desc("revenue"), asc("n_name"))
     },
 
+    // TPC-H Q9 flavor (profit by nation and year): the canonical 5-way
+    // fact-to-dims join. The testdata ships no partsupp, so supply cost is
+    // proxied as p_retailprice·0.1 per unit — the SHAPE is the point:
+    // part (filtered, broadcast) and nation (broadcast) prune lineitem
+    // map-side, supplier/orders join on their keys, and profit follows the
+    // proven q3_join decimal discipline (textually identical double
+    // arithmetic inside a DECIMAL(28,10) accumulator, ROUND(...,2) out).
+    "q9_profit" -> { (s, dir) =>
+      val part = broadcast(Tables(s, dir, "part")
+        .filter(col("p_name").contains("red")))
+      val nation = broadcast(Tables(s, dir, "nation"))
+      Tables(s, dir, "lineitem")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * lit(0.1) * col("l_quantity"))
+            .cast("decimal(28,10)"))
+          .cast("decimal(38,2)").cast("double").as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+
+    // TPC-H Q18 flavor (large-volume customers): aggregate-HAVING
+    // semi-join — orders qualify via a slim (orderkey, total qty)
+    // aggregate, the qualifier reaches orders as a LEFT SEMI join (never
+    // materialized into the output), and the bounded top-100 is
+    // TakeOrdered, not a global sort. Quantities are integral doubles →
+    // exact BIGINT sums.
+    "q18_big_orders" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("q"))
+        .filter(col("q") > 250)
+        .select(col("l_orderkey").as("bk"))
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders")
+            .join(big, col("o_orderkey") === col("bk"), "left_semi"),
+          col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    },
+
     // Top-k: TakeOrderedAndProject — no global sort at scale.
     "q_topk" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -946,6 +994,26 @@ object Relational {
         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(ROUND(SUM(CAST(l_extendedprice*(1.0-l_discount) - p_retailprice*0.1*l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
