@@ -43,30 +43,47 @@ object KafkaFlowSpark {
       .as[Record]
   }
 
+  /** The full option map handed to the Kafka source — the reference
+    * `KafkaModule`/consumer-config surface (O24) as ONE pure, testable
+    * function (KafkaSurfaceSpec pins every key): subscription, offset
+    * range (batch reads set `endingOffsets`), header decode, and a
+    * passthrough for consumer tuning — `maxOffsetsPerTrigger`,
+    * `failOnDataLoss`, `kafka.*` security/client settings — which the
+    * reference exposes as raw consumer properties. Explicit arguments win
+    * over `extra` so a stray `extra` key cannot silently unsubscribe. */
+  def kafkaOptions(bootstrapServers: String, topics: String,
+                   startingOffsets: String = "earliest",
+                   endingOffsets: Option[String] = None,
+                   extra: Map[String, String] = Map.empty): Map[String, String] =
+    extra ++
+      Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topics,
+        "startingOffsets" -> startingOffsets,
+        "includeHeaders" -> "true") ++
+      endingOffsets.map("endingOffsets" -> _)
+
   def fromKafka(spark: SparkSession, bootstrapServers: String, topics: String,
-                startingOffsets: String = "earliest"): Dataset[Record] =
+                startingOffsets: String = "earliest",
+                extra: Map[String, String] = Map.empty): Dataset[Record] =
     decodeKafka(
       spark.readStream
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topics)
-        .option("startingOffsets", startingOffsets)
-        .option("includeHeaders", "true")
+        .options(kafkaOptions(bootstrapServers, topics, startingOffsets,
+          endingOffsets = None, extra = extra))
         .load())
 
   /** Bounded batch read of a topic range — for backfills and journal
     * replays over Kafka itself (same decode as the stream). */
   def fromKafkaBatch(spark: SparkSession, bootstrapServers: String, topics: String,
                      startingOffsets: String = "earliest",
-                     endingOffsets: String = "latest"): Dataset[Record] =
+                     endingOffsets: String = "latest",
+                     extra: Map[String, String] = Map.empty): Dataset[Record] =
     decodeKafka(
       spark.read
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topics)
-        .option("startingOffsets", startingOffsets)
-        .option("endingOffsets", endingOffsets)
-        .option("includeHeaders", "true")
+        .options(kafkaOptions(bootstrapServers, topics, startingOffsets,
+          endingOffsets = Some(endingOffsets), extra = extra))
         .load())
 
   /** records → keyed fold changelog (see [[KeyFlow.flow]]). */
