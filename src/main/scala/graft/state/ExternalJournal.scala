@@ -51,4 +51,34 @@ object ExternalJournal {
     OrderedFold.run(records)(_.key, _.offset)(guarded)
       .flatMap { case (k, (_, s)) => s.map(k -> _) }
   }
+
+  /** The journal as a STREAMING source (round-7 stretch): Spark's file
+    * source tails the append-only parquet log — every [[append]] lands new
+    * files, each microbatch picks up the unseen ones (exactly-once file
+    * tracking in the stream's own checkpoint) — so a journal written by
+    * one job replays into a LIVE [[graft.streaming.KeyFlowTws]] flow in
+    * another, the reference's journal-backed recovery
+    * (Persistence.scala:178-192) running continuously instead of as a
+    * batch rebuild. At-least-once appends are safe end to end: duplicate
+    * (key, offset) rows are dropped by the flow's snapshot-offset guard
+    * (P9) exactly as [[replay]] dedups them. JournalStreamSmoke pins
+    * stream-vs-batch parity on the same journal, duplicates included.
+    *
+    * The returned Dataset is unbounded; pair with `KeyFlowTws.flow` (or
+    * any streaming sink). Appends must be producer-ordered per key (the
+    * journal contract already required by [[replay]]): the file source
+    * serves files in discovery order, so a LOWER offset appended after a
+    * key already folded past it is dropped by the guard — that is the
+    * replay semantic, not reordering tolerance. */
+  def stream(spark: SparkSession, journalDir: String, topic: String): Dataset[Record] = {
+    import org.apache.spark.sql.functions.col
+    implicit val recEnc: Encoder[Record] = ExpressionEncoder[Record]()
+    spark.readStream
+      .schema(recEnc.schema) // topic is the partition dir column, filled by discovery
+      .parquet(journalDir)
+      .filter(col("topic") === topic)
+      .select("topic", "partition", "offset", "timestamp", "timestampType",
+        "key", "value", "headers")
+      .as[Record]
+  }
 }

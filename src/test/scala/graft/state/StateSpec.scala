@@ -119,4 +119,10 @@ class ExternalSnapshotsSpec extends SparkTestBase {
       .collect().map(_.getAs[String]("key")).toSet
     assert(purged == Set("stale"))
   }
+
+  test("journal STREAMING source: live tail into KeyFlowTws matches batch " +
+    "replay across appends, at-least-once duplicates dropped in flight") {
+    assert(forkSmoke("graft.streaming.JournalStreamSmoke") == 0,
+      "JournalStreamSmoke forked JVM reported stream/batch journal mismatch")
+  }
 }
