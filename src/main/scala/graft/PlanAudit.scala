@@ -496,6 +496,9 @@ object PlanAudit {
     check("q18_big_orders", "Q18: HAVING qualifier reaches orders as LEFT SEMI; top-100 is TakeOrdered, no global sort")(p =>
       p.contains("LeftSemi") && p.contains("TakeOrderedAndProject") &&
         !p.contains("CartesianProduct"))
+    check("q_exact_quantiles", "exact order-statistic quantiles: decomposed rank + 3-row broadcast pick; no SinglePartition")(p =>
+      p.contains("BroadcastHashJoin") && p.contains("hashpartitioning(__rb") &&
+        !p.contains("Exchange SinglePartition"))
     // Round 9: every global-rank statistic runs through the Ranks
     // decomposition — no Window or Sort ever executes over a
     // SinglePartition exchange (the r8 verdict's 8 perf-weak queries; the

@@ -125,6 +125,25 @@ object Relational {
         .limit(100)
     },
 
+    // Exact order-statistic quantiles (p50/p90/p99 of per-customer spend):
+    // the EXACT complement of approx_percentile, via the decomposed global
+    // rank ([[Ranks]]) — position ⌈n·k/100⌉ in the (cents, custkey) total
+    // order, all integer arithmetic, no single-partition sort. The
+    // positions come from the bounded bucket gather as literals; a 3-row
+    // broadcast picks the quantile rows.
+    "q_exact_quantiles" -> { (s, dir) =>
+      val per = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+      val b = Ranks.bucketRange(per, Seq(col("cents").asc, col("o_custkey").asc))
+      val pos = Seq(50L, 90L, 99L).map(k => (k, (b.rowTotal * k + 99) / 100))
+      import s.implicits._
+      b.withRowNumber("i").result
+        .join(broadcast(pos.toDF("pctl", "pos")), col("i") === col("pos"))
+        .select(col("pctl"), col("pos"), col("cents"))
+        .orderBy("pctl")
+    },
+
     // Top-k: TakeOrderedAndProject — no global sort at scale.
     "q_topk" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -608,11 +627,15 @@ object Relational {
     // on both engines, no single-partition window); segments roll up with
     // exact decimal spend.
     "q_rfm_segments" -> { (s, dir) =>
+      // materialize the per-customer reduction ONCE: the three quintile
+      // passes each range-bucket a different order — without this pin the
+      // orders scan + aggregate would run three times (house pattern)
       val per = Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(max("o_orderdate").as("last_date"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .localCheckpoint(true)
       def quintile(df: DataFrame, out: String, order: Column*): DataFrame =
         Ranks.bucketRange(df, order)
           .withRowNumber("__i").withNtile("__i", 5, out)
@@ -1014,6 +1037,18 @@ object Relational {
         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_exact_quantiles" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS n FROM per),
+        |pos AS (SELECT CAST(pctl AS BIGINT) AS pctl FROM (VALUES (50), (90), (99)) t(pctl))
+        |SELECT pctl, (n * pctl + 99) // 100 AS pos, cents
+        |FROM ranked, pos WHERE i = (n * pctl + 99) // 100
+        |ORDER BY pctl""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -61,6 +61,27 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
+  test("99%-tied order keys with an id tiebreak still range-partition into " +
+    "balanced buckets (sampled boundaries split inside the tie run)") {
+    // the skew that kills a naive hash-on-first-column scheme: nearly all
+    // rows share the leading order value. The order is TOTAL (id breaks
+    // ties), so repartitionByRange can cut inside the tied run — no bucket
+    // may hold the whole tie population.
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 100 == 0) i.toLong else 7L))
+      .toDF("id", "v")
+    val b = Ranks.bucketRange(df, Seq(col("v").asc, col("id").asc), buckets = 16)
+    val sizes = b.df.groupBy(Ranks.BucketCol).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum === 2000)
+    assert(sizes.max <= 2 * (2000 / 16 + 1),
+      s"hot bucket under tie skew: ${sizes.mkString(",")}")
+    // and the statistic itself stays exact
+    val naive = df.withColumn("i0",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+    assert(b.withRowNumber("i").result.join(naive, Seq("id", "v"))
+      .filter(col("i") =!= col("i0")).count() === 0)
+  }
+
   test("empty input yields empty output, no analysis error") {
     val df = fixture(0)
     val b = Ranks.bucketRange(df, Seq(col("id").asc), valueCols = Seq("size"))
