@@ -240,7 +240,7 @@ object Corpus {
     * (count decomposition over a fixed total order); bit-identical to
     * the naive global window, which the oracle hash-match proves. */
   def epochOrder(df: DataFrame, idCol: String, epoch: Int = 0,
-                 buckets: Int = 64): DataFrame = {
+                 buckets: Int = 0): DataFrame = {
     require(epoch >= 0, "epoch must be non-negative")
     val hashed = df
       .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000))
@@ -330,7 +330,7 @@ object Corpus {
     * (== n up to the flooring of step; PpsSampleSpec pins conservation).
     */
   def ppsSample(df: DataFrame, idCol: String, sizeCol: String, n: Long,
-                buckets: Int = 64): DataFrame = {
+                buckets: Int = 0): DataFrame = {
     require(n > 0, "need a positive sample size")
     val sized = df.filter(col(sizeCol).isNotNull && col(sizeCol) > 0)
     val b = Ranks.bucketRange(sized, Seq(col(idCol).asc),
@@ -350,7 +350,7 @@ object Corpus {
 
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
                      tokensCol: String, budgetTokens: Long,
-                     buckets: Int = 64): DataFrame = {
+                     buckets: Int = 0): DataFrame = {
     require(budgetTokens >= 0, "budget must be non-negative")
     Ranks.bucketRange(df, Seq(col(scoreCol).desc, col(idCol).asc),
         valueCols = Seq(tokensCol), buckets = buckets)

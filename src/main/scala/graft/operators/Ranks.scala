@@ -89,11 +89,22 @@ object Ranks {
 
   /** Range-bucket `df` by `order` (a total order), materialize once, and
     * gather per-bucket counts/sums (≤ `buckets` rows) to build prefix
-    * offsets. `valueCols` must be integral (LONG-safe) columns. */
+    * offsets. `valueCols` must be integral (LONG-safe) columns.
+    *
+    * `buckets = 0` (the default) auto-scales to
+    * `max(64, spark.sql.shuffle.partitions)`: a fixed 64 is right on
+    * local[32] but would make each bucket sort 1/64th of the input on a
+    * 1000-executor cluster — tracking the session's shuffle width keeps
+    * per-bucket sorts task-sized at any scale, the driver gather stays
+    * bounded by the same knob, and results are invariant to the bucket
+    * count (RanksSpec pins 1/7/64/700 bit-identical). */
   def bucketRange(df: DataFrame, order: Seq[Column],
-                  valueCols: Seq[String] = Nil, buckets: Int = 64): RangeBuckets = {
-    require(buckets > 0, "need at least one bucket")
-    val ranged = df.repartitionByRange(buckets, order: _*)
+                  valueCols: Seq[String] = Nil, buckets: Int = 0): RangeBuckets = {
+    require(buckets >= 0, "buckets must be positive, or 0 for auto")
+    val nb =
+      if (buckets > 0) buckets
+      else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df.repartitionByRange(nb, order: _*)
       .withColumn(BucketCol, spark_partition_id())
       .localCheckpoint(true)
     val aggs = count(lit(1)).cast("long").as("__n") +:

@@ -153,6 +153,27 @@ class TxnParquetSpec extends SparkTestBase {
     assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L))
   }
 
+  test("eight concurrent publishers all commit to distinct versions with " +
+    "no lost manifest") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val b = base()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val racers = (1 to 8).map { n =>
+      Future { gate.await(); n -> TxnParquet.publish((1 to n * 10).toDF("id"), b) }
+    }
+    gate.countDown()
+    val landed = racers.map(Await.result(_, 300.seconds)).toMap
+    assert(landed.values.toSeq.sorted == (1L to 8L), s"versions: $landed")
+    // every publisher's rows are readable at its returned version
+    landed.foreach { case (n, v) =>
+      assert(TxnParquet.readVersion(spark, b, v).count() == n * 10L, s"racer $n at v$v")
+    }
+    assert(TxnParquet.versions(spark, b) == (1L to 8L))
+  }
+
   test("vacuum cleans stale .tmp manifests and spent .claim files") {
     import spark.implicits._
     val b = base()
