@@ -23,7 +23,10 @@ import org.apache.spark.sql.SparkSession
   * failures were silently timed as 0.06 s "successes".
   */
 object Bench {
-  private val PrintedLineBudget = 1900 // bytes; the JSON is the last line
+  // bytes; the JSON is the last line. Must clear the driver's ~2000-byte
+  // tail capture with margin — the capture must hold the WHOLE line for a
+  // last-line parse to see valid JSON.
+  private val PrintedLineBudget = 1800
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -499,6 +499,13 @@ object PlanAudit {
     check("q_exact_quantiles", "exact order-statistic quantiles: decomposed rank + 3-row broadcast pick; no SinglePartition")(p =>
       p.contains("BroadcastHashJoin") && p.contains("hashpartitioning(__rb") &&
         !p.contains("Exchange SinglePartition"))
+    // Round 9: per-GROUP ranks over low-cardinality groups (source, lang)
+    // run through the grouped decomposition — the in-bucket window
+    // partitions by (bucket, group), so a dominant group never sorts in
+    // one task; group totals are gather literals, not a second window.
+    for (q <- Seq("q_interleave_order", "q_stratified_sample", "q_quality_filter"))
+      check(q, "grouped rank decomposed: window partitioned by (bucket, group), no group-only window")(p =>
+        p.contains("hashpartitioning(__rb") && !windowOverSinglePartition(p))
     // Round 9: every global-rank statistic runs through the Ranks
     // decomposition — no Window or Sort ever executes over a
     // SinglePartition exchange (the r8 verdict's 8 perf-weak queries; the

@@ -126,16 +126,19 @@ object Corpus {
     * tie-break makes it total. Unlike the hash-FRACTION samplers
     * ([[withSplit]], [[applyMixWeights]]) a fixed-COUNT sample cannot be
     * append-stable — a new doc that hashes lower displaces the old rank-n
-    * pick by definition. One shuffle (the per-group window sort); for
-    * tiny n over huge groups the sort is the cost — acceptable because
-    * sampling runs once per corpus snapshot, not per query. */
+    * pick by definition. The per-group rank is the grouped range-bucket
+    * decomposition ([[Ranks.groupedBucketRange]]): a dominant group never
+    * concentrates in one task's sort, whatever the group skew. */
   def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
                        n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
-    val w = Window.partitionBy(groupCol)
-      .orderBy(idBucket(col(idCol), 1000000).asc, col(idCol).asc)
-    docs.withColumn("sample_rank", row_number().over(w).cast("long"))
+    val hashed = docs.withColumn("__h", idBucket(col(idCol), 1000000))
+    Ranks.groupedBucketRange(hashed, groupCol,
+        Seq(col("__h").asc, col(idCol).asc))
+      .withRowNumber("sample_rank")
+      .result
       .filter(col("sample_rank") <= n)
+      .drop("__h")
   }
 
   /** Keep the best `keepPpm`/10⁶ fraction of each group by score: rank
@@ -144,17 +147,21 @@ object Corpus {
     * quantile-filter every quality-gated corpus needs when an absolute
     * threshold would starve weak sources: each group keeps its own top
     * fraction. Integer arithmetic throughout (exact for groups up to
-    * ~9.2e12 rows); both windows share one hash shuffle on the group.
-    * NULL scores rank behind every non-null score on BOTH engines only
-    * if filtered by the caller — filter them out upstream (Spark DESC
-    * and SQL DESC disagree on null placement across dialects). */
+    * ~9.2e12 rows). The per-group rank and group totals come from ONE
+    * grouped range-bucket pass ([[Ranks.groupedBucketRange]]) — a
+    * dominant group (one language = 90% of a web corpus) never sorts in
+    * a single task, and the totals are gather literals, not a second
+    * window. NULL scores rank behind every non-null score on BOTH
+    * engines only if filtered by the caller — filter them out upstream
+    * (Spark DESC and SQL DESC disagree on null placement across
+    * dialects). */
   def quantileFilter(df: DataFrame, groupCol: String, scoreCol: String,
                      idCol: String, keepPpm: Long): DataFrame = {
     require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm must be in [0, 1e6]")
-    val part = Window.partitionBy(groupCol)
-    val ranked = part.orderBy(col(scoreCol).desc, col(idCol).asc)
-    df.withColumn("__rank", row_number().over(ranked).cast("long"))
-      .withColumn("__n", count(lit(1)).over(part))
+    val b = Ranks.groupedBucketRange(df, groupCol,
+      Seq(col(scoreCol).desc, col(idCol).asc))
+    b.withRowNumber("__rank").result
+      .withColumn("__n", b.groupTotal)
       .filter(col("__rank") <= expr(s"(__n * ${keepPpm}L) div 1000000L"))
       .drop("__rank", "__n")
   }
@@ -267,11 +274,17 @@ object Corpus {
                       weights: DataFrame, weightCol: String = "weight_ppm",
                       epoch: Int = 0): DataFrame = {
     require(epoch >= 0, "epoch must be non-negative")
-    val w = Window.partitionBy(groupCol)
-      .orderBy(idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000).asc,
-        col(idCol).asc)
-    docs.join(broadcast(weights.select(col(groupCol), col(weightCol))), groupCol)
-      .withColumn("src_rank", row_number().over(w).cast("long"))
+    // per-source shuffle rank via the grouped decomposition: sources are
+    // few and corpus-sized — exactly the skew a partitionBy(source)
+    // window would concentrate into one task per source
+    val hashed = docs
+      .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000))
+    Ranks.groupedBucketRange(hashed, groupCol,
+        Seq(col("__h").asc, col(idCol).asc))
+      .withRowNumber("src_rank")
+      .result
+      .drop("__h")
+      .join(broadcast(weights.select(col(groupCol), col(weightCol))), groupCol)
       .withColumn("interleave_key",
         expr(s"(src_rank * 1000000L) div greatest($weightCol, 1L)"))
   }

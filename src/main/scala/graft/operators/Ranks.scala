@@ -87,6 +87,77 @@ object Ranks {
     def result: DataFrame = df.drop(BucketCol)
   }
 
+  private val NullKey = "\u0000NULL"
+
+  /** PER-GROUP order statistics with the same decomposition — for
+    * LOW-CARDINALITY group columns (language, source, shard), where a
+    * plain `Window.partitionBy(group)` is the hidden twin of the global
+    * single-partition window: one dominant group = one task sorting most
+    * of the corpus. Range-partitioning on (group, order…) splits every
+    * group across buckets (ties broken inside the group's run by the
+    * order columns), the in-bucket window partitions by (bucket, group) —
+    * task-sized sorts regardless of group skew — and the driver gather is
+    * bounded by #buckets + #groups − 1 rows (each bucket holds a
+    * contiguous slice, so group/bucket incidences form a staircase).
+    * Fail-fast at `maxGroups` gathered pairs: for HIGH-cardinality groups
+    * (per-user) the ordinary partitioned window is already task-sized and
+    * this decomposition is the wrong tool. */
+  final case class GroupedRangeBuckets(
+      df: DataFrame,
+      groupCol: String,
+      order: Seq[Column],
+      rowPrefix: Column,
+      groupTotal: Column) {
+
+    /** Exact per-group 1-based row_number over the group's total order. */
+    def withRowNumber(out: String): GroupedRangeBuckets =
+      copy(df = df.withColumn(out,
+        rowPrefix + row_number()
+          .over(Window.partitionBy(col(BucketCol), col(groupCol)).orderBy(order: _*))
+          .cast("long")))
+
+    def result: DataFrame = df.drop(BucketCol)
+  }
+
+  /** See [[GroupedRangeBuckets]]. `groupCol` values are keyed by their
+    * string form (a NUL sentinel stands in for SQL NULL). */
+  def groupedBucketRange(df: DataFrame, groupCol: String, order: Seq[Column],
+                         buckets: Int = 0, maxGroups: Int = 100000): GroupedRangeBuckets = {
+    val nb =
+      if (buckets > 0) buckets
+      else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df.repartitionByRange(nb, col(groupCol) +: order: _*)
+      .withColumn(BucketCol, spark_partition_id())
+      .localCheckpoint(true)
+    // bounded gather: #buckets + #groups - 1 rows (staircase incidence)
+    val stats = ranged.groupBy(col(groupCol).cast("string").as("__g"), col(BucketCol))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .orderBy(col("__g").asc_nulls_first, col(BucketCol).asc).collect()
+    require(stats.length <= maxGroups,
+      s"groupedBucketRange gathered ${stats.length} (group, bucket) pairs > maxGroups=$maxGroups; " +
+        "high-cardinality groups should use a plain partitioned window (already task-sized)")
+    def gKey(r: org.apache.spark.sql.Row): String =
+      if (r.isNullAt(0)) NullKey else r.getString(0)
+    val prefixB = Map.newBuilder[String, Long]
+    val totalB = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    stats.foreach { r =>
+      val g = gKey(r)
+      val sofar = totalB.getOrElse(g, 0L)
+      prefixB += (g + "\u0001" + r.getInt(1)) -> sofar
+      totalB(g) = sofar + r.getLong(2)
+    }
+    val gExpr = coalesce(col(groupCol).cast("string"), lit(NullKey))
+    val prefixMap = prefixB.result()
+    val rowPrefix =
+      if (prefixMap.isEmpty) lit(0L)
+      else element_at(typedLit(prefixMap),
+        concat(gExpr, lit("\u0001"), col(BucketCol).cast("string")))
+    val groupTotal =
+      if (totalB.isEmpty) lit(0L)
+      else element_at(typedLit(totalB.toMap), gExpr)
+    GroupedRangeBuckets(ranged, groupCol, order, rowPrefix, groupTotal)
+  }
+
   /** Range-bucket `df` by `order` (a total order), materialize once, and
     * gather per-bucket counts/sums (≤ `buckets` rows) to build prefix
     * offsets. `valueCols` must be integral (LONG-safe) columns.

@@ -82,6 +82,34 @@ class RanksSpec extends SparkTestBase {
       .filter(col("i") =!= col("i0")).count() === 0)
   }
 
+  test("grouped decomposition == Window.partitionBy(group) row_number, " +
+    "with one dominant group, a null group, and group totals exact") {
+    // 90% of rows in group "big" — the skew a partitionBy(group) window
+    // concentrates into one task; the grouped decomposition must split it
+    // across buckets and still agree bit-for-bit
+    val df = (0 until 1000).map { i =>
+      (i.toLong, if (i % 10 == 0) (if (i % 20 == 0) "small" else null) else "big",
+        (i * 7 % 97).toLong)
+    }.toDF("id", "grp", "score")
+    val naive = df.withColumn("r0", row_number()
+      .over(Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .withColumn("n0", count(lit(1)).over(Window.partitionBy("grp")))
+    val b = Ranks.groupedBucketRange(df, "grp",
+      Seq(col("score").desc, col("id").asc), buckets = 16)
+    val dec = b.withRowNumber("r").result.withColumn("n", b.groupTotal)
+    assert(dec.join(naive, Seq("id", "score")) // grp may be null — join on id
+      .filter(col("r") =!= col("r0") || col("n") =!= col("n0")).count() === 0)
+    // the dominant group spans several buckets (no single-task sort)
+    val bigBuckets = b.df.filter(col("grp") === "big")
+      .select(Ranks.BucketCol).distinct().count()
+    assert(bigBuckets >= 4, s"dominant group concentrated in $bigBuckets bucket(s)")
+    // fail-fast for high-cardinality groups
+    val wide = (0 until 500).map(i => (i.toLong, s"g$i")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Ranks.groupedBucketRange(wide, "grp", Seq(col("id").asc), maxGroups = 100)
+    }
+  }
+
   test("empty input yields empty output, no analysis error") {
     val df = fixture(0)
     val b = Ranks.bucketRange(df, Seq(col("id").asc), valueCols = Seq("size"))
