@@ -259,8 +259,9 @@ object PlanAudit {
     check("q_cdc_pairs", "CDC pairs: kernel projection + digest equi-join, never nested-loop")(p =>
       p.contains("cdc_chunks") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
-    check("q_pack_spill", "spill report: window cumsum + per-source agg share ONE source shuffle")(p =>
-      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+    check("q_pack_spill", "spill report: per-source cumsum decomposed over (bucket, source); one bucket window + one source agg shuffle")(p =>
+      p.contains("hashpartitioning(__rb") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
         !p.contains("ScalaUDF"))
     check("q_funnel", "funnel: chained step windows + per-user collapse share ONE user shuffle (+1 tiny depth agg)")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 2 &&
@@ -503,9 +504,11 @@ object PlanAudit {
     // run through the grouped decomposition — the in-bucket window
     // partitions by (bucket, group), so a dominant group never sorts in
     // one task; group totals are gather literals, not a second window.
-    for (q <- Seq("q_interleave_order", "q_stratified_sample", "q_quality_filter"))
+    for (q <- Seq("q_interleave_order", "q_stratified_sample", "q_quality_filter", "q_pack_spill"))
       check(q, "grouped rank decomposed: window partitioned by (bucket, group), no group-only window")(p =>
         p.contains("hashpartitioning(__rb") && !windowOverSinglePartition(p))
+    check("q_topk_grouped", "per-group top-k: local top-k per (partition, group) before the final small per-group rank")(p =>
+      p.contains("hashpartitioning(__pid") && !windowOverSinglePartition(p))
     // Round 9: every global-rank statistic runs through the Ranks
     // decomposition — no Window or Sort ever executes over a
     // SinglePartition exchange (the r8 verdict's 8 perf-weak queries; the

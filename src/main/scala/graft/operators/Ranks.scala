@@ -107,13 +107,23 @@ object Ranks {
       groupCol: String,
       order: Seq[Column],
       rowPrefix: Column,
-      groupTotal: Column) {
+      groupTotal: Column,
+      valuePrefix: Map[String, Column]) {
+
+    private def inBucket =
+      Window.partitionBy(col(BucketCol), col(groupCol)).orderBy(order: _*)
 
     /** Exact per-group 1-based row_number over the group's total order. */
     def withRowNumber(out: String): GroupedRangeBuckets =
       copy(df = df.withColumn(out,
-        rowPrefix + row_number()
-          .over(Window.partitionBy(col(BucketCol), col(groupCol)).orderBy(order: _*))
+        rowPrefix + row_number().over(inBucket).cast("long")))
+
+    /** Exact per-group inclusive running sum of `valueCol` (must have been
+      * requested in [[Ranks.groupedBucketRange]]'s `valueCols`). */
+    def withCumSum(valueCol: String, out: String): GroupedRangeBuckets =
+      copy(df = df.withColumn(out,
+        valuePrefix(valueCol) + sum(col(valueCol))
+          .over(inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long")))
 
     def result: DataFrame = df.drop(BucketCol)
@@ -122,6 +132,7 @@ object Ranks {
   /** See [[GroupedRangeBuckets]]. `groupCol` values are keyed by their
     * string form (a NUL sentinel stands in for SQL NULL). */
   def groupedBucketRange(df: DataFrame, groupCol: String, order: Seq[Column],
+                         valueCols: Seq[String] = Nil,
                          buckets: Int = 0, maxGroups: Int = 100000): GroupedRangeBuckets = {
     val nb =
       if (buckets > 0) buckets
@@ -130,32 +141,58 @@ object Ranks {
       .withColumn(BucketCol, spark_partition_id())
       .localCheckpoint(true)
     // bounded gather: #buckets + #groups - 1 rows (staircase incidence)
+    val aggs = count(lit(1)).cast("long").as("__n") +:
+      valueCols.map(v => sum(col(v)).cast("long").as(s"__s_$v"))
     val stats = ranged.groupBy(col(groupCol).cast("string").as("__g"), col(BucketCol))
-      .agg(count(lit(1)).cast("long").as("__n"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("__g").asc_nulls_first, col(BucketCol).asc).collect()
     require(stats.length <= maxGroups,
       s"groupedBucketRange gathered ${stats.length} (group, bucket) pairs > maxGroups=$maxGroups; " +
         "high-cardinality groups should use a plain partitioned window (already task-sized)")
     def gKey(r: org.apache.spark.sql.Row): String =
       if (r.isNullAt(0)) NullKey else r.getString(0)
-    val prefixB = Map.newBuilder[String, Long]
-    val totalB = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    stats.foreach { r =>
-      val g = gKey(r)
-      val sofar = totalB.getOrElse(g, 0L)
-      prefixB += (g + "\u0001" + r.getInt(1)) -> sofar
-      totalB(g) = sofar + r.getLong(2)
-    }
     val gExpr = coalesce(col(groupCol).cast("string"), lit(NullKey))
-    val prefixMap = prefixB.result()
-    val rowPrefix =
-      if (prefixMap.isEmpty) lit(0L)
-      else element_at(typedLit(prefixMap),
-        concat(gExpr, lit("\u0001"), col(BucketCol).cast("string")))
+    val keyExpr = concat(gExpr, lit("\u0001"), col(BucketCol).cast("string"))
+    def prefixes(idx: Int): Map[String, Long] = {
+      val m = Map.newBuilder[String, Long]
+      val acc = scala.collection.mutable.HashMap.empty[String, Long]
+      stats.foreach { r =>
+        val g = gKey(r)
+        val sofar = acc.getOrElse(g, 0L)
+        m += (g + "\u0001" + r.getInt(1)) -> sofar
+        acc(g) = sofar + (if (r.isNullAt(idx)) 0L else r.getLong(idx))
+      }
+      m.result()
+    }
+    def litMap(m: Map[String, Long]): Column =
+      if (m.isEmpty) lit(0L) else element_at(typedLit(m), keyExpr)
+    val totalB = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    stats.foreach { r => totalB(gKey(r)) = totalB.getOrElse(gKey(r), 0L) + r.getLong(2) }
     val groupTotal =
       if (totalB.isEmpty) lit(0L)
       else element_at(typedLit(totalB.toMap), gExpr)
-    GroupedRangeBuckets(ranged, groupCol, order, rowPrefix, groupTotal)
+    GroupedRangeBuckets(ranged, groupCol, order, litMap(prefixes(2)), groupTotal,
+      valueCols.zipWithIndex.map { case (v, i) => v -> litMap(prefixes(i + 3)) }.toMap)
+  }
+
+  /** Per-group top-k WITHOUT a per-group corpus sort: each input partition
+    * keeps its own local top-k per group (window partitioned by
+    * (spark_partition_id, group) -- task-sized by construction, and the
+    * global top-k is always a subset of the union of local top-ks), then
+    * one final window ranks the surviving <= k*P rows per group. Right for
+    * small k over huge skewed groups; adds `out` = 1..k per group. The
+    * order must be total for a deterministic result. */
+  def groupedTopK(df: DataFrame, groupCol: String, order: Seq[Column],
+                  k: Int, out: String): DataFrame = {
+    require(k > 0, "need a positive k")
+    val local = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number()
+        .over(Window.partitionBy(col("__pid"), col(groupCol)).orderBy(order: _*)))
+      .filter(col("__lr") <= k)
+      .drop("__pid", "__lr")
+    local.withColumn(out, row_number()
+        .over(Window.partitionBy(col(groupCol)).orderBy(order: _*)).cast("long"))
+      .filter(col(out) <= k)
   }
 
   /** Range-bucket `df` by `order` (a total order), materialize once, and

@@ -216,14 +216,16 @@ object Relational {
         .orderBy("user_id")
     },
 
-    // Per-group top-k: top-3 highest-value events per type (rank window,
-    // partial TakeOrdered per group at scale).
+    // Per-group top-k: top-3 highest-value events per type. Event types
+    // are FEW and corpus-sized — a partitionBy(type) rank window would
+    // sort each type's full event stream in one task. [[Ranks.groupedTopK]]
+    // keeps a local top-3 per (input partition, type) first, so the final
+    // per-type rank touches ≤ 3·P rows per group.
     "q_topk_grouped" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
-      Tables(s, dir, "events")
-        .select(col("event_type"), col("event_id"), col("value"), row_number().over(w).as("rnk"))
-        .filter(col("rnk") <= 3)
+      Ranks.groupedTopK(
+          Tables(s, dir, "events").select("event_type", "event_id", "value"),
+          "event_type", Seq(col("value").desc, col("event_id").asc), 3, "rnk")
+        .withColumn("rnk", col("rnk").cast("int"))
         .orderBy("event_type", "rnk")
     },
 

@@ -424,12 +424,18 @@ object TextQueries {
     // of the token mass — the number that says whether the budget is too
     // small for the corpus's document lengths.
     "q_pack_spill" -> { (s, dir) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents").filter(col("text").isNotNull)
+      // per-source running token total via the GROUPED range-bucket
+      // decomposition (graft.operators.Ranks): sources are few and
+      // corpus-sized, so a partitionBy(source) window would sort each
+      // source's full doc stream in one task
+      val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           TA.bpeTokenCount(col("text")).as("n"))
-        .withColumn("cum", sum("n").over(w))
+      graft.operators.Ranks
+        .groupedBucketRange(toks, "source", Seq(col("doc_id").asc),
+          valueCols = Seq("n"))
+        .withCumSum("n", "cum")
+        .result
         .withColumn("sp", expr("(cum - n) div 512"))
         .withColumn("ep", expr("CASE WHEN n > 0 THEN (cum - 1) div 512 ELSE (cum - n) div 512 END"))
         .groupBy("source")

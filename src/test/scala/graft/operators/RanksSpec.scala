@@ -110,6 +110,34 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
+  test("grouped cumsum == Window.partitionBy(group) running sum under skew") {
+    val df = (0 until 800).map { i =>
+      (i.toLong, if (i % 8 == 0) "minor" else "major", (i % 13 + 1).toLong)
+    }.toDF("id", "grp", "n")
+    val naive = df.withColumn("c0", sum("n").over(
+      Window.partitionBy("grp").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dec = Ranks.groupedBucketRange(df, "grp", Seq(col("id").asc),
+        valueCols = Seq("n"), buckets = 16)
+      .withCumSum("n", "c").result
+    assert(dec.join(naive, Seq("id", "grp", "n"))
+      .filter(col("c") =!= col("c0")).count() === 0)
+  }
+
+  test("groupedTopK == per-group rank filter; local pruning loses nothing") {
+    val df = (0 until 1000).map { i =>
+      (i.toLong, s"g${i % 3}", (i * 31 % 101).toLong)
+    }.toDF("id", "grp", "score").repartition(13) // many partitions: real pruning
+    val naive = df.withColumn("r0", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .filter(col("r0") <= 5)
+    val dec = Ranks.groupedTopK(df, "grp",
+      Seq(col("score").desc, col("id").asc), 5, "r")
+    assert(dec.count() === naive.count())
+    assert(dec.join(naive, Seq("id", "grp", "score"))
+      .filter(col("r") =!= col("r0")).count() === 0)
+  }
+
   test("empty input yields empty output, no analysis error") {
     val df = fixture(0)
     val b = Ranks.bucketRange(df, Seq(col("id").asc), valueCols = Seq("size"))
