@@ -509,6 +509,11 @@ object PlanAudit {
         p.contains("hashpartitioning(__rb") && !windowOverSinglePartition(p))
     check("q_topk_grouped", "per-group top-k: local top-k per (partition, group) before the final small per-group rank")(p =>
       p.contains("hashpartitioning(__pid") && !windowOverSinglePartition(p))
+    check("q_window_scaled", "window-breadth twin: broadcast picks + lag self-equi-join over the materialized rank; ZERO window operators, no nested loop")(p =>
+      p.contains("Scan ExistingRDD") &&
+        "BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
+        !p.contains("Window") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     // Round 9: every global-rank statistic runs through the Ranks
     // decomposition — no Window or Sort ever executes over a
     // SinglePartition exchange (the r8 verdict's 8 perf-weak queries; the

@@ -542,6 +542,44 @@ object FoldQueries {
         .orderBy("event_id")
     },
 
+    // The SCALE twin of q_window_breadth (the q_substring_dup_fast
+    // discipline: same oracle, different plan): every window statistic
+    // re-derived from ONE grouped-decomposition rank ([[Ranks]]) plus
+    // distributed equi-joins — no per-type corpus sort anywhere. The
+    // window's order key (value, event_id) is UNIQUE, so the peer groups
+    // rank/percent_rank/cume_dist quantify over are single rows:
+    // percent_rank = (r−1)/(n−1) and cume_dist = r/n straight from the
+    // decomposed row_number (tie semantics would need the (type, value)
+    // min/max-r join instead); nth/first/last value = 1-row-per-type
+    // broadcast picks at r ∈ {3, 1, n}; lag(2) = self-equi-join on
+    // (type, r−2) with the default patched by coalesce. The window-API
+    // demo stays q_window_breadth; this is the plan a 100 TB corpus runs.
+    "q_window_scaled" -> { (s, dir) =>
+      val base = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = Ranks.groupedBucketRange(base, "event_type",
+        Seq(col("value").asc, col("event_id").asc))
+      val ranked = b.withRowNumber("__r").result
+        .withColumn("__n", b.groupTotal)
+        .localCheckpoint(true) // branches below reuse + self-join (house rule)
+      def pick(r: Column, as: String) = ranked.filter(col("__r") === r)
+        .select(col("event_type"), col("value").as(as))
+      val lagSrc = ranked.select(col("event_type").as("__t2"),
+        (col("__r") + 2).as("__rl"), col("value").as("__lag2v"))
+      ranked
+        .join(broadcast(pick(lit(3L), "nth3")), Seq("event_type"), "left")
+        .join(broadcast(pick(lit(1L), "fv")), Seq("event_type"))
+        .join(broadcast(pick(col("__n"), "lv")), Seq("event_type"))
+        .join(lagSrc, col("event_type") === col("__t2") && col("__r") === col("__rl"), "left")
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("__n") === 1, lit(0.0)).otherwise(
+            (col("__r") - 1).cast("double") / (col("__n") - 1).cast("double")).as("pr"),
+          (col("__r").cast("double") / col("__n").cast("double")).as("cd"),
+          col("nth3"), col("fv"), col("lv"),
+          coalesce(col("__lag2v"), lit(-1.0)).as("lag2"))
+        .orderBy("event_id")
+    },
+
     // Time-series gap filling: the sparse high-value daily series joined
     // onto a full (type x day) spine — missing days become explicit zero
     // rows so the running cumulative is continuous (the resample step
@@ -1318,6 +1356,22 @@ object FoldQueries {
         |FROM v ORDER BY user_id, version""".stripMargin,
 
     "q_window_breadth" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(value, 3) OVER wf AS nth3,
+        |  first_value(value) OVER wf AS fv,
+        |  last_value(value) OVER wf AS lv,
+        |  lag(value, 2, -1.0) OVER w AS lag2
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id),
+        |  wf AS (PARTITION BY event_type ORDER BY value, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    // identical semantics, decomposed plan — the strongest equivalence
+    // check is sharing the window query's oracle verbatim
+    "q_window_scaled" ->
       """SELECT event_id, event_type, value,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd,
