@@ -72,7 +72,7 @@ object Bench {
       (r, errors)
     }
     val (cold, coldErrors) = pass()
-    val (warm, _) = pass()
+    val (warm, warmErrors) = pass()
     val warmByName = warm.toMap
 
     def fmt(v: Double): String =
@@ -86,14 +86,17 @@ object Bench {
     // totals carry both so history stays comparable
     def line(qs: Seq[(String, Double, Double)], omitted: Int): String = {
       val m = qs.map { case (k, c, w) => entry(k, c, w) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},"unit":"sec","errors":$coldErrors,"omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},"unit":"sec","errors":${coldErrors + warmErrors},"omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
     }
     // full-precision complete map → file (judge + bench_history source)
     val fullQs = cold.map { case (k, c) =>
       s"\"" + k + "\":{\"cold\":" + c + ",\"warm\":" + warmByName.getOrElse(k, -1.0) + "}"
     }.mkString("{", ",", "}")
+    // errors counts BOTH passes: a query that only fails warm (state left
+    // behind by the cold run, second-pass memory pressure) must not hide —
+    // the r6 invisible-failure lesson applied to the warm pass too
     val full =
-      s"""{"metric":"total","value":$coldTotal,"warm_total":$warmTotal,"unit":"sec","errors":$coldErrors,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$coldTotal,"warm_total":$warmTotal,"unit":"sec","errors":${coldErrors + warmErrors},"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }

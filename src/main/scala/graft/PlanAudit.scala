@@ -5,6 +5,47 @@ import org.apache.spark.sql.SparkSession
   * that filters reach the scan, projections prune, dims broadcast, and
   * top-k avoids global sorts. Run: sbt "runMain graft.PlanAudit <sfDir>". */
 object PlanAudit {
+
+  /** The 100 TB anti-pattern: a Window (or its required Sort) consuming an
+    * `Exchange SinglePartition` — all rows in one task. A SinglePartition
+    * above a partial scalar aggregate is NOT flagged (its input is one row
+    * per task). Detection walks the plan-string TREE by indentation: from
+    * each SinglePartition exchange, the nearest shallower line above is
+    * its parent; pass-through wrapper nodes (WholeStageCodegen,
+    * InputAdapter, AQE shuffle-stage wrappers) are skipped so extra
+    * wrapper lines between the consumer and the exchange can't hide the
+    * pattern (the r9 review's false-negative). Public + unit-tested
+    * (PlanAuditDetectorSpec) because 13 audit rows hang off it. */
+  def windowOverSinglePartition(p: String): Boolean = {
+    val ls = p.split('\n').filter(_.trim.nonEmpty)
+    def depth(l: String): Int = l.indexWhere(c => !" :+-".contains(c)) match {
+      case -1 => Int.MaxValue
+      case d => d
+    }
+    def nodeText(l: String): String =
+      l.drop(depth(l)).replaceFirst("^\\*\\(\\d+\\) ", "")
+    def isWrapper(t: String): Boolean =
+      t.startsWith("WholeStageCodegen") || t.startsWith("InputAdapter") ||
+        t.startsWith("AQEShuffleRead") || t.startsWith("ShuffleQueryStage") ||
+        t.startsWith("ReusedExchange") || t.startsWith("TableCacheQueryStage")
+    def parent(i: Int): Int = {
+      val d = depth(ls(i))
+      var j = i - 1
+      while (j >= 0 && depth(ls(j)) >= d) j -= 1
+      j
+    }
+    ls.indices.exists { i =>
+      nodeText(ls(i)).startsWith("Exchange SinglePartition") && {
+        var j = parent(i)
+        while (j >= 0 && isWrapper(nodeText(ls(j)))) j = parent(j)
+        j >= 0 && {
+          val t = nodeText(ls(j))
+          t.startsWith("Window") || t.startsWith("Sort ") || t.startsWith("Sort[")
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
@@ -19,19 +60,8 @@ object PlanAudit {
       println(f"AUDIT ${if (cond(p)) "PASS" else "FAIL"}%-4s $name%-18s $what")
     }
 
-    // The 100 TB anti-pattern: a Window (or its required Sort) executing
-    // directly over an Exchange SinglePartition — all rows in one task. A
-    // SinglePartition above a partial scalar aggregate is NOT flagged (its
-    // input is one row per task). Detection: any SinglePartition exchange
-    // whose few enclosing plan lines include a Window/Sort operator.
-    def windowOverSinglePartition(p: String): Boolean = {
-      val ls = p.split('\n')
-      ls.indices.exists { i =>
-        ls(i).contains("Exchange SinglePartition") &&
-          (math.max(0, i - 3) until i).exists(j =>
-            ls(j).contains("Window") || ls(j).contains("Sort "))
-      }
-    }
+    def windowOverSinglePartition(p: String): Boolean =
+      PlanAudit.windowOverSinglePartition(p)
 
     check("q1_agg", "quantity filter pushed to parquet scan")(
       _.contains("PushedFilters: [IsNotNull(l_quantity), LessThanOrEqual(l_quantity,45"))

@@ -158,10 +158,9 @@ object Corpus {
   def quantileFilter(df: DataFrame, groupCol: String, scoreCol: String,
                      idCol: String, keepPpm: Long): DataFrame = {
     require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm must be in [0, 1e6]")
-    val b = Ranks.groupedBucketRange(df, groupCol,
-      Seq(col(scoreCol).desc, col(idCol).asc))
-    b.withRowNumber("__rank").result
-      .withColumn("__n", b.groupTotal)
+    Ranks.groupedBucketRange(df, groupCol,
+        Seq(col(scoreCol).desc, col(idCol).asc))
+      .withRowNumber("__rank").withGroupCount("__n").result
       .filter(col("__rank") <= expr(s"(__n * ${keepPpm}L) div 1000000L"))
       .drop("__rank", "__n")
   }

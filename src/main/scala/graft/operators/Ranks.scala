@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Distributed global order statistics — row_number / running sum / NTILE
   * over a TOTAL order — with NO single-partition stage anywhere.
@@ -18,9 +19,12 @@ import org.apache.spark.sql.functions._
   *     contiguous slice of the total order;
   *  2. per-bucket row counts / value sums (≤ `buckets` rows — a BOUNDED
   *     driver gather, the IvfIndex-centroid pattern) become exclusive
-  *     prefix offsets embedded as a literal map projection — no join, no
-  *     broadcast, no tiny single-partition prefix window (which, although
-  *     bounded, still tripped the WindowExec warning in rounds ≤ 8);
+  *     prefix offsets in a DRIVER-BUILT broadcast table joined back on the
+  *     bucket id — a hashed O(1) probe per row (a literal-map
+  *     `element_at` would LINEAR-SCAN the map per row: tolerable at 64
+  *     entries, wrong at the grouped variant's scale), and no tiny
+  *     single-partition prefix window (which, although bounded, still
+  *     tripped the WindowExec warning in rounds ≤ 8);
   *  3. a within-bucket window (hash-partitioned on the bucket id — each
   *     bucket sorts independently) plus the bucket's prefix is the exact
   *     global statistic.
@@ -29,7 +33,7 @@ import org.apache.spark.sql.functions._
   * fall (associativity of + over a fixed total order), so results are
   * bit-identical to the naive global window — RanksSpec property-tests
   * that against Spark's own `row_number`/`sum`/`ntile`, and the DuckDB
-  * oracles of the eight q_* callers pin it end to end.
+  * oracles of the q_* callers pin it end to end.
   *
   * The input is eagerly `localCheckpoint`ed once: the prefix gather and
   * every downstream job must see the SAME materialized bucketing
@@ -40,32 +44,38 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
   val BucketCol = "__rb"
+  private val RowPrefixCol = "__rbpre"
+  private val GroupTotalCol = "__rbgn"
+  private val GroupKeyCol = "__rbg"
+  private def valuePrefixCol(v: String) = s"__rbpre_$v"
 
-  /** A range-bucketed, materialized frame plus its driver-computed prefix
-    * offsets. `rowPrefix` = #rows in strictly-lower buckets; `valuePrefix`
-    * likewise for each requested value column; totals are exact. */
+  /** A range-bucketed, materialized frame pre-joined with its
+    * driver-computed prefix columns. Row prefix = #rows in strictly-lower
+    * buckets; value prefixes likewise for each requested value column;
+    * totals are exact driver longs. */
   final case class RangeBuckets(
       df: DataFrame,
       order: Seq[Column],
-      rowPrefix: Column,
       rowTotal: Long,
-      valuePrefix: Map[String, Column],
-      valueTotal: Map[String, Long]) {
+      valueTotal: Map[String, Long],
+      private val valueCols: Seq[String]) {
 
     private def inBucket = Window.partitionBy(BucketCol).orderBy(order: _*)
 
     /** Exact global 1-based row_number over the total order. */
     def withRowNumber(out: String): RangeBuckets =
       copy(df = df.withColumn(out,
-        rowPrefix + row_number().over(inBucket).cast("long")))
+        col(RowPrefixCol) + row_number().over(inBucket).cast("long")))
 
     /** Exact global inclusive running sum of `valueCol` (must have been
       * requested in [[Ranks.bucketRange]]'s `valueCols`). */
-    def withCumSum(valueCol: String, out: String): RangeBuckets =
+    def withCumSum(valueCol: String, out: String): RangeBuckets = {
+      require(valueCols.contains(valueCol), s"$valueCol not in bucketRange valueCols")
       copy(df = df.withColumn(out,
-        valuePrefix(valueCol) + sum(col(valueCol))
+        col(valuePrefixCol(valueCol)) + sum(col(valueCol))
           .over(inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long")))
+    }
 
     /** Exact global NTILE(n) from a row_number column added by
       * [[withRowNumber]] — replicates Spark/DuckDB NTILE semantics
@@ -83,116 +93,9 @@ object Ranks {
           s"ELSE ${rem}L + ($rowNumCol - 1 - ${boundary}L) div ${q}L + 1 END")))
     }
 
-    /** Drop the bookkeeping bucket column once all statistics are added. */
-    def result: DataFrame = df.drop(BucketCol)
-  }
-
-  private val NullKey = "\u0000NULL"
-
-  /** PER-GROUP order statistics with the same decomposition — for
-    * LOW-CARDINALITY group columns (language, source, shard), where a
-    * plain `Window.partitionBy(group)` is the hidden twin of the global
-    * single-partition window: one dominant group = one task sorting most
-    * of the corpus. Range-partitioning on (group, order…) splits every
-    * group across buckets (ties broken inside the group's run by the
-    * order columns), the in-bucket window partitions by (bucket, group) —
-    * task-sized sorts regardless of group skew — and the driver gather is
-    * bounded by #buckets + #groups − 1 rows (each bucket holds a
-    * contiguous slice, so group/bucket incidences form a staircase).
-    * Fail-fast at `maxGroups` gathered pairs: for HIGH-cardinality groups
-    * (per-user) the ordinary partitioned window is already task-sized and
-    * this decomposition is the wrong tool. */
-  final case class GroupedRangeBuckets(
-      df: DataFrame,
-      groupCol: String,
-      order: Seq[Column],
-      rowPrefix: Column,
-      groupTotal: Column,
-      valuePrefix: Map[String, Column]) {
-
-    private def inBucket =
-      Window.partitionBy(col(BucketCol), col(groupCol)).orderBy(order: _*)
-
-    /** Exact per-group 1-based row_number over the group's total order. */
-    def withRowNumber(out: String): GroupedRangeBuckets =
-      copy(df = df.withColumn(out,
-        rowPrefix + row_number().over(inBucket).cast("long")))
-
-    /** Exact per-group inclusive running sum of `valueCol` (must have been
-      * requested in [[Ranks.groupedBucketRange]]'s `valueCols`). */
-    def withCumSum(valueCol: String, out: String): GroupedRangeBuckets =
-      copy(df = df.withColumn(out,
-        valuePrefix(valueCol) + sum(col(valueCol))
-          .over(inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long")))
-
-    def result: DataFrame = df.drop(BucketCol)
-  }
-
-  /** See [[GroupedRangeBuckets]]. `groupCol` values are keyed by their
-    * string form (a NUL sentinel stands in for SQL NULL). */
-  def groupedBucketRange(df: DataFrame, groupCol: String, order: Seq[Column],
-                         valueCols: Seq[String] = Nil,
-                         buckets: Int = 0, maxGroups: Int = 100000): GroupedRangeBuckets = {
-    val nb =
-      if (buckets > 0) buckets
-      else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = df.repartitionByRange(nb, col(groupCol) +: order: _*)
-      .withColumn(BucketCol, spark_partition_id())
-      .localCheckpoint(true)
-    // bounded gather: #buckets + #groups - 1 rows (staircase incidence)
-    val aggs = count(lit(1)).cast("long").as("__n") +:
-      valueCols.map(v => sum(col(v)).cast("long").as(s"__s_$v"))
-    val stats = ranged.groupBy(col(groupCol).cast("string").as("__g"), col(BucketCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("__g").asc_nulls_first, col(BucketCol).asc).collect()
-    require(stats.length <= maxGroups,
-      s"groupedBucketRange gathered ${stats.length} (group, bucket) pairs > maxGroups=$maxGroups; " +
-        "high-cardinality groups should use a plain partitioned window (already task-sized)")
-    def gKey(r: org.apache.spark.sql.Row): String =
-      if (r.isNullAt(0)) NullKey else r.getString(0)
-    val gExpr = coalesce(col(groupCol).cast("string"), lit(NullKey))
-    val keyExpr = concat(gExpr, lit("\u0001"), col(BucketCol).cast("string"))
-    def prefixes(idx: Int): Map[String, Long] = {
-      val m = Map.newBuilder[String, Long]
-      val acc = scala.collection.mutable.HashMap.empty[String, Long]
-      stats.foreach { r =>
-        val g = gKey(r)
-        val sofar = acc.getOrElse(g, 0L)
-        m += (g + "\u0001" + r.getInt(1)) -> sofar
-        acc(g) = sofar + (if (r.isNullAt(idx)) 0L else r.getLong(idx))
-      }
-      m.result()
-    }
-    def litMap(m: Map[String, Long]): Column =
-      if (m.isEmpty) lit(0L) else element_at(typedLit(m), keyExpr)
-    val totalB = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    stats.foreach { r => totalB(gKey(r)) = totalB.getOrElse(gKey(r), 0L) + r.getLong(2) }
-    val groupTotal =
-      if (totalB.isEmpty) lit(0L)
-      else element_at(typedLit(totalB.toMap), gExpr)
-    GroupedRangeBuckets(ranged, groupCol, order, litMap(prefixes(2)), groupTotal,
-      valueCols.zipWithIndex.map { case (v, i) => v -> litMap(prefixes(i + 3)) }.toMap)
-  }
-
-  /** Per-group top-k WITHOUT a per-group corpus sort: each input partition
-    * keeps its own local top-k per group (window partitioned by
-    * (spark_partition_id, group) -- task-sized by construction, and the
-    * global top-k is always a subset of the union of local top-ks), then
-    * one final window ranks the surviving <= k*P rows per group. Right for
-    * small k over huge skewed groups; adds `out` = 1..k per group. The
-    * order must be total for a deterministic result. */
-  def groupedTopK(df: DataFrame, groupCol: String, order: Seq[Column],
-                  k: Int, out: String): DataFrame = {
-    require(k > 0, "need a positive k")
-    val local = df.withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number()
-        .over(Window.partitionBy(col("__pid"), col(groupCol)).orderBy(order: _*)))
-      .filter(col("__lr") <= k)
-      .drop("__pid", "__lr")
-    local.withColumn(out, row_number()
-        .over(Window.partitionBy(col(groupCol)).orderBy(order: _*)).cast("long"))
-      .filter(col(out) <= k)
+    /** Drop the bookkeeping columns once all statistics are added. */
+    def result: DataFrame =
+      df.drop(BucketCol +: RowPrefixCol +: valueCols.map(valuePrefixCol): _*)
   }
 
   /** Range-bucket `df` by `order` (a total order), materialize once, and
@@ -220,22 +123,139 @@ object Ranks {
     // bounded driver gather: one row per non-empty bucket
     val stats = ranged.groupBy(BucketCol).agg(aggs.head, aggs.tail: _*)
       .orderBy(BucketCol).collect()
-    def prefixes(idx: Int): (Map[Int, Long], Long) = {
-      var acc = 0L
-      val m = Map.newBuilder[Int, Long]
-      stats.foreach { r =>
-        m += (r.getInt(0) -> acc)
-        acc += (if (r.isNullAt(idx)) 0L else r.getLong(idx))
-      }
-      (m.result(), acc)
+    def cell(r: Row, idx: Int): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
+    val totals = new Array[Long](valueCols.size + 1)
+    val prefixRows = stats.map { r =>
+      val pres = totals.clone()
+      (0 to valueCols.size).foreach(i => totals(i) += cell(r, i + 1))
+      Row.fromSeq(r.getInt(0) +: pres.toSeq)
     }
-    def litMap(m: Map[Int, Long]): Column =
-      if (m.isEmpty) lit(0L)
-      else element_at(typedLit(m), col(BucketCol)) // every data bucket has an entry
-    val (rowPre, rowTot) = prefixes(1)
-    val valuePre = valueCols.zipWithIndex.map { case (v, i) => v -> prefixes(i + 2) }.toMap
-    RangeBuckets(ranged, order, litMap(rowPre), rowTot,
-      valuePre.map { case (v, (m, _)) => v -> litMap(m) },
-      valuePre.map { case (v, (_, t)) => v -> t })
+    val schema = StructType(
+      StructField(BucketCol, IntegerType) +: StructField(RowPrefixCol, LongType) +:
+        valueCols.map(v => StructField(valuePrefixCol(v), LongType)))
+    val prefixDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(prefixRows: _*), schema)
+    // hashed broadcast probe per row (never a literal-map linear scan)
+    RangeBuckets(ranged.join(broadcast(prefixDf), Seq(BucketCol)), order,
+      totals(0), valueCols.zipWithIndex.map { case (v, i) => v -> totals(i + 1) }.toMap,
+      valueCols)
+  }
+
+  private val NullKey = "\u0000NULL"
+
+  /** PER-GROUP order statistics with the same decomposition — for
+    * LOW-cardinality group columns (language, source, shard), where a
+    * plain `Window.partitionBy(group)` is the hidden twin of the global
+    * single-partition window: one dominant group = one task sorting most
+    * of the corpus. Range-partitioning on (group, order…) splits every
+    * group across buckets (ties broken inside the group's run by the
+    * order columns), the in-bucket window partitions by (bucket, group) —
+    * task-sized sorts regardless of group skew — and the driver gather is
+    * bounded by #buckets + #groups − 1 rows (each bucket holds a
+    * contiguous slice, so group/bucket incidences form a staircase).
+    * Fail-fast at `maxGroups` gathered pairs: for HIGH-cardinality groups
+    * (per-user) the ordinary partitioned window is already task-sized and
+    * this decomposition is the wrong tool. */
+  final case class GroupedRangeBuckets(
+      df: DataFrame,
+      groupCol: String,
+      order: Seq[Column],
+      private val valueCols: Seq[String]) {
+
+    private def inBucket =
+      Window.partitionBy(col(BucketCol), col(groupCol)).orderBy(order: _*)
+
+    /** Exact per-group 1-based row_number over the group's total order. */
+    def withRowNumber(out: String): GroupedRangeBuckets =
+      copy(df = df.withColumn(out,
+        col(RowPrefixCol) + row_number().over(inBucket).cast("long")))
+
+    /** Exact per-group inclusive running sum of `valueCol` (must have been
+      * requested in [[Ranks.groupedBucketRange]]'s `valueCols`). */
+    def withCumSum(valueCol: String, out: String): GroupedRangeBuckets = {
+      require(valueCols.contains(valueCol), s"$valueCol not in groupedBucketRange valueCols")
+      copy(df = df.withColumn(out,
+        col(valuePrefixCol(valueCol)) + sum(col(valueCol))
+          .over(inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long")))
+    }
+
+    /** The group's exact total row count as a column (from the gather). */
+    def withGroupCount(out: String): GroupedRangeBuckets =
+      copy(df = df.withColumn(out, col(GroupTotalCol)))
+
+    def result: DataFrame = df.drop(
+      BucketCol +: RowPrefixCol +: GroupTotalCol +: GroupKeyCol +:
+        valueCols.map(valuePrefixCol): _*)
+  }
+
+  /** See [[GroupedRangeBuckets]]. `groupCol` values are keyed by their
+    * string form (a NUL sentinel stands in for SQL NULL). */
+  def groupedBucketRange(df: DataFrame, groupCol: String, order: Seq[Column],
+                         valueCols: Seq[String] = Nil,
+                         buckets: Int = 0, maxGroups: Int = 100000): GroupedRangeBuckets = {
+    val nb =
+      if (buckets > 0) buckets
+      else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df.repartitionByRange(nb, col(groupCol) +: order: _*)
+      .withColumn(BucketCol, spark_partition_id())
+      .localCheckpoint(true)
+    // bounded gather: #buckets + #groups - 1 rows (staircase incidence)
+    val aggs = count(lit(1)).cast("long").as("__n") +:
+      valueCols.map(v => sum(col(v)).cast("long").as(s"__s_$v"))
+    val stats = ranged.groupBy(col(groupCol).cast("string").as("__g"), col(BucketCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("__g").asc_nulls_first, col(BucketCol).asc).collect()
+    require(stats.length <= maxGroups,
+      s"groupedBucketRange gathered ${stats.length} (group, bucket) pairs > maxGroups=$maxGroups; " +
+        "high-cardinality groups should use a plain partitioned window (already task-sized)")
+    def gKey(r: Row): String = if (r.isNullAt(0)) NullKey else r.getString(0)
+    def cell(r: Row, idx: Int): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
+    // exclusive prefixes within each group; group row totals appended last
+    val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    val prefixRows = stats.map { r =>
+      val g = gKey(r)
+      val tot = acc.getOrElseUpdate(g, new Array[Long](valueCols.size + 1))
+      val pres = tot.clone()
+      (0 to valueCols.size).foreach(i => tot(i) += cell(r, i + 2))
+      (g, r.getInt(1), pres)
+    }
+    val withTotals = prefixRows.map { case (g, b, pres) =>
+      Row.fromSeq(g +: b +: pres.toSeq :+ acc(g)(0))
+    }
+    val schema = StructType(
+      StructField(GroupKeyCol, StringType) +: StructField(BucketCol, IntegerType) +:
+        StructField(RowPrefixCol, LongType) +:
+        valueCols.map(v => StructField(valuePrefixCol(v), LongType)) :+
+        StructField(GroupTotalCol, LongType))
+    val prefixDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(withTotals: _*), schema)
+    val gExpr = coalesce(col(groupCol).cast("string"), lit(NullKey))
+    // hashed broadcast probe on (group-string, bucket) per row — a
+    // literal map would linear-scan up to maxGroups entries per row
+    val joined = ranged.join(broadcast(prefixDf),
+      gExpr === prefixDf(GroupKeyCol) && ranged(BucketCol) === prefixDf(BucketCol))
+      .drop(prefixDf(BucketCol))
+    GroupedRangeBuckets(joined, groupCol, order, valueCols)
+  }
+
+  /** Per-group top-k WITHOUT a per-group corpus sort: each input partition
+    * keeps its own local top-k per group (window partitioned by
+    * (spark_partition_id, group) — task-sized by construction, and the
+    * global top-k is always a subset of the union of local top-ks), then
+    * one final window ranks the surviving ≤ k·P rows per group. Right for
+    * small k over huge skewed groups; adds `out` = 1..k per group. The
+    * order must be total for a deterministic result. */
+  def groupedTopK(df: DataFrame, groupCol: String, order: Seq[Column],
+                  k: Int, out: String): DataFrame = {
+    require(k > 0, "need a positive k")
+    val local = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number()
+        .over(Window.partitionBy(col("__pid"), col(groupCol)).orderBy(order: _*)))
+      .filter(col("__lr") <= k)
+      .drop("__pid", "__lr")
+    local.withColumn(out, row_number()
+        .over(Window.partitionBy(col(groupCol)).orderBy(order: _*)).cast("long"))
+      .filter(col(out) <= k)
   }
 }

@@ -559,13 +559,16 @@ object FoldQueries {
         .select(col("event_id"), col("event_type"), col("value"))
       val b = Ranks.groupedBucketRange(base, "event_type",
         Seq(col("value").asc, col("event_id").asc))
-      val ranked = b.withRowNumber("__r").result
-        .withColumn("__n", b.groupTotal)
+      val ranked = b.withRowNumber("__r").withGroupCount("__n").result
         .localCheckpoint(true) // branches below reuse + self-join (house rule)
       def pick(r: Column, as: String) = ranked.filter(col("__r") === r)
         .select(col("event_type"), col("value").as(as))
+      // presence flag, not coalesce on the value: lag's default applies
+      // only when the offset ROW doesn't exist — a present row with a
+      // NULL value must stay NULL (real lag semantics on nullable input)
       val lagSrc = ranked.select(col("event_type").as("__t2"),
-        (col("__r") + 2).as("__rl"), col("value").as("__lag2v"))
+        (col("__r") + 2).as("__rl"), col("value").as("__lag2v"),
+        lit(true).as("__lp"))
       ranked
         .join(broadcast(pick(lit(3L), "nth3")), Seq("event_type"), "left")
         .join(broadcast(pick(lit(1L), "fv")), Seq("event_type"))
@@ -576,7 +579,7 @@ object FoldQueries {
             (col("__r") - 1).cast("double") / (col("__n") - 1).cast("double")).as("pr"),
           (col("__r").cast("double") / col("__n").cast("double")).as("cd"),
           col("nth3"), col("fv"), col("lv"),
-          coalesce(col("__lag2v"), lit(-1.0)).as("lag2"))
+          when(col("__lp").isNull, lit(-1.0)).otherwise(col("__lag2v")).as("lag2"))
         .orderBy("event_id")
     },
 

@@ -94,19 +94,43 @@ object TxnParquet {
     }
   }
 
+  private def committedMax(f: FileSystem, base: String): Long =
+    if (!f.exists(manifestDir(base))) 0L
+    else f.listStatus(manifestDir(base))
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .flatMap(_.stripSuffix(".json").toLongOption)
+      .foldLeft(0L)(math.max)
+
   /** Commit step, separated so the two-committers-same-version race is
     * deterministically testable: claim the first free version >= `startV`
     * (create-exclusive — the race's linearization point), then publish the
     * manifest content with one rename onto the claimed, guaranteed-free
-    * target. */
+    * target.
+    *
+    * Overtake re-check: if another committer CLAIMED a higher number and
+    * already COMMITTED it while we sat between our claim and our rename
+    * (GC pause, slow fs), renaming our lower version would "succeed" yet
+    * never be the newest snapshot — publish-then-read would not see the
+    * write. So after winning a claim we re-scan committed versions and
+    * slide ABOVE any newer commit (abandoning the claim — vacuum reaps
+    * it), which keeps returned versions monotone with commit completion
+    * order except within the few-instruction window between the re-scan
+    * and the rename; concurrent publishes landing inside that window
+    * linearize by claim order instead (both remain readable, the
+    * higher-numbered one as latest). */
   private[state] def commitFrom(f: FileSystem, base: String, tmp: Path,
                                 startV: Long): Long = {
     var v = startV
-    // skip versions whose manifest already exists (an out-of-band
-    // committer that bypassed claims) as well as claimed ones — never
-    // depend on rename refusing an existing target
-    while (f.exists(new Path(manifestDir(base), s"$v.json")) ||
-        !claimVersion(f, new Path(manifestDir(base), s"$v.claim"))) v += 1
+    var claimed = false
+    while (!claimed) {
+      // skip versions whose manifest already exists (an out-of-band
+      // committer that bypassed claims) as well as claimed ones — never
+      // depend on rename refusing an existing target
+      while (f.exists(new Path(manifestDir(base), s"$v.json")) ||
+          !claimVersion(f, new Path(manifestDir(base), s"$v.claim"))) v += 1
+      val newest = committedMax(f, base)
+      if (newest >= v) v = newest + 1 else claimed = true
+    }
     val target = new Path(manifestDir(base), s"$v.json")
     require(!f.exists(target), s"manifest $v appeared without a claim — refusing to clobber")
     require(f.rename(tmp, target),

@@ -55,7 +55,11 @@ object KafkaFlowSpark {
                    startingOffsets: String = "earliest",
                    endingOffsets: Option[String] = None,
                    extra: Map[String, String] = Map.empty): Map[String, String] =
-    extra ++
+    // endingOffsets is removed from extra even when None: the explicit
+    // argument governs the key unconditionally, so a batch-tuning map
+    // reused for a STREAMING read can't leak the batch-only option into
+    // the source (which would reject it at stream start)
+    (extra - "endingOffsets") ++
       Map(
         "kafka.bootstrap.servers" -> bootstrapServers,
         "subscribe" -> topics,

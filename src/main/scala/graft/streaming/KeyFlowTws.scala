@@ -33,9 +33,12 @@ class KeyFlowProcessor[S](
       .map(d => new TTLConfig(java.time.Duration.ofMillis(d.toMillis)))
       .getOrElse(TTLConfig.NONE)
     state = getHandle.getValueState[FlowState[S]]("flowState", stateEnc, ttl)
+    // the basis ages out WITH the flow state: a TTL-expired key must not
+    // leave a basis cell behind (unbounded residue) nor have a stale basis
+    // greet its next incarnation
     if (config.tickEveryOffsets.isDefined)
       offsetBasis = getHandle.getValueState[Long]("offsetTimerBasis",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
   }
 
   /** Eager recovery seed (reference KeyStateOf.eagerRecovery +
@@ -119,10 +122,17 @@ class KeyFlowProcessor[S](
     // semantics). The ticked state flows into the final emission below; a
     // None tick removes the key through the ordinary removal branch.
     config.tickEveryOffsets.foreach { n =>
+      // prev.isEmpty = a FRESH state incarnation: any surviving basis cell
+      // belongs to a dead incarnation (e.g. flowState TTL'd out between
+      // the two) and must be re-armed at this incarnation's first fold,
+      // not fire a spurious tick against the old clock position
       val armBasis =
-        if (offsetBasis.exists) offsetBasis.get()
-        else prev.map(_.snapshot.offset).getOrElse(firstFolded)
-      if (!offsetBasis.exists && armBasis != Long.MinValue) offsetBasis.update(armBasis)
+        if (prev.isDefined && offsetBasis.exists) offsetBasis.get()
+        else if (prev.isDefined) prev.get.snapshot.offset
+        else firstFolded
+      if (armBasis != Long.MinValue &&
+          (!offsetBasis.exists || (prev.isEmpty && offsetBasis.get() != armBasis)))
+        offsetBasis.update(armBasis)
       if (current.isDefined && armBasis != Long.MinValue &&
           maxSeen != Long.MinValue && maxSeen - armBasis >= n) {
         current = tick.run(current)

@@ -96,7 +96,7 @@ class RanksSpec extends SparkTestBase {
       .withColumn("n0", count(lit(1)).over(Window.partitionBy("grp")))
     val b = Ranks.groupedBucketRange(df, "grp",
       Seq(col("score").desc, col("id").asc), buckets = 16)
-    val dec = b.withRowNumber("r").result.withColumn("n", b.groupTotal)
+    val dec = b.withRowNumber("r").withGroupCount("n").result
     assert(dec.join(naive, Seq("id", "score")) // grp may be null — join on id
       .filter(col("r") =!= col("r0") || col("n") =!= col("n0")).count() === 0)
     // the dominant group spans several buckets (no single-task sort)

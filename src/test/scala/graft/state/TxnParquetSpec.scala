@@ -174,6 +174,39 @@ class TxnParquetSpec extends SparkTestBase {
     assert(TxnParquet.versions(spark, b) == (1L to 8L))
   }
 
+  test("OVERTAKE: a committer holding a low claim slides above a version " +
+    "committed in the meantime instead of publishing into the past") {
+    // models the stall-between-claim-and-rename race: B claimed 6 and
+    // COMMITTED while A held 5.claim. A must not rename 5.json (it would
+    // 'succeed' yet never be the newest snapshot) — it re-checks and
+    // slides to 7.
+    import spark.implicits._
+    val b = base()
+    (1 to 4).foreach(i => TxnParquet.publish((1 to i).toDF("id"), b))
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the overtaker's committed version 6 (claim + manifest)
+    fs.create(new org.apache.hadoop.fs.Path(s"$b/_manifests/6.claim"), false).close()
+    val v4Files = TxnParquet.readVersion(spark, b, 4)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    val o6 = fs.create(new org.apache.hadoop.fs.Path(s"$b/_manifests/6.json"), false)
+    o6.write(v4Files.mkString("\n").getBytes("UTF-8")); o6.close()
+    // A: data written, tmp manifest staged, about to commit from startV=5
+    (1 to 99).toDF("id").write.parquet(s"$b/data/stalled-committer")
+    val aFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$b/data/stalled-committer"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    val tmp = new org.apache.hadoop.fs.Path(s"$b/_manifests/.tmp-stalled")
+    val out = fs.create(tmp, true)
+    out.write(aFiles.mkString("\n").getBytes("UTF-8")); out.close()
+    val v = TxnParquet.commitFrom(fs, b, tmp, startV = 5L)
+    assert(v == 7L, s"expected slide to 7, got $v")
+    assert(TxnParquet.read(spark, b).count() == 99) // A IS the newest snapshot
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/_manifests/5.json")))
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L, 4L, 6L, 7L))
+  }
+
   test("vacuum cleans stale .tmp manifests and spent .claim files") {
     import spark.implicits._
     val b = base()

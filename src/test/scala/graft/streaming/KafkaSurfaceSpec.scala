@@ -58,6 +58,12 @@ class KafkaSurfaceSpec extends SparkTestBase {
     assert(batch("startingOffsets") == """{"t":{"0":5}}""")
     assert(batch("maxOffsetsPerTrigger") == "10000")
     assert(batch("kafka.security.protocol") == "SASL_SSL")
+    // a batch-tuning map reused for a streaming read must NOT leak the
+    // batch-only endingOffsets into the streaming source
+    val stream2 = KafkaFlowSpark.kafkaOptions("b:9092", "t",
+      extra = Map("endingOffsets" -> "latest", "failOnDataLoss" -> "false"))
+    assert(!stream2.contains("endingOffsets"))
+    assert(stream2("failOnDataLoss") == "false")
   }
 
   test("decodeKafka: wire schema round-trips — UTF-8 keys, binary values, " +
