@@ -530,6 +530,9 @@ object PlanAudit {
     check("q_exact_quantiles", "exact order-statistic quantiles: decomposed rank + 3-row broadcast pick; no SinglePartition")(p =>
       p.contains("BroadcastHashJoin") && p.contains("hashpartitioning(__rb") &&
         !p.contains("Exchange SinglePartition"))
+    check("q_split_leakage", "leakage audit: train reduces to DISTINCT digests before a semi-join; text never shuffles")(p =>
+      p.contains("LeftSemi") && !p.contains("CartesianProduct") &&
+        !p.contains("ScalaUDF"))
     // Round 9: per-GROUP ranks over low-cardinality groups (source, lang)
     // run through the grouped decomposition — the in-bucket window
     // partitions by (bucket, group), so a dominant group never sorts in

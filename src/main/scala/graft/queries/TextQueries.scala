@@ -350,6 +350,32 @@ object TextQueries {
         .orderBy("source", "split")
     },
 
+    // Train→holdout leakage audit (the split-integrity check run before
+    // any eval number is believed): per holdout split, docs whose EXACT
+    // content digest also appears in train, with leaked char mass and
+    // ppm. Scale shape: one slim (split, digest, chars) projection; the
+    // train side reduces to DISTINCT digests before the semi-join, so
+    // text never shuffles and the join key is 32 bytes/doc.
+    "q_split_leakage" -> { (s, dir) =>
+      val d = Corpus.withSplit(
+          Tables(s, dir, "documents").filter(col("text").isNotNull), "doc_id")
+        .select(col("split"), md5(col("text").cast("binary")).as("digest"),
+          length(col("text")).cast("long").as("n_chars"))
+      val train = d.filter(col("split") === "train").select("digest").distinct()
+      val holdout = d.filter(col("split") =!= "train")
+      val leaked = holdout.join(train, Seq("digest"), "left_semi")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_leaked"),
+          expr("CAST(SUM(n_chars) AS BIGINT)").as("leaked_chars"))
+      holdout.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .join(leaked, Seq("split"), "left")
+        .selectExpr("split", "n_docs",
+          "coalesce(n_leaked, 0L) AS n_leaked",
+          "coalesce(leaked_chars, 0L) AS leaked_chars",
+          "coalesce(n_leaked, 0L) * 1000000 div n_docs AS leak_ppm")
+        .orderBy("split")
+    },
+
     // Reproducible epoch-1 training order: a deterministic shuffle
     // permutation as dense global ranks — assigned by the two-level
     // range-bucket decomposition (no single-partition corpus sort);
@@ -1725,6 +1751,25 @@ object TextQueries {
         | COUNT(*) AS n_docs,
         | CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN (doc_id % 2147483648 * 2654435761) % 1000 < 900 THEN 'train'
+        |              WHEN (doc_id % 2147483648 * 2654435761) % 1000 < 950 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         md5(text) AS digest, CAST(len(text) AS BIGINT) AS n_chars
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT DISTINCT digest FROM d WHERE split = 'train'),
+        |ho AS (SELECT split, digest, n_chars FROM d WHERE split <> 'train'),
+        |tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ho GROUP BY split),
+        |lk AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked,
+        |         CAST(SUM(n_chars) AS BIGINT) AS leaked_chars
+        |       FROM ho WHERE digest IN (SELECT digest FROM tr) GROUP BY split)
+        |SELECT t.split, t.n_docs,
+        |  COALESCE(l.n_leaked, 0) AS n_leaked,
+        |  COALESCE(l.leaked_chars, 0) AS leaked_chars,
+        |  COALESCE(l.n_leaked, 0) * 1000000 // t.n_docs AS leak_ppm
+        |FROM tot t LEFT JOIN lk l USING (split) ORDER BY split""".stripMargin,
 
     // Knuth hash-order rank mirrored (the q_corpus_split formula with the
     // epoch shift); ROW_NUMBER is BIGINT in DuckDB, Spark's is cast
