@@ -77,11 +77,12 @@ class BpeTrainerSpec extends SparkTestBase {
     out.result()
   }
 
-  private def learned(texts: Seq[String], numMerges: Int) = {
+  private def learned(texts: Seq[String], numMerges: Int,
+      maxVocabRows: Long = BpeTrainer.DefaultMaxVocabRows) = {
     import spark.implicits._
     BpeTrainer.learnMerges(
         texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
-        "text", numMerges)
+        "text", numMerges, maxVocabRows)
       .orderBy("rank")
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
@@ -96,6 +97,23 @@ class BpeTrainerSpec extends SparkTestBase {
       "widest widest widest",
       "new new")
     assert(learned(texts, 10) == reference(texts, 10))
+    // the distributed (above-cap) route learns the identical list
+    assert(learned(texts, 10, maxVocabRows = 0L) == reference(texts, 10))
+  }
+
+  test("driver and distributed routes are bit-identical at 200+ merges") {
+    // seeded synthetic vocabulary rich enough for hundreds of merges;
+    // maxVocabRows = 0 forces the one-Spark-round-per-merge fallback,
+    // the default cap takes the driver-side indexed loop
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(400)(
+      (0 until (5 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString)
+    val texts = words.grouped(40)
+      .map(g => g.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w)).mkString(" "))
+      .toSeq
+    val driver = learned(texts, 220)
+    assert(driver.size >= 200, s"corpus too small to exercise 200 merges: ${driver.size}")
+    assert(learned(texts, 220, maxVocabRows = 0L) == driver)
   }
 
   test("merge list is deterministic and respects the tie rule") {
