@@ -179,7 +179,12 @@ object Dedup {
     * and raises a runtime error naming the block and the scale paths the
     * caller should be on — [[lshVerifiedPairs]] / [[winnowedPairs]] —
     * before the pair join materializes anything. `Long.MaxValue`
-    * disables (the explicit caller override). */
+    * disables (the explicit caller override). The guard join is
+    * NULL-SAFE (`<=>`), matching both the groupBy above it (which
+    * already counts NULL keys as one block) and the null-safe pair join
+    * in [[blockedPairScaffold]] — a hot block whose key is NULL (lang
+    * NULL on every boilerplate doc) must trip the fail-fast, not slip
+    * through an equi-join that never matches NULL. */
   private def guardBlockPopulation(
       df: DataFrame, blockCols: Seq[String],
       maxBlockPopulation: Long, caller: String): DataFrame = {
@@ -190,7 +195,10 @@ object Dedup {
     val hot = tagged.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__blk_n"))
       .filter(col("__blk_n") > maxBlockPopulation)
-    val guarded = tagged.join(broadcast(hot), cols, "left")
+      .select(cols.map(c => col(c).as(s"__hot_$c")) :+ col("__blk_n"): _*)
+    val hotCond = cols.map(c => col(c) <=> col(s"__hot_$c")).reduce(_ && _)
+    val guarded = tagged.join(broadcast(hot), hotCond, "left")
+      .drop(cols.map(c => s"__hot_$c"): _*)
       .withColumn("__blk_guard", assert_true(col("__blk_n").isNull,
         concat(lit(s"graft.Dedup.$caller: block ("),
           concat_ws(",", cols.map(c => col(c).cast("string")): _*),
@@ -228,7 +236,9 @@ object Dedup {
     val b = withShingles.select(
       col(idCol).as("doc2") +: col("__sh").as("sh2") +:
         blockCols.map(c => col(c).as(s"${c}_r")): _*)
-    val joinCond = blockCols.map(c => col(c) === col(s"${c}_r"))
+    // null-safe: a NULL block key is a real block (consistent with the
+    // population guard's groupBy), not a key that silently never pairs
+    val joinCond = blockCols.map(c => col(c) <=> col(s"${c}_r"))
       .foldLeft(col("doc1") < col("doc2"))(_ && _)
     val inter =
       if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))

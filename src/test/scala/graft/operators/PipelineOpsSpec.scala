@@ -282,6 +282,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rootMsg(e3).contains("maxBlockPopulation"), rootMsg(e3).take(500))
   }
 
+  test("block-population guard: NULL block keys form a real block — the " +
+    "fail-fast trips on a hot NULL block and NULL-keyed docs pair together") {
+    import org.apache.spark.sql.functions._
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    // 60 docs whose block column is NULL (lang undetected on boilerplate):
+    // an equi-join guard would never match them and the O(n^2) self-join
+    // would run unguarded — the null-safe guard must refuse instead
+    val texts = (1L to 60L).map(i => i -> s"document number $i with shared boilerplate text common to all")
+    val nullBlk = docsDf(texts: _*).withColumn("blk", lit(null).cast("int"))
+    val e = intercept[Exception] {
+      Dedup.ngramJaccardPairs(nullBlk, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 800000L, maxBlockPopulation = 50L).count()
+    }
+    assert(rootMsg(e).contains("maxBlockPopulation"), rootMsg(e).take(500))
+    // under the cap, NULL-keyed docs DO pair with each other (null-safe
+    // pair join) and never across into a non-NULL block
+    val mixed = docsDf((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "alpha beta gamma delta"), (4L, "unrelated text entirely different"))
+      .withColumn("blk", when(col("doc_id") <= 2L, lit(null).cast("int")).otherwise(lit(7)))
+    val pairs = Dedup.ngramJaccardPairs(mixed, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 900000L, maxBlockPopulation = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected the NULL-block pair only, got $pairs")
+  }
+
   test("Containment threshold kernel: exact boundary, early exits, degenerate arrays") {
     import graft.functions.ContainmentAtLeast.atLeast
     import org.apache.spark.sql.catalyst.util.GenericArrayData
