@@ -113,13 +113,41 @@ object TxnParquet {
     * never be the newest snapshot — publish-then-read would not see the
     * write. So after winning a claim we re-scan committed versions and
     * slide ABOVE any newer commit (abandoning the claim — vacuum reaps
-    * it), which keeps returned versions monotone with commit completion
-    * order except within the few-instruction window between the re-scan
-    * and the rename; concurrent publishes landing inside that window
-    * linearize by claim order instead (both remain readable, the
-    * higher-numbered one as latest). */
+    * it). That still leaves the few-instruction window between the
+    * re-scan and the rename, so AFTER the rename we re-scan once more:
+    * if a higher version committed inside the window, the same content is
+    * RE-PUBLISHED above it (the overtaken manifest stays readable —
+    * publishes never delete — so the rare race costs one duplicate
+    * snapshot, never a lost newest). The loop terminates because each
+    * extra iteration requires a fresh concurrent commit to land inside a
+    * re-scan→rename window; the returned version is guaranteed to have
+    * been the newest committed snapshot at some instant after its rename
+    * — `read()` after `publish()` always sees the write. */
   private[state] def commitFrom(f: FileSystem, base: String, tmp: Path,
                                 startV: Long): Long = {
+    var v = claimAndRename(f, base, tmp, startV)
+    var newest = committedMax(f, base)
+    while (newest > v) {
+      // overtaken inside the re-scan→rename window: replay the committed
+      // manifest bytes into a fresh tmp and commit them above the overtaker
+      val bytes = readManifestBytes(f, new Path(manifestDir(base), s"$v.json"))
+      val tmp2 = new Path(manifestDir(base),
+        s".tmp-${java.util.UUID.randomUUID().toString}")
+      val out = f.create(tmp2, true)
+      out.write(bytes)
+      out.close()
+      v = claimAndRename(f, base, tmp2, newest + 1)
+      newest = committedMax(f, base)
+    }
+    v
+  }
+
+  /** One claim→rename pass: claim the first free version >= `startV`,
+    * slide above anything that committed meanwhile, rename onto the
+    * claimed target. Returns the renamed version (which may still be
+    * overtaken inside the final window — `commitFrom` re-checks). */
+  private def claimAndRename(f: FileSystem, base: String, tmp: Path,
+                             startV: Long): Long = {
     var v = startV
     var claimed = false
     while (!claimed) {
@@ -136,6 +164,14 @@ object TxnParquet {
     require(f.rename(tmp, target),
       s"manifest rename failed for version $v (concurrent vacuum?)")
     v
+  }
+
+  private def readManifestBytes(f: FileSystem, mf: Path): Array[Byte] = {
+    val in = f.open(mf)
+    val bytes = new Array[Byte](f.getFileStatus(mf).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    bytes
   }
 
   /** Read the newest committed version. */

@@ -207,6 +207,61 @@ class TxnParquetSpec extends SparkTestBase {
     assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 3L, 4L, 6L, 7L))
   }
 
+  test("POST-RENAME OVERTAKE: a commit landing inside the re-scan→rename " +
+    "window is detected after the rename and re-published above it — " +
+    "read() after publish always sees the write") {
+    // the last acknowledged window: A re-scans (sees nothing newer),
+    // B commits 7, A renames 2.json. Old behavior returned 2 and read()
+    // served B's 7 — A's publish was invisible to newest-readers forever.
+    // Simulated deterministically with a wrapper fs that hides B's
+    // committed 7 from listStatus until A's first rename has happened.
+    import spark.implicits._
+    val b = base()
+    TxnParquet.publish((1 to 10).toDF("id"), b)
+    val raw = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // B's committed version 7 (claim + manifest reusing v1's files)
+    raw.create(new org.apache.hadoop.fs.Path(s"$b/_manifests/7.claim"), false).close()
+    val v1Files = TxnParquet.readVersion(spark, b, 1)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    val o7 = raw.create(new org.apache.hadoop.fs.Path(s"$b/_manifests/7.json"), false)
+    o7.write(v1Files.mkString("\n").getBytes("UTF-8")); o7.close()
+    // A: data + tmp manifest staged
+    (1 to 99).toDF("id").write.parquet(s"$b/data/window-victim")
+    val aFiles = raw.listStatus(new org.apache.hadoop.fs.Path(s"$b/data/window-victim"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    val tmp = new org.apache.hadoop.fs.Path(s"$b/_manifests/.tmp-window-victim")
+    val out = raw.create(tmp, true)
+    out.write(aFiles.mkString("\n").getBytes("UTF-8")); out.close()
+    // wrapper: 7.json invisible to listStatus until the first rename
+    val renamed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fsW = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def listStatus(p: org.apache.hadoop.fs.Path)
+          : Array[org.apache.hadoop.fs.FileStatus] = {
+        val all = super.listStatus(p)
+        if (renamed.get()) all
+        else all.filterNot(_.getPath.getName == "7.json")
+      }
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = {
+        val ok = super.rename(src, dst)
+        renamed.set(true) // B's 7 becomes visible only after A's rename
+        ok
+      }
+    }
+    val v = TxnParquet.commitFrom(fsW, b, tmp, startV = 2L)
+    assert(v == 8L, s"expected re-publish above the overtaker at 8, got $v")
+    // A's content IS the newest snapshot — read-your-write holds
+    assert(TxnParquet.read(spark, b).count() == 99)
+    assert(TxnParquet.readVersion(spark, b, v).count() == 99)
+    // the overtaken rename stays readable (publishes never delete) with
+    // identical content — the race costs one duplicate snapshot at most
+    assert(TxnParquet.readVersion(spark, b, 2).count() == 99)
+    assert(TxnParquet.versions(spark, b) == Seq(1L, 2L, 7L, 8L))
+  }
+
   test("vacuum cleans stale .tmp manifests and spent .claim files") {
     import spark.implicits._
     val b = base()
