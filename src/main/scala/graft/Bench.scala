@@ -55,8 +55,8 @@ object Bench {
     try graft.queries.JournalFixture.encoded(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    def pass(): (Seq[(String, Double)], Int) = {
-      var errors = 0
+    def pass(): (Seq[(String, Double)], Set[String]) = {
+      val failed = scala.collection.mutable.Set[String]()
       // stable name order: comparable timings across rounds
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -64,16 +64,22 @@ object Bench {
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            errors += 1; false
+            failed += name; false
           }
         val sec = (System.nanoTime() - t0) / 1e9
         name -> (if (ok) sec else -1.0)
       }
-      (r, errors)
+      (r, failed.toSet)
     }
-    val (cold, coldErrors) = pass()
-    val (warm, warmErrors) = pass()
+    val (cold, coldFailed) = pass()
+    val (warm, warmFailed) = pass()
     val warmByName = warm.toMap
+    // errors = DISTINCT failing query names across both passes (one broken
+    // query is ONE error, not two); per-pass counts keep the r6 lesson —
+    // a warm-only failure (state left by the cold run, second-pass memory
+    // pressure) still surfaces via warm_errors
+    val failedNames = (coldFailed ++ warmFailed).toSeq.sorted
+    val errorCount = failedNames.size
 
     def fmt(v: Double): String =
       if (v < 0) "-1"
@@ -84,19 +90,23 @@ object Bench {
     val warmTotal = warm.collect { case (_, v) if v >= 0 => v }.sum
     // printed per-query value: the WARM second (the reproducible one);
     // totals carry both so history stays comparable
+    // totals exclude failed queries' time, so they are NOT comparable with
+    // other rounds whenever errors > 0 — say so in the JSON itself instead
+    // of relying on the reader to cross-check the errors field
+    val errFields =
+      s""""errors":$errorCount,"cold_errors":${coldFailed.size},"warm_errors":${warmFailed.size}""" +
+        (if (errorCount > 0) ""","totals_omit_failed":true""" else "")
     def line(qs: Seq[(String, Double, Double)], omitted: Int): String = {
       val m = qs.map { case (k, c, w) => entry(k, c, w) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},"unit":"sec","errors":${coldErrors + warmErrors},"omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},"unit":"sec",$errFields,"omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
     }
     // full-precision complete map → file (judge + bench_history source)
     val fullQs = cold.map { case (k, c) =>
       s"\"" + k + "\":{\"cold\":" + c + ",\"warm\":" + warmByName.getOrElse(k, -1.0) + "}"
     }.mkString("{", ",", "}")
-    // errors counts BOTH passes: a query that only fails warm (state left
-    // behind by the cold run, second-pass memory pressure) must not hide —
-    // the r6 invisible-failure lesson applied to the warm pass too
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$coldTotal,"warm_total":$warmTotal,"unit":"sec","errors":${coldErrors + warmErrors},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$coldTotal,"warm_total":$warmTotal,"unit":"sec",$errFields,"failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
