@@ -11,10 +11,16 @@ object PlanAudit {
     * above a partial scalar aggregate is NOT flagged (its input is one row
     * per task). Detection walks the plan-string TREE by indentation: from
     * each SinglePartition exchange, the nearest shallower line above is
-    * its parent; pass-through wrapper nodes (WholeStageCodegen,
-    * InputAdapter, AQE shuffle-stage wrappers) are skipped so extra
-    * wrapper lines between the consumer and the exchange can't hide the
-    * pattern (the r9 review's false-negative). Public + unit-tested
+    * its parent; the walk continues through PASS-THROUGH nodes — wrapper
+    * lines (WholeStageCodegen, InputAdapter, AQE shuffle-stage wrappers)
+    * AND partitioning-preserving unary operators (Project, Filter,
+    * ColumnarToRow, (De)serialize) — so a projection or filter between
+    * the Window/Sort and its exchange can't hide the pattern (the r9
+    * advice's false-negative: a Filter still runs on the one partition;
+    * any Sort/Window above it is still a single-task sort). The walk
+    * stops at the first node that re-shuffles, aggregates, or joins —
+    * those legitimately consume a SinglePartition (scalar agg) or change
+    * the partitioning before any window sees it. Public + unit-tested
     * (PlanAuditDetectorSpec) because 13 audit rows hang off it. */
   def windowOverSinglePartition(p: String): Boolean = {
     val ls = p.split('\n').filter(_.trim.nonEmpty)
@@ -24,10 +30,13 @@ object PlanAudit {
     }
     def nodeText(l: String): String =
       l.drop(depth(l)).replaceFirst("^\\*\\(\\d+\\) ", "")
-    def isWrapper(t: String): Boolean =
+    def isPassThrough(t: String): Boolean =
       t.startsWith("WholeStageCodegen") || t.startsWith("InputAdapter") ||
         t.startsWith("AQEShuffleRead") || t.startsWith("ShuffleQueryStage") ||
-        t.startsWith("ReusedExchange") || t.startsWith("TableCacheQueryStage")
+        t.startsWith("ReusedExchange") || t.startsWith("TableCacheQueryStage") ||
+        t.startsWith("Project") || t.startsWith("Filter") ||
+        t.startsWith("ColumnarToRow") || t.startsWith("SerializeFromObject") ||
+        t.startsWith("DeserializeToObject")
     def parent(i: Int): Int = {
       val d = depth(ls(i))
       var j = i - 1
@@ -37,7 +46,7 @@ object PlanAudit {
     ls.indices.exists { i =>
       nodeText(ls(i)).startsWith("Exchange SinglePartition") && {
         var j = parent(i)
-        while (j >= 0 && isWrapper(nodeText(ls(j)))) j = parent(j)
+        while (j >= 0 && isPassThrough(nodeText(ls(j)))) j = parent(j)
         j >= 0 && {
           val t = nodeText(ls(j))
           t.startsWith("Window") || t.startsWith("Sort ") || t.startsWith("Sort[")

@@ -34,6 +34,30 @@ class PlanAuditDetectorSpec extends AnyFunSuite {
         |      +- *(1) Project [y]""".stripMargin))
   }
 
+  test("pass-through Project/Filter between the Sort/Window and the " +
+    "exchange cannot hide the pattern (r9 advice false-negative)") {
+    assert(det(
+      """Window [row_number() ...], [y ASC]
+        |+- *(2) Sort [y ASC NULLS FIRST], false, 0
+        |   +- *(2) Project [x, y]
+        |      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+        |         +- *(1) Project [x, y, z]""".stripMargin))
+    assert(det(
+      """*(3) Sort [y ASC NULLS FIRST], false, 0
+        |+- *(3) Filter (x > 0)
+        |   +- WholeStageCodegen (2)
+        |      +- InputAdapter
+        |         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+        |            +- *(1) Project [x, y]""".stripMargin))
+    // a Project above a SinglePartition with NO window/sort anywhere
+    // above it stays benign (e.g. final projection of a scalar agg)
+    assert(!det(
+      """*(2) Project [s]
+        |+- *(2) HashAggregate(keys=[], functions=[sum(x)])
+        |   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+        |      +- *(1) HashAggregate(keys=[], functions=[partial_sum(x)])""".stripMargin))
+  }
+
   test("SinglePartition above a partial scalar aggregate is benign") {
     assert(!det(
       """*(2) HashAggregate(keys=[], functions=[sum(x)])
