@@ -131,9 +131,71 @@ object KeyFlow {
     * unlike the reference's clock which advances on every poll. */
   final case class RecordEnv(record: Record, partitionMaxOffset: Long)
 
+  /** Length-prefixed binary codec for [[Record]] spill files — exact
+    * field-level round-trip (null key/value/headers/timestamp included;
+    * sub-millisecond Timestamp nanos preserved). Not a wire format: the
+    * file never leaves the task that wrote it. */
+  private[streaming] object RecordSpillCodec {
+    private def writeString(out: java.io.DataOutputStream, s: String): Unit =
+      if (s == null) out.writeInt(-1)
+      else { val b = s.getBytes("UTF-8"); out.writeInt(b.length); out.write(b) }
+    private def readString(in: java.io.DataInputStream): String = {
+      val n = in.readInt()
+      if (n < 0) null
+      else { val b = new Array[Byte](n); in.readFully(b); new String(b, "UTF-8") }
+    }
+    def write(out: java.io.DataOutputStream, r: Record): Unit = {
+      writeString(out, r.topic)
+      out.writeInt(r.partition)
+      out.writeLong(r.offset)
+      if (r.timestamp == null) out.writeBoolean(false)
+      else {
+        out.writeBoolean(true)
+        out.writeLong(r.timestamp.getTime)
+        out.writeInt(r.timestamp.getNanos)
+      }
+      out.writeInt(r.timestampType)
+      writeString(out, r.key)
+      if (r.value == null) out.writeInt(-1)
+      else { out.writeInt(r.value.length); out.write(r.value) }
+      if (r.headers == null) out.writeInt(-1)
+      else {
+        out.writeInt(r.headers.size)
+        r.headers.foreach { case (k, v) => writeString(out, k); writeString(out, v) }
+      }
+    }
+    def read(in: java.io.DataInputStream): Record = {
+      val topic = readString(in)
+      val partition = in.readInt()
+      val offset = in.readLong()
+      val ts =
+        if (!in.readBoolean()) null
+        else {
+          val t = new java.sql.Timestamp(in.readLong())
+          t.setNanos(in.readInt())
+          t
+        }
+      val tsType = in.readInt()
+      val key = readString(in)
+      val vLen = in.readInt()
+      val value = if (vLen < 0) null else { val b = new Array[Byte](vLen); in.readFully(b); b }
+      val hN = in.readInt()
+      val headers =
+        if (hN < 0) null
+        else (0 until hN).map(_ => (readString(in), readString(in))).toMap
+      Record(topic, partition, offset, ts, tsType, key, value, headers)
+    }
+  }
+
+  /** Records held in heap per Spark partition before the clock pass spills
+    * the remainder to local disk. 64k records ≈ a typical
+    * `maxOffsetsPerTrigger` share; past it the two-pass buffer costs one
+    * sequential local write+read instead of unbounded executor heap. */
+  private[streaming] val ClockSpillAfter = 1 << 16
+
   /** Attach the per-(topic, partition) max offset to every record (one
-    * materialized pass per Spark partition per batch — the same bound as
-    * the reference's poll batch, PartitionFlow.scala:160-176).
+    * pass per Spark partition per batch — the same bound as the
+    * reference's poll batch, PartitionFlow.scala:160-176).
     *
     * Offsets are only comparable within ONE source (topic, partition), and
     * a Spark partition can hold several (upstream coalesce/repartition,
@@ -141,25 +203,72 @@ object KeyFlow {
     * source partition, never the Spark-partition-wide max: comparing a
     * key's offset against another source partition's clock could wrongly
     * tombstone durable state. (A Kafka key lives in exactly one partition
-    * of its topic, so the per-key lag check then sees one clock domain.) */
+    * of its topic, so the per-key lag check then sees one clock domain.)
+    *
+    * The clock is only known after the full scan, and streaming plans
+    * reject even local sorts, so a buffer is unavoidable — but it is NOT
+    * allowed to be the executor heap: beyond [[ClockSpillAfter]] records
+    * the remainder streams through a length-prefixed spill file on local
+    * disk (deleted on task completion), keeping heap O(spill threshold +
+    * #source partitions) however large the microbatch. */
   def withPartitionClock(records: Dataset[Record])(
       implicit env: Encoder[RecordEnv]): Dataset[RecordEnv] =
-    records.mapPartitions { it =>
-      val buf = it.toArray
-      if (buf.isEmpty) Iterator.empty
-      else {
-        val clocks = scala.collection.mutable.HashMap.empty[(String, Int), Long]
-        var i = 0
-        while (i < buf.length) {
-          val r = buf(i)
-          val k = (r.topic, r.partition)
-          val prev = clocks.getOrElse(k, Long.MinValue)
-          if (r.offset > prev) clocks.update(k, r.offset)
-          i += 1
-        }
-        buf.iterator.map(r => RecordEnv(r, clocks((r.topic, r.partition))))
-      }
+    records.mapPartitions(it => clockIterator(it, ClockSpillAfter))
+
+  /** The two-pass kernel, spill threshold injectable for tests. */
+  private[streaming] def clockIterator(
+      it: Iterator[Record], spillAfter: Int): Iterator[RecordEnv] = {
+    if (!it.hasNext) return Iterator.empty
+    val clocks = scala.collection.mutable.HashMap.empty[(String, Int), Long]
+    def observe(r: Record): Unit = {
+      val k = (r.topic, r.partition)
+      val prev = clocks.getOrElse(k, Long.MinValue)
+      if (r.offset > prev) clocks.update(k, r.offset)
     }
+    val heap = new scala.collection.mutable.ArrayBuffer[Record]
+    while (it.hasNext && heap.length < spillAfter) {
+      val r = it.next(); observe(r); heap += r
+    }
+    var spill: java.nio.file.Path = null
+    var spilled = 0L
+    if (it.hasNext) {
+      spill = java.nio.file.Files.createTempFile("graft-clock-spill", ".bin")
+      // task failure between here and iterator exhaustion must not leak
+      // the file; completion listener covers success too (delete is
+      // idempotent)
+      val sp = spill
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          java.nio.file.Files.deleteIfExists(sp)))
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(spill), 1 << 16))
+      try {
+        while (it.hasNext) {
+          val r = it.next(); observe(r)
+          RecordSpillCodec.write(out, r); spilled += 1
+        }
+      } finally out.close()
+    }
+    def env(r: Record) = RecordEnv(r, clocks((r.topic, r.partition)))
+    val heapOut = heap.iterator.map(env)
+    if (spill == null) heapOut
+    else {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(spill), 1 << 16))
+      val total = spilled
+      val spillOut = new Iterator[RecordEnv] {
+        private var read = 0L
+        def hasNext: Boolean = read < total
+        def next(): RecordEnv = {
+          val r = RecordSpillCodec.read(in)
+          read += 1
+          if (read == total) { in.close(); java.nio.file.Files.deleteIfExists(spill) }
+          env(r)
+        }
+      }
+      heapOut ++ spillOut
+    }
+  }
 
   def update[S](
       fold: FoldOption[S, Record],

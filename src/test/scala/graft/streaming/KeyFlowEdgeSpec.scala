@@ -148,4 +148,50 @@ class KeyFlowEdgeSpec extends SparkTestBase {
     assert(spark.table("ddw").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
     q.stop()
   }
+
+  test("clockIterator: spill path is record-exact and clock-exact — " +
+    "heap+spill output equals the all-in-heap output, spill file deleted") {
+    def rec(topic: String, part: Int, off: Long, key: String): Record =
+      Record(topic, part, off, new Timestamp(1000L + off), 0, key,
+        if (off % 3 == 0) null else Array[Byte](off.toByte, (off + 1).toByte),
+        if (off % 4 == 0) null else Map("h" -> s"v$off", "nul" -> null))
+    // interleaved source partitions; max offsets per source planted at
+    // positions both BEFORE and AFTER the spill threshold
+    val records = (1L to 500L).map { i =>
+      val (t, p) = if (i % 2 == 0) ("a", 0) else if (i % 5 == 0) ("a", 1) else ("b", 7)
+      rec(t, p, if (i == 3) 9999L else i, s"k${i % 11}") // source ("b",7) max lands in-heap
+    }
+    def run(spillAfter: Int) =
+      KeyFlow.clockIterator(records.iterator, spillAfter).toSeq
+    val inHeap = run(Int.MaxValue)
+    val spilled = run(16) // 500 records, threshold 16 → ~484 spill
+    assert(spilled.size == 500 && inHeap.size == 500)
+    // field-exact round trip through the spill codec, clocks identical
+    spilled.zip(inHeap).foreach { case (s, h) =>
+      assert(s.partitionMaxOffset == h.partitionMaxOffset)
+      val (a, b) = (s.record, h.record)
+      assert(a.topic == b.topic && a.partition == b.partition &&
+        a.offset == b.offset && a.timestamp == b.timestamp &&
+        a.timestampType == b.timestampType && a.key == b.key &&
+        java.util.Arrays.equals(a.value, b.value) && a.headers == b.headers)
+    }
+    // the clock is the per-SOURCE max, not the Spark-partition-wide max
+    val bySource = records.groupBy(r => (r.topic, r.partition))
+      .map { case (k, rs) => k -> rs.map(_.offset).max }
+    spilled.foreach(e => assert(
+      e.partitionMaxOffset == bySource((e.record.topic, e.record.partition))))
+    // sub-ms timestamp nanos survive the codec (record placed PAST the
+    // threshold so it provably round-trips through the spill file)
+    val withNanos = rec("n", 0, 1L, "k")
+    withNanos.timestamp.setNanos(123456789)
+    val rt = KeyFlow.clockIterator((records.take(40) ++ Seq(withNanos)).iterator, 8).toSeq
+    assert(rt.last.record.timestamp.getNanos == 123456789)
+    // no graft-clock-spill files left behind
+    val tmp = java.io.File.createTempFile("probe", ".bin").getParentFile
+    tmp.delete()
+    val leftovers = Option(new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("graft-clock-spill"))
+    assert(leftovers.isEmpty, s"spill files leaked: ${leftovers.mkString(",")}")
+  }
 }
