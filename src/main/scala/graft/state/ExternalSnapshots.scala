@@ -41,13 +41,30 @@ object ExternalSnapshots {
       value: Array[Byte],
       written_at_ms: Long)
 
+  /** LZ4 threshold matching the reference's external-state compressor
+    * (persistence/compression/Compressor.scala:27-96): values at or above
+    * it are LZ4-block-compressed, smaller ones pass through — either way
+    * the stored frame is self-describing (1-byte marker), so the read
+    * path needs no side channel ("passthrough detection on read"). */
+  val CompressionThresholdBytes = 10000
+
   /** Append a microbatch of snapshot rows (last-write-wins resolved at
-    * read time — the write is a blind append, like a Cassandra upsert). */
-  def upsert(rows: Dataset[SnapshotRow], storeDir: String): Unit =
-    rows.write
+    * read time — the write is a blind append, like a Cassandra upsert).
+    * Values are framed by [[Compressor]] before landing: parquet's own
+    * page compression does not help the consumer that reads ONE key's
+    * bytes out of the store, and large states (the only ones the
+    * threshold engages) cross systems here. Tombstones stay null. */
+  def upsert(rows: Dataset[SnapshotRow], storeDir: String,
+             compressionThreshold: Int = CompressionThresholdBytes): Unit = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val c = new Compressor(compressionThreshold)
+      it.map(r => if (r.value == null) r else r.copy(value = c.compress(r.value)))
+    }.write
       .mode(SaveMode.Append)
       .partitionBy("application_id", "group_id")
       .parquet(storeDir)
+  }
 
   /** Latest state per key (tombstones resolved away). This is the
     * recovery read (reference ReadState, Persistence.scala:194-198).
@@ -69,14 +86,31 @@ object ExternalSnapshots {
         expr("max_by(value, offset)").as("value"),
         expr("max_by(written_at_ms, offset)").as("written_at_ms"))
       .filter(col("value").isNotNull)
-    expiration.fold(latest)(ttl =>
+    val live = expiration.fold(latest)(ttl =>
       latest.filter(col("written_at_ms") >= lit(nowMs - ttl.toMillis)))
+    // decompress AFTER last-write-wins + TTL resolution: only surviving
+    // rows pay the decode; the frame marker routes raw vs LZ4 per value
+    val schema = live.schema
+    val vIdx = schema.fieldIndex("value")
+    live.mapPartitions { it =>
+      val c = new Compressor()
+      it.map { row =>
+        val vals = new Array[Any](row.length)
+        var i = 0
+        while (i < row.length) { vals(i) = row.get(i); i += 1 }
+        vals(vIdx) = c.decompress(row.getAs[Array[Byte]](vIdx))
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+          : org.apache.spark.sql.Row
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Rewrite the log keeping only the latest row per key — bounded store
     * growth without giving up blind-append writes. With `expiration`,
     * expired keys are physically purged (the Cassandra-compaction
-    * analogue of TTL'd-row removal). */
+    * analogue of TTL'd-row removal). Values stay in their stored frames
+    * (no decode+re-encode pass): the compacted store is read by
+    * [[readLatest]], whose per-value frame marker does the routing. */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
               expiration: Option[FiniteDuration] = None,
               nowMs: Long = System.currentTimeMillis()): Unit = {

@@ -120,6 +120,45 @@ class ExternalSnapshotsSpec extends SparkTestBase {
     assert(purged == Set("stale"))
   }
 
+  test("values are LZ4-framed in the store above the threshold and " +
+    "round-trip byte-identically — mixed compressed/raw, compaction too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length => sqlLength}
+    val dir = Files.createTempDirectory("snapz").toString
+    def k(key: String) = graft.model.KafkaKey("app", "g", "t", 0, key)
+    val rnd = new scala.util.Random(42)
+    // big = 64 KiB of REPEATING text (compresses hard); raw = below the
+    // threshold; noise = big but incompressible (LZ4 still frames it)
+    val big = ("lorem ipsum dolor sit amet " * 3000).getBytes("UTF-8")
+    val raw = "tiny-state".getBytes("UTF-8")
+    val noise = { val b = new Array[Byte](40000); rnd.nextBytes(b); b }
+    ExternalSnapshots.upsert(Seq(
+      ExternalSnapshots.rowFor(k("big"), 1L, "", big),
+      ExternalSnapshots.rowFor(k("raw"), 1L, "", raw),
+      ExternalSnapshots.rowFor(k("noise"), 1L, "", noise)).toDS(), dir)
+    // on disk: big is framed-compressed (much smaller), raw is framed
+    // passthrough (+1 marker byte), noise framed whichever way LZ4 won
+    val stored = spark.read.parquet(dir)
+      .select(col("key"), sqlLength(col("value")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(stored("big") < big.length / 4,
+      s"compressible 64 KiB state stored as ${stored("big")} bytes — not compressed")
+    assert(stored("raw") == raw.length + 1, "below-threshold value must passthrough-frame")
+    // read path restores exact bytes for every frame kind
+    val back = ExternalSnapshots.readLatest(spark, dir, "app", "g")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Array[Byte]]("value")).toMap
+    assert(java.util.Arrays.equals(back("big"), big))
+    assert(java.util.Arrays.equals(back("raw"), raw))
+    assert(java.util.Arrays.equals(back("noise"), noise))
+    // compaction preserves frames; the compacted store reads identically
+    val compacted = Files.createTempDirectory("snapzc").toString
+    ExternalSnapshots.compact(spark, dir, compacted)
+    val back2 = ExternalSnapshots.readLatest(spark, compacted, "app", "g")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Array[Byte]]("value")).toMap
+    assert(back2.keySet == Set("big", "raw", "noise") &&
+      back2.forall { case (key, v) => java.util.Arrays.equals(v, back(key)) })
+  }
+
   test("journal STREAMING source: live tail into KeyFlowTws matches batch " +
     "replay across appends, at-least-once duplicates dropped in flight") {
     assert(forkSmoke("graft.streaming.JournalStreamSmoke") == 0,
