@@ -110,6 +110,18 @@ class StreamBatchParitySpec extends SparkTestBase {
       "LineDedupParitySmoke reported a stream/batch line-dedup mismatch")
   }
 
+  test("LLM-pipeline parity: incremental MinHash-LSH near-dup dedup through " +
+    "KeyFlowTws equals batch minhashLshPairs (forked)") {
+    // the production ingest shape: per-(doc, band) records keyed by the
+    // band bucket fold first-seen (doc, signature) lists against the
+    // seen-corpus state across 4 microbatches with an at-least-once
+    // overlap; candidate pairs reassembled from the final bucket states
+    // (batch plan's exact estimate arithmetic) must equal the declared
+    // q_minhash_lsh operator's pair set, planted near-dups included
+    assert(forkSmoke("graft.streaming.MinHashDedupParitySmoke") == 0,
+      "MinHashDedupParitySmoke reported a stream/batch near-dup mismatch")
+  }
+
   test("LLM-pipeline parity: incremental token accounting through KeyFlowTws equals " +
     "batch q_token_stats (forked)") {
     // the smoke replays sf0.001 documents through KeyFlowTws keyed by
