@@ -14,10 +14,19 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     * context; the engine is fine in a plain JVM, so timer-path smokes run
     * through this (TimerSmoke, WatermarkSmoke, TtlSmoke,
     * SessionParitySmoke). */
-  def forkSmoke(mainClass: String): Int = {
+  def forkSmoke(mainClass: String): Int = forkSmoke(mainClass, Nil)
+
+  /** [[forkSmoke]] with extra classpath entries appended to the child JVM
+    * (a directory entry gets a jar-glob suffix — the JVM expands it). Used
+    * by the env-gated Kafka broker IT to add the connector + broker jars
+    * the compile classpath deliberately lacks. */
+  def forkSmoke(mainClass: String, extraClasspath: Seq[String]): Int = {
     import scala.sys.process._
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
+    val extras = extraClasspath.map { p =>
+      if (new java.io.File(p).isDirectory) s"$p/*" else p
+    }
+    val cp = (System.getProperty("java.class.path") +: extras).mkString(":")
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",

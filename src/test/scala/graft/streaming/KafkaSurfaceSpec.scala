@@ -135,6 +135,22 @@ class KafkaSurfaceSpec extends SparkTestBase {
     }
     assert(msgs(e).contains("kafka"), msgs(e).take(300))
   }
+
+  test("REAL-BROKER e2e gate (env-activated): produce -> fold -> restart -> " +
+    "recovered counts continue; SKIPPED-green when no Kafka artifact is supplied") {
+    // activates when SPARK_GRAFT_KAFKA_JARS points at the connector +
+    // clients (+ server libs) jars — the forked JVM gets them appended to
+    // its classpath; optionally SPARK_GRAFT_KAFKA_BOOTSTRAP names a
+    // running broker (otherwise the smoke formats + starts a KRaft child
+    // process). Without the env the smoke prints a visible SKIPPED line
+    // and exits 0 — this sandbox has no Kafka artifact anywhere (r9-
+    // verified), so the gate is the readiness artifact: the surface
+    // self-proves the day artifacts appear.
+    val extra = sys.env.get("SPARK_GRAFT_KAFKA_JARS").toSeq
+      .flatMap(_.split(":").filter(_.nonEmpty))
+    assert(forkSmoke("graft.streaming.KafkaBrokerSmoke", extra) == 0,
+      "KafkaBrokerSmoke failed (activated run red, or skip path broken)")
+  }
 }
 
 object KafkaSurfaceSpec {
