@@ -170,6 +170,131 @@ object Dedup {
     out
   }
 
+  /** Routing policy for the blocked all-pairs demo paths when a block
+    * exceeds `maxBlockPopulation`:
+    *
+    *  - [[PairRoute.FailFast]] (default): raise at runtime naming the
+    *    block and the scale paths — nothing quadratic ever runs.
+    *  - [[PairRoute.Auto]]: per-block hybrid. Blocks under the cap keep
+    *    the exact all-pairs demo plan; docs in over-cap blocks route
+    *    through bounded candidate generation (MinHash-LSH for Jaccard,
+    *    winnowed fingerprints for containment — each measure's documented
+    *    scale twin), with candidates restricted to same-block pairs and
+    *    then EXACT-verified with the caller's k and threshold, so every
+    *    emitted score is identical to the demo path's. The only semantic
+    *    difference is recall inside hot blocks, which becomes the
+    *    candidate generator's (LSH/winnow) guarantee instead of
+    *    exhaustive — the same trade the production paths make.
+    */
+  sealed trait PairRoute
+  object PairRoute {
+    case object FailFast extends PairRoute
+    case object Auto extends PairRoute
+  }
+
+  /** Most hot blocks a [[PairRoute.Auto]] split will enumerate on the
+    * driver (they are expected to be FEW — boilerplate keys); beyond
+    * this the blocking scheme itself is broken and auto-routing would
+    * hide it. */
+  private val MaxAutoHotBlocks = 10000
+
+  /** Over-cap block keys as a driver-side list (bounded by
+    * [[MaxAutoHotBlocks]], fail-fast past it). Works on the PROJECTED
+    * doc table (id + block cols only) — one slim aggregate. */
+  private def hotBlockKeys(
+      docs: DataFrame, blockCols: Seq[String],
+      maxBlockPopulation: Long, caller: String): Array[org.apache.spark.sql.Row] = {
+    val tagged = if (blockCols.nonEmpty) docs else docs.withColumn("__gblk", lit(1))
+    val cols = if (blockCols.nonEmpty) blockCols else Seq("__gblk")
+    val hot = tagged.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__blk_n"))
+      .filter(col("__blk_n") > maxBlockPopulation)
+      .select(cols.map(col): _*)
+      .limit(MaxAutoHotBlocks + 1)
+      .collect()
+    require(hot.length <= MaxAutoHotBlocks,
+      s"graft.Dedup.$caller: more than $MaxAutoHotBlocks blocks exceed " +
+        s"maxBlockPopulation=$maxBlockPopulation — the blocking scheme is " +
+        "degenerate; fix the block keys instead of auto-routing")
+    hot
+  }
+
+  /** Split `docs` into (cool, hot) halves by membership of the hot block
+    * keys (null-safe on every block column — NULL is a real block). */
+  private def splitByHotBlocks(
+      docs: DataFrame, blockCols: Seq[String],
+      hotKeys: Array[org.apache.spark.sql.Row]): (DataFrame, DataFrame) = {
+    if (hotKeys.isEmpty) return (docs, docs.limit(0))
+    if (blockCols.isEmpty) return (docs.limit(0), docs) // one global block, and it is hot
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      blockCols.map(c => docs.schema(c).copy(name = s"__hot_$c")))
+    val hotDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(hotKeys: _*), schema))
+    val cond = blockCols.map(c => col(c) <=> col(s"__hot_$c")).reduce(_ && _)
+    (docs.join(hotDf, cond, "left_anti"), docs.join(hotDf, cond, "left_semi"))
+  }
+
+  /** Exact verification of a (doc1, doc2) candidate table against the
+    * k-shingle measure — the shared second half of [[lshVerifiedPairs]]
+    * and the [[PairRoute.Auto]] hot-block fallbacks. Shingles are
+    * computed ONLY for docs that appear in a candidate pair (semi-join →
+    * map-side filter on the corpus scan); the expensive intersect is
+    * pinned above the joins by the pushdown barrier. `containment`
+    * switches the measure (and column name: jacc_ppm / cont_ppm). */
+  private def exactVerifyPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      cands: DataFrame, k: Int, minPpm: Long,
+      containment: Boolean): DataFrame = {
+    val pairDocs = cands
+      .select(explode(array(col("doc1"), col("doc2"))).as("__pdoc")).distinct()
+    val sh = docs
+      .join(pairDocs, col(idCol) === col("__pdoc"), "left_semi")
+      .select(col(idCol).as("doc"),
+        array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"))
+    val withSh = cands
+      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
+    val inter = graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+    if (containment) {
+      val minSize =
+        greatest(least(size(col("sh1")), size(col("sh2"))).cast("long"), lit(1L))
+      withSh
+        .filter(graft.functions.PushdownBarrier.long(
+          graft.functions.ContainmentAtLeast(col("sh1"), col("sh2"), minPpm)
+            .cast("long")) === 1L)
+        .select(col("doc1"), col("doc2"),
+          floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
+    } else {
+      // provably result-equivalent size-ratio prefilter:
+      // J ≤ min(|A|,|B|)/max(|A|,|B|)
+      val sizeGuard =
+        size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
+          size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
+      val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
+      withSh.filter(sizeGuard)
+        .select(col("doc1"), col("doc2"),
+          floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+        .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
+    }
+  }
+
+  /** Restrict a candidate pair table to SAME-BLOCK pairs (null-safe) —
+    * the [[PairRoute.Auto]] fallback must not emit pairs the demo plan's
+    * block-equality join could never produce. */
+  private def sameBlockPairs(
+      cands: DataFrame, docs: DataFrame, idCol: String,
+      blockCols: Seq[String]): DataFrame = {
+    if (blockCols.isEmpty) return cands
+    val b1 = docs.select(col(idCol).as("doc1") +:
+      blockCols.map(c => col(c).as(s"__b1_$c")): _*)
+    val b2 = docs.select(col(idCol).as("doc2") +:
+      blockCols.map(c => col(c).as(s"__b2_$c")): _*)
+    cands.join(b1, "doc1").join(b2, "doc2")
+      .filter(blockCols.map(c => col(s"__b1_$c") <=> col(s"__b2_$c")).reduce(_ && _))
+      .select(col("doc1"), col("doc2"))
+  }
+
   /** Fail-fast population guard for the blocked all-pairs demo paths: a
     * block of n docs enumerates C(n,2) candidate pairs, so a silently hot
     * block (boilerplate language tag, empty length band) turns the "demo
@@ -264,7 +389,30 @@ object Dedup {
       k: Int,
       minPpm: Long,
       packedAscii: Boolean = true,
-      maxBlockPopulation: Long = 10000L): DataFrame = {
+      maxBlockPopulation: Long = 10000L,
+      route: PairRoute = PairRoute.FailFast): DataFrame = route match {
+    case PairRoute.Auto =>
+      val hotKeys = hotBlockKeys(docs.select(blockCols.map(col): _*),
+        blockCols, maxBlockPopulation, "ngramJaccardPairs")
+      if (hotKeys.isEmpty)
+        ngramJaccardPairs(docs, idCol, textCol, blockCols, k, minPpm,
+          packedAscii, Long.MaxValue)
+      else {
+        val (cool, hotDocs) = splitByHotBlocks(docs, blockCols, hotKeys)
+        val coolPairs = ngramJaccardPairs(cool, idCol, textCol, blockCols, k,
+          minPpm, packedAscii, Long.MaxValue)
+        // hot blocks: LSH candidates (Jaccard's scale twin), same-block
+        // only, then exact verify with the CALLER's k and threshold —
+        // emitted scores are identical to the demo plan's
+        val cands = sameBlockPairs(
+          minhashLshPairs(hotDocs, idCol, textCol,
+            minEstPpm = math.min(500000L, minPpm / 2)).select("doc1", "doc2"),
+          hotDocs, idCol, blockCols)
+        coolPairs.unionByName(
+          exactVerifyPairs(hotDocs, idCol, textCol, cands, k, minPpm,
+            containment = false))
+      }
+    case PairRoute.FailFast =>
     val (a, b, blockCond, inter) =
       blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii,
         maxBlockPopulation, "ngramJaccardPairs")
@@ -311,7 +459,33 @@ object Dedup {
       k: Int,
       minPpm: Long,
       packedAscii: Boolean = true,
-      maxBlockPopulation: Long = 10000L): DataFrame = {
+      maxBlockPopulation: Long = 10000L,
+      route: PairRoute = PairRoute.FailFast): DataFrame = route match {
+    case PairRoute.Auto =>
+      val hotKeys = hotBlockKeys(docs.select(blockCols.map(col): _*),
+        blockCols, maxBlockPopulation, "ngramContainmentPairs")
+      if (hotKeys.isEmpty)
+        ngramContainmentPairs(docs, idCol, textCol, blockCols, k, minPpm,
+          packedAscii, Long.MaxValue)
+      else {
+        val (cool, hotDocs) = splitByHotBlocks(docs, blockCols, hotKeys)
+        val coolPairs = ngramContainmentPairs(cool, idCol, textCol, blockCols,
+          k, minPpm, packedAscii, Long.MaxValue)
+        // hot blocks: winnowed-fingerprint candidates — CONTAINMENT's
+        // scale twin, not LSH: MinHash estimates Jaccard, which is
+        // arbitrarily small for exactly the subset-duplication pairs this
+        // measure targets, while winnowing guarantees any shared
+        // substring of length >= w + k - 1 shares a fingerprint. w = 4
+        // keeps the guarantee tight (k+3 chars) at ~n/4 fingerprints/doc.
+        val cands = sameBlockPairs(
+          winnowedPairs(hotDocs, idCol, textCol, k = k, w = 4, minShared = 1L)
+            .select("doc1", "doc2"),
+          hotDocs, idCol, blockCols)
+        coolPairs.unionByName(
+          exactVerifyPairs(hotDocs, idCol, textCol, cands, k, minPpm,
+            containment = true))
+      }
+    case PairRoute.FailFast =>
     val (a, b, joinCond, inter) =
       blockedPairScaffold(docs, idCol, textCol, blockCols, k, packedAscii,
         maxBlockPopulation, "ngramContainmentPairs")
@@ -563,26 +737,8 @@ object Dedup {
     // AQE's runtime stage dedup computes it once across its consumers.
     // (NOT exchange-pinned like lshSignatures: the shingle table is
     // corpus-sized, and a pinning shuffle would move the whole corpus.)
-    val pairDocs = cands
-      .select(explode(array(col("doc1"), col("doc2"))).as("__pdoc")).distinct()
-    val sh = docs
-      .join(pairDocs, col(idCol) === col("__pdoc"), "left_semi")
-      .select(col(idCol).as("doc"),
-        array_sort(TextAnalysis.shinglesPacked(col(textCol), verifyK)).as("sh"))
-    val withSh = cands
-      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
-    // same provably result-equivalent size-ratio prefilter as
-    // ngramJaccardPairs: J ≤ min(|A|,|B|)/max(|A|,|B|)
-    val sizeGuard =
-      size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
-        size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
-    val inter = graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
-    val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
-    withSh.filter(sizeGuard)
-      .select(col("doc1"), col("doc2"),
-        floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
-      .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
+    exactVerifyPairs(docs, idCol, textCol, cands, verifyK, minPpm,
+      containment = false)
   }
 
   /** EXACT k-shingle Jaccard pairs ≥ `minPpm` via prefix filtering — the

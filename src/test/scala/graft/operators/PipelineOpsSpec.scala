@@ -312,6 +312,66 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"expected the NULL-block pair only, got $pairs")
   }
 
+  test("PairRoute.Auto: above-cap blocks fall back to verified candidates " +
+    "(not a failure) — A/B pair-set equality vs the uncapped demo plan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup.PairRoute
+    // hot block (blk=0): 40 near-identical docs; cool block (blk=1): a
+    // handful incl. one near-dup pair — Auto must keep the exact plan for
+    // the cool block and LSH/winnow-route only the hot one
+    val hotTexts = (1L to 40L).map(i =>
+      i -> ("the quick brown fox jumps over the lazy dog again and again " +
+        s"with shared boilerplate marker ${i % 2}"))
+    val coolTexts = Seq(
+      101L -> "completely different cool-block document about spark plans",
+      102L -> "completely different cool-block document about spark plans",
+      103L -> "an unrelated text that matches nothing else in this corpus")
+    val docs = docsDf(hotTexts ++ coolTexts: _*)
+      .withColumn("blk", when(col("doc_id") <= 40L, lit(0)).otherwise(lit(1)))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // JACCARD: demo (uncapped) is the truth; Auto with cap 20 must equal it
+    val truthJ = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 900000L, maxBlockPopulation = Long.MaxValue))
+    val autoJ = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 900000L, maxBlockPopulation = 20L,
+      route = PairRoute.Auto))
+    assert(truthJ.nonEmpty && truthJ.keySet.exists(_._1 > 100L),
+      "test needs both hot and cool pairs in the truth set")
+    assert(autoJ == truthJ, s"auto=${autoJ.size} truth=${truthJ.size} " +
+      s"missing=${(truthJ.keySet -- autoJ.keySet).take(5)} " +
+      s"extra=${(autoJ.keySet -- truthJ.keySet).take(5)}")
+    // CONTAINMENT: plant a subset-dup inside the hot block (low Jaccard,
+    // containment 1.0 — the case LSH candidates would miss, winnow not)
+    val subsetDocs = docsDf((hotTexts :+
+        (50L -> "the quick brown fox jumps over the lazy dog") :+
+        (51L -> ("PREFIX PAD TEXT the quick brown fox jumps over the lazy dog " +
+          "SUFFIX PAD TEXT plus a long unrelated tail making jaccard small " +
+          "and then some more filler words to widen the size gap further"))
+      ): _*).withColumn("blk", lit(0))
+    val truthC = pairSet(Dedup.ngramContainmentPairs(subsetDocs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 950000L, maxBlockPopulation = Long.MaxValue))
+    val autoC = pairSet(Dedup.ngramContainmentPairs(subsetDocs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 950000L, maxBlockPopulation = 20L,
+      route = PairRoute.Auto))
+    assert(truthC.contains((50L, 51L)), "planted subset-dup missing from truth")
+    assert(autoC == truthC, s"auto=${autoC.size} truth=${truthC.size} " +
+      s"missing=${(truthC.keySet -- autoC.keySet).take(5)} " +
+      s"extra=${(autoC.keySet -- truthC.keySet).take(5)}")
+    // FailFast default still refuses the hot block
+    val e = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 900000L, maxBlockPopulation = 20L).count()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("maxBlockPopulation"))
+  }
+
   test("Containment threshold kernel: exact boundary, early exits, degenerate arrays") {
     import graft.functions.ContainmentAtLeast.atLeast
     import org.apache.spark.sql.catalyst.util.GenericArrayData
