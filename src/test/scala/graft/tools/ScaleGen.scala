@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for the SCALING.md wall-time curves:
+  * replicates the three tables the flagship operators consume
+  * (`documents`, `lineitem`, `orders`) FACTOR times with id offsets, and
+  * symlinks every other table, producing a directory WarmBench can point
+  * at. Seeded by construction — replica k's mutation depends only on k.
+  *
+  * The replication preserves LINEAR pair structure (the property that
+  * makes wall-time-vs-size slopes meaningful):
+  *
+  *  - `lang` gets a per-replica suffix, so the lang-blocked demo paths
+  *    (q_dedup_ngram, q_containment) can never pair across replicas —
+  *    their within-block quadratic structure repeats exactly F times;
+  *  - replica k > 0 rewrites the three most frequent letters (e, t, a) to
+  *    replica-unique characters via `translate` — CONTENT-KEYED, so every
+  *    intra-replica duplicate relation (exact dups, shared spans, shingle
+  *    similarity) is preserved bit-for-bit, while across replicas any
+  *    char-5-gram containing e/t/a differs: cross-replica 5-gram Jaccard
+  *    drops to ~(1-0.24)^5/(2-(1-0.24)^5) ≈ 0.14, far below q_minhash_lsh's
+  *    0.4 estimate floor and band-collision range (J^4 per band ≈ 4e-4),
+  *    and no 50-char span survives — pair structure is linear in F by
+  *    construction. (A first attempt inserted a replica token every 4th
+  *    word: that breaks word shingles but leaves most CHAR 5-grams
+  *    shared, and the kernels shingle by characters — cross-replica
+  *    candidates leaked quadratically, measured super-linear at x30.)
+  *  - `n_chars` keeps the BASE value (the map is 1:1 anyway) so
+  *    length-band blocking groups the same docs in every replica;
+  *  - lineitem replicates with per-replica orderkey/suppkey offsets (the
+  *    co-supply graph becomes F disjoint copies: |E| scales by F, per-node
+  *    degree is constant); orders with custkey/orderkey offsets (F times
+  *    the customers at the same per-customer order count).
+  *
+  * Usage: Test/runMain graft.tools.ScaleGen <srcDir> <outDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    require(factor >= 1, "factor must be >= 1")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+
+    def replicate(name: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val all = (0 until factor).map(k => mutate(base, k)).reduce(_ unionAll _)
+      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name x$factor -> ${all.count()} rows")
+    }
+
+    replicate("documents") { (df, k) =>
+      if (k == 0) df
+      else {
+        // replica-unique 1:1 char map for (e, t, a) — tuple distinct per k
+        val targets = "" + ('0' + k % 10).toChar +
+          ('A' + k % 26).toChar + ('a' + (k * 7 + 3) % 26).toChar
+        df.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          translate(col("text"), "eta", targets).as("text"),
+          concat(col("lang"), lit(s"-r$k")).as("lang"),
+          col("source"),
+          col("n_chars")) // base value: same length bands in every replica
+      }
+    }
+    replicate("lineitem") { (df, k) =>
+      if (k == 0) df
+      else df
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+    }
+    replicate("orders") { (df, k) =>
+      if (k == 0) df
+      else df
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * 100000000L))
+    }
+
+    // symlink everything else so any query resolves
+    val srcDir = new java.io.File(src)
+    srcDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val link = java.nio.file.Paths.get(out, f.getName)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
+    }
+    println(s"[scalegen] done: $out (factor $factor)")
+    spark.stop()
+  }
+}
