@@ -255,6 +255,12 @@ object KeyFlow {
     else {
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         java.nio.file.Files.newInputStream(spill), 1 << 16))
+      // a downstream limit/take may abandon the iterator mid-file: close
+      // the stream at task completion too (idempotent), not only on the
+      // fully-consumed path
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () }))
       val total = spilled
       val spillOut = new Iterator[RecordEnv] {
         private var read = 0L

@@ -358,6 +358,13 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(autoC == truthC, s"auto=${autoC.size} truth=${truthC.size} " +
       s"missing=${(truthC.keySet -- autoC.keySet).take(5)} " +
       s"extra=${(autoC.keySet -- truthC.keySet).take(5)}")
+    // the Auto hot path must stay an equi-join plan: no nested loop, no
+    // cartesian — the whole point of rerouting is bounded candidates
+    val autoPlan = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+      k = 3, minPpm = 900000L, maxBlockPopulation = 20L, route = PairRoute.Auto)
+      .queryExecution.executedPlan.toString
+    assert(!autoPlan.contains("CartesianProduct") &&
+      !autoPlan.contains("BroadcastNestedLoopJoin"), autoPlan.take(400))
     // FailFast default still refuses the hot block
     val e = intercept[Exception] {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
