@@ -47,10 +47,17 @@ object BpeTrainer {
 
   val Sep = "\u0001"
 
-  /** Default driver-gather cap: 4M word types × ~100 B/row ≈ 400 MB —
-    * comfortably driver-sized, and far above any natural-language
-    * vocabulary (English web corpora plateau near 1-2M types). */
-  val DefaultMaxVocabRows = 4000000L
+  /** Default driver-gather cap. The honest footprint is NOT the parquet
+    * row size: each collected word type becomes an Array of single-char
+    * Strings (~50 B per char-String + refs ≈ 0.5 KB for a 8-char word)
+    * and the merge loop's pair→word-ids index adds boxed-Int set entries
+    * per (pair, containing word) — ~1-2 KB per word type end to end. 1M
+    * types ≈ 1-2 GB driver heap: safe on any reasonably-sized driver,
+    * while still above the ~1M-type plateau of regex-pretokenized
+    * natural-language corpora. Corpora richer than that take the
+    * distributed round loop (correct at any size, slower per merge) or an
+    * explicit higher cap from a caller who sized their driver. */
+  val DefaultMaxVocabRows = 1000000L
 
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
       maxVocabRows: Long = DefaultMaxVocabRows): DataFrame = {

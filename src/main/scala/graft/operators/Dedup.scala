@@ -198,6 +198,16 @@ object Dedup {
     * hide it. */
   private val MaxAutoHotBlocks = 10000
 
+  /** Candidate-bucket cap for the [[PairRoute.Auto]] fallbacks: a band /
+    * fingerprint bucket larger than this is dropped (`dropHotBuckets`)
+    * so one boilerplate bucket spanning a mega-block cannot regenerate
+    * the C(n,2) pair volume the route exists to avoid. 8x the block cap
+    * keeps full recall for blocks that are merely somewhat over the cap
+    * (the common hot case) while bounding per-bucket pair work at
+    * C(8·cap, 2) — the same trade the production paths' maxBucket makes. */
+  private def autoBucketCap(maxBlockPopulation: Long): Int =
+    math.min(Int.MaxValue.toLong / 8, maxBlockPopulation).toInt * 8
+
   /** Over-cap block keys as a driver-side list (bounded by
     * [[MaxAutoHotBlocks]], fail-fast past it). Works on the PROJECTED
     * doc table (id + block cols only) — one slim aggregate. */
@@ -241,28 +251,40 @@ object Dedup {
     * computed ONLY for docs that appear in a candidate pair (semi-join →
     * map-side filter on the corpus scan); the expensive intersect is
     * pinned above the joins by the pushdown barrier. `containment`
-    * switches the measure (and column name: jacc_ppm / cont_ppm). */
+    * switches the measure (and column name: jacc_ppm / cont_ppm);
+    * `packedAscii` MUST mirror the caller's demo-plan setting or the
+    * hot-route scores would come from a different shingle encoding
+    * (packed is ASCII-only, k <= 7) than the cool blocks'. */
   private def exactVerifyPairs(
       docs: DataFrame, idCol: String, textCol: String,
       cands: DataFrame, k: Int, minPpm: Long,
-      containment: Boolean): DataFrame = {
+      containment: Boolean, packedAscii: Boolean = true): DataFrame = {
     val pairDocs = cands
       .select(explode(array(col("doc1"), col("doc2"))).as("__pdoc")).distinct()
+    val shingleExpr =
+      if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
+      else TextAnalysis.shingles(col(textCol), k)
     val sh = docs
       .join(pairDocs, col(idCol) === col("__pdoc"), "left_semi")
-      .select(col(idCol).as("doc"),
-        array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"))
+      .select(col(idCol).as("doc"), shingleExpr.as("sh"))
     val withSh = cands
       .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
-    val inter = graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+    val inter =
+      if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
+      else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
     if (containment) {
       val minSize =
         greatest(least(size(col("sh1")), size(col("sh2"))).cast("long"), lit(1L))
+      val kernelGate =
+        if (packedAscii)
+          graft.functions.PushdownBarrier.long(
+            graft.functions.ContainmentAtLeast(col("sh1"), col("sh2"), minPpm)
+              .cast("long")) === 1L
+        else graft.functions.PushdownBarrier.long(
+          floor(inter * lit(1000000L) / minSize).cast("long")) >= minPpm
       withSh
-        .filter(graft.functions.PushdownBarrier.long(
-          graft.functions.ContainmentAtLeast(col("sh1"), col("sh2"), minPpm)
-            .cast("long")) === 1L)
+        .filter(kernelGate)
         .select(col("doc1"), col("doc2"),
           floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
     } else {
@@ -271,7 +293,12 @@ object Dedup {
       val sizeGuard =
         size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
           size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
-      val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
+      // greatest(.., 1): two EMPTY shingle sets (docs shorter than k) have
+      // union 0 — double 0/0 is NaN and the ANSI cast to long kills the
+      // query; the guard makes them 0 ppm (dropped by any minPpm > 0),
+      // matching the DuckDB oracle where x // 0 is NULL and WHERE-filtered
+      val union = greatest(
+        size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter, lit(1L))
       withSh.filter(sizeGuard)
         .select(col("doc1"), col("doc2"),
           floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
@@ -402,15 +429,22 @@ object Dedup {
         val coolPairs = ngramJaccardPairs(cool, idCol, textCol, blockCols, k,
           minPpm, packedAscii, Long.MaxValue)
         // hot blocks: LSH candidates (Jaccard's scale twin), same-block
-        // only, then exact verify with the CALLER's k and threshold —
-        // emitted scores are identical to the demo plan's
+        // only, then exact verify with the CALLER's k/threshold/encoding —
+        // emitted scores are identical to the demo plan's. Candidate
+        // buckets are CAPPED (the dropHotBuckets boilerplate trade): one
+        // band bucket shared by a whole mega-block would regenerate the
+        // C(n,2) blowup Auto exists to prevent, so buckets above
+        // 8x maxBlockPopulation are dropped — recall inside such buckets
+        // is the price of bounded candidates, exactly as in the
+        // production paths.
         val cands = sameBlockPairs(
           minhashLshPairs(hotDocs, idCol, textCol,
-            minEstPpm = math.min(500000L, minPpm / 2)).select("doc1", "doc2"),
+            minEstPpm = math.min(500000L, minPpm / 2),
+            maxBucket = autoBucketCap(maxBlockPopulation)).select("doc1", "doc2"),
           hotDocs, idCol, blockCols)
         coolPairs.unionByName(
           exactVerifyPairs(hotDocs, idCol, textCol, cands, k, minPpm,
-            containment = false))
+            containment = false, packedAscii = packedAscii))
       }
     case PairRoute.FailFast =>
     val (a, b, blockCond, inter) =
@@ -424,7 +458,10 @@ object Dedup {
       size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
         size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
     val joinCond = blockCond && sizeGuard
-    val union = size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter
+    // greatest(.., 1): two empty shingle sets otherwise yield double 0/0 =
+    // NaN and the ANSI long cast kills the query (exactVerifyPairs note)
+    val union = greatest(
+      size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter, lit(1L))
     // Barrier pins the expensive jaccard filter ABOVE the join — otherwise
     // the optimizer pushes it into the join condition ahead of the cheap
     // guards and the intersect runs for every candidate pair (see
@@ -477,13 +514,16 @@ object Dedup {
         // measure targets, while winnowing guarantees any shared
         // substring of length >= w + k - 1 shares a fingerprint. w = 4
         // keeps the guarantee tight (k+3 chars) at ~n/4 fingerprints/doc.
+        // Fingerprint buckets are capped like the Jaccard route's band
+        // buckets (bounded candidates over boilerplate-bucket recall).
         val cands = sameBlockPairs(
-          winnowedPairs(hotDocs, idCol, textCol, k = k, w = 4, minShared = 1L)
+          winnowedPairs(hotDocs, idCol, textCol, k = k, w = 4, minShared = 1L,
+            maxBucket = autoBucketCap(maxBlockPopulation))
             .select("doc1", "doc2"),
           hotDocs, idCol, blockCols)
         coolPairs.unionByName(
           exactVerifyPairs(hotDocs, idCol, textCol, cands, k, minPpm,
-            containment = true))
+            containment = true, packedAscii = packedAscii))
       }
     case PairRoute.FailFast =>
     val (a, b, joinCond, inter) =

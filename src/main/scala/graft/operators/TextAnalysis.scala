@@ -368,7 +368,9 @@ object TextAnalysis {
     * exact on both engines). */
   def jaccardPpm(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("long")
-    val union = size(a).cast("long") + size(b).cast("long") - inter
+    // greatest(.., 1): two empty sets are 0 ppm, not a NaN → ANSI-cast error
+    val union = greatest(
+      size(a).cast("long") + size(b).cast("long") - inter, lit(1L))
     (inter * lit(1000000L) / union).cast("long")
   }
 

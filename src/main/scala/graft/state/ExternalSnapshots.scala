@@ -21,6 +21,14 @@ import scala.concurrent.duration.FiniteDuration
   * group_id) whose read path resolves last-write-wins via max_by(offset) —
   * append-only writes scale (no read-modify-write at 100 TB), compaction
   * is `compact()`.
+  *
+  * STORE FORMAT: values are [[Compressor]]-framed (1-byte marker +
+  * passthrough or LZ4 block) since r10 — `upsert` writes frames,
+  * `readLatest` decodes them, `compact` passes them through. A directory
+  * written by a pre-framing `upsert` (raw value bytes) is NOT readable by
+  * this `readLatest`: re-upsert it through the current writer. No such
+  * store ships with the repo; this note exists so the format change is a
+  * documented migration, not a silent corruption.
   */
 object ExternalSnapshots {
 

@@ -50,6 +50,20 @@ object KafkaBrokerSmoke {
         "in this sandbox (verified r9)")
       sys.exit(0)
     }
+    // preflight: activation without the client/connector artifacts on THIS
+    // JVM's classpath can only fail — say exactly what is missing instead
+    // of a generic red (the spec appends SPARK_GRAFT_KAFKA_JARS to the
+    // fork classpath; a bootstrap-only env forgot the jars)
+    try Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+    catch {
+      case _: ClassNotFoundException =>
+        System.err.println("KAFKA_BROKER_E2E: MISCONFIGURED — activation " +
+          "env set but kafka-clients is not on the classpath; set " +
+          "SPARK_GRAFT_KAFKA_JARS to the connector + clients jars (the " +
+          "launching spec appends them to the forked JVM)")
+        println("KAFKA_BROKER_E2E: FAILED")
+        sys.exit(1)
+    }
     var broker: scala.sys.process.Process = null
     var exit = 1
     try {

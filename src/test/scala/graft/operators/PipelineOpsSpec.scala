@@ -358,6 +358,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(autoC == truthC, s"auto=${autoC.size} truth=${truthC.size} " +
       s"missing=${(truthC.keySet -- autoC.keySet).take(5)} " +
       s"extra=${(autoC.keySet -- truthC.keySet).take(5)}")
+    // packedAscii=false must flow through to the hot-route verify: scores
+    // still equal the (unpacked) demo plan's on the same corpus
+    val truthU = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 900000L, packedAscii = false,
+      maxBlockPopulation = Long.MaxValue))
+    val autoU = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq("blk"), k = 3, minPpm = 900000L, packedAscii = false,
+      maxBlockPopulation = 20L, route = PairRoute.Auto))
+    assert(autoU == truthU && truthU == truthJ,
+      s"unpacked: auto=${autoU.size} truth=${truthU.size} packedTruth=${truthJ.size}")
     // the Auto hot path must stay an equi-join plan: no nested loop, no
     // cartesian — the whole point of rerouting is bounded candidates
     val autoPlan = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
@@ -377,6 +387,26 @@ class PipelineOpsSpec extends SparkTestBase {
       sb.toString
     }
     assert(rootMsg(e).contains("maxBlockPopulation"))
+  }
+
+  test("empty-shingle docs (text shorter than k) never NaN-crash the " +
+    "jaccard division — 0 ppm, dropped by any positive threshold") {
+    import org.apache.spark.sql.functions._
+    // two sub-k docs in ONE block: sizeGuard passes (0 >= t*0), union
+    // would be 0 — ANSI NaN→long cast killed the query before the guard
+    val docs = docsDf((1L, "ab"), (2L, "xy"), (3L, "a real document with text"),
+        (4L, "a real document with text"))
+      .withColumn("blk", lit(0))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 800000L, maxBlockPopulation = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)), s"got $pairs") // empty-empty pair absent, real pair kept
+    // unpacked twin takes the same guard
+    val pairsU = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 800000L, packedAscii = false,
+        maxBlockPopulation = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsU == Set((3L, 4L)), s"got $pairsU")
   }
 
   test("Containment threshold kernel: exact boundary, early exits, degenerate arrays") {

@@ -55,12 +55,23 @@ object ScaleGen {
       println(s"[scalegen] $name x$factor -> ${all.count()} rows")
     }
 
+    // target pool for the e/t/a rewrite: digits + letters EXCLUDING the
+    // replaced letters themselves (a no-op mapping would leave a replica
+    // sharing grams with replica 0). Each of the three targets is drawn at
+    // a distinct stride so no two replicas share ANY target — sharing even
+    // one (e.g. only the t-target, as the first mod-10/mod-26 scheme did
+    // for k and k+26) leaves all grams without the other letters equal
+    // across those replicas, and cross-replica Jaccard climbs back into
+    // LSH range. Pool size 59 bounds the factor.
+    val pool = (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z'))
+      .filterNot("eta".contains(_))
+    require(factor <= pool.size,
+      s"factor $factor exceeds the ${pool.size}-char replica-unique pool")
     replicate("documents") { (df, k) =>
       if (k == 0) df
       else {
-        // replica-unique 1:1 char map for (e, t, a) — tuple distinct per k
-        val targets = "" + ('0' + k % 10).toChar +
-          ('A' + k % 26).toChar + ('a' + (k * 7 + 3) % 26).toChar
+        val targets = "" + pool(k % pool.size) +
+          pool((k + 20) % pool.size) + pool((k + 40) % pool.size)
         df.select(
           (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
           translate(col("text"), "eta", targets).as("text"),

@@ -12,9 +12,10 @@ Usage:
   python3 tools/warm_history.py record <label>   # append BENCH_FULL.json as <label>, then compare
   python3 tools/warm_history.py check            # compare last two entries only
 
-Exit code: 0 always (flags are printed WARN lines — the close-out workflow
-decides what to do with them; a regression needs a WarmBench A/B on an idle
-host before it is believed, see CLAUDE.md).
+Exit code: 0 on any successful run, flags included (a regression needs a
+WarmBench A/B on an idle host before it is believed, see CLAUDE.md);
+2 on usage errors (missing label, BENCH_FULL.json absent) with a clear
+message instead of a traceback.
 """
 import json
 import os
@@ -73,7 +74,14 @@ def main():
         return
     history = load_history()
     if sys.argv[1] == "record":
+        if len(sys.argv) < 3 or not sys.argv[2].strip():
+            print("usage: warm_history.py record <label>   (e.g. record r10)")
+            sys.exit(2)
         label = sys.argv[2]
+        if not os.path.exists(BENCH_FULL):
+            print(f"BENCH_FULL.json not found at {BENCH_FULL} — run the "
+                  "sf0.1 Bench step first (see CLAUDE.md close-out order)")
+            sys.exit(2)
         with open(BENCH_FULL) as f:
             full = json.load(f)
         entry = {
