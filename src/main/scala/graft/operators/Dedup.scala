@@ -208,17 +208,31 @@ object Dedup {
   private def autoBucketCap(maxBlockPopulation: Long): Int =
     math.min(Int.MaxValue.toLong / 8, maxBlockPopulation).toInt * 8
 
+  /** Tag the one-global-block case so every consumer groups/joins on a
+    * real column set; returns (tagged df, effective block cols). */
+  private def tagGlobalBlock(
+      df: DataFrame, blockCols: Seq[String]): (DataFrame, Seq[String]) =
+    if (blockCols.nonEmpty) (df, blockCols)
+    else (df.withColumn("__gblk", lit(1)), Seq("__gblk"))
+
+  /** THE definition of "hot block": per-block populations above the cap —
+    * one slim aggregate, NULL keys counted as a real block. Shared by the
+    * FailFast guard and the Auto split so the two can never disagree on
+    * which blocks are hot. Returns the block columns + `__blk_n`. */
+  private def overCapBlocks(tagged: DataFrame, cols: Seq[String],
+      maxBlockPopulation: Long): DataFrame =
+    tagged.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__blk_n"))
+      .filter(col("__blk_n") > maxBlockPopulation)
+
   /** Over-cap block keys as a driver-side list (bounded by
     * [[MaxAutoHotBlocks]], fail-fast past it). Works on the PROJECTED
     * doc table (id + block cols only) — one slim aggregate. */
   private def hotBlockKeys(
       docs: DataFrame, blockCols: Seq[String],
       maxBlockPopulation: Long, caller: String): Array[org.apache.spark.sql.Row] = {
-    val tagged = if (blockCols.nonEmpty) docs else docs.withColumn("__gblk", lit(1))
-    val cols = if (blockCols.nonEmpty) blockCols else Seq("__gblk")
-    val hot = tagged.groupBy(cols.map(col): _*)
-      .agg(count(lit(1)).cast("long").as("__blk_n"))
-      .filter(col("__blk_n") > maxBlockPopulation)
+    val (tagged, cols) = tagGlobalBlock(docs, blockCols)
+    val hot = overCapBlocks(tagged, cols, maxBlockPopulation)
       .select(cols.map(col): _*)
       .limit(MaxAutoHotBlocks + 1)
       .collect()
@@ -276,17 +290,23 @@ object Dedup {
     if (containment) {
       val minSize =
         greatest(least(size(col("sh1")), size(col("sh2"))).cast("long"), lit(1L))
-      val kernelGate =
-        if (packedAscii)
-          graft.functions.PushdownBarrier.long(
+      if (packedAscii)
+        // two-phase: the cheap early-exit kernel gates; the exact count
+        // runs only for survivors (the demo plan's packed shape)
+        withSh
+          .filter(graft.functions.PushdownBarrier.long(
             graft.functions.ContainmentAtLeast(col("sh1"), col("sh2"), minPpm)
-              .cast("long")) === 1L
-        else graft.functions.PushdownBarrier.long(
-          floor(inter * lit(1000000L) / minSize).cast("long")) >= minPpm
-      withSh
-        .filter(kernelGate)
-        .select(col("doc1"), col("doc2"),
-          floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
+              .cast("long")) === 1L)
+          .select(col("doc1"), col("doc2"),
+            floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
+      else
+        // no cheap gate exists unpacked: compute cont_ppm ONCE and filter
+        // on the column (gating on a second full intersect would double
+        // the per-pair kernel work — the demo plan's unpacked shape)
+        withSh
+          .select(col("doc1"), col("doc2"),
+            floor(inter * lit(1000000L) / minSize).cast("long").as("cont_ppm"))
+          .filter(graft.functions.PushdownBarrier.long(col("cont_ppm")) >= minPpm)
     } else {
       // provably result-equivalent size-ratio prefilter:
       // J ≤ min(|A|,|B|)/max(|A|,|B|)
@@ -342,11 +362,8 @@ object Dedup {
       maxBlockPopulation: Long, caller: String): DataFrame = {
     require(maxBlockPopulation > 0, "maxBlockPopulation must be positive")
     if (maxBlockPopulation == Long.MaxValue) return df
-    val tagged = if (blockCols.nonEmpty) df else df.withColumn("__gblk", lit(1))
-    val cols = if (blockCols.nonEmpty) blockCols else Seq("__gblk")
-    val hot = tagged.groupBy(cols.map(col): _*)
-      .agg(count(lit(1)).cast("long").as("__blk_n"))
-      .filter(col("__blk_n") > maxBlockPopulation)
+    val (tagged, cols) = tagGlobalBlock(df, blockCols)
+    val hot = overCapBlocks(tagged, cols, maxBlockPopulation)
       .select(cols.map(c => col(c).as(s"__hot_$c")) :+ col("__blk_n"): _*)
     val hotCond = cols.map(c => col(c) <=> col(s"__hot_$c")).reduce(_ && _)
     val guarded = tagged.join(broadcast(hot), hotCond, "left")
@@ -437,8 +454,12 @@ object Dedup {
         // 8x maxBlockPopulation are dropped — recall inside such buckets
         // is the price of bounded candidates, exactly as in the
         // production paths.
+        // the generator MUST estimate the measure being verified: signatures
+        // are built over the CALLER's k (a k=3 Jaccard of 0.9 can be a k=5
+        // Jaccard of 0.4 — generating at the default shingle size would
+        // silently drop pairs the demo plan emits before verify ever ran)
         val cands = sameBlockPairs(
-          minhashLshPairs(hotDocs, idCol, textCol,
+          minhashLshPairs(hotDocs, idCol, textCol, k = k,
             minEstPpm = math.min(500000L, minPpm / 2),
             maxBucket = autoBucketCap(maxBlockPopulation)).select("doc1", "doc2"),
           hotDocs, idCol, blockCols)

@@ -215,9 +215,34 @@ object KeyFlow {
       implicit env: Encoder[RecordEnv]): Dataset[RecordEnv] =
     records.mapPartitions(it => clockIterator(it, ClockSpillAfter))
 
-  /** The two-pass kernel, spill threshold injectable for tests. */
+  /** The directory the clock pass spills into: Spark's configured
+    * executor scratch space, NOT `java.io.tmpdir` — on containerized
+    * hosts /tmp is commonly a small (or RAM-backed) tmpfs while
+    * `spark.local.dir` / `SPARK_LOCAL_DIRS` point at the large shuffle
+    * disks, and a spill that lands on tmpfs consumes the very heap the
+    * spill exists to protect. Resolution mirrors Spark's own precedence
+    * (container env vars over conf over the JVM default); with several
+    * dirs the task's partition id picks one, spreading concurrent spills
+    * across spindles like the disk block manager does. */
+  private[streaming] def spillDirFor(partitionId: Int): java.nio.file.Path = {
+    val configured = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(sys.env.get("LOCAL_DIRS")) // YARN container form
+      .orElse(Option(org.apache.spark.SparkEnv.get)
+        .flatMap(e => e.conf.getOption("spark.local.dir")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(Array(System.getProperty("java.io.tmpdir")))
+    val dir = java.nio.file.Paths.get(
+      configured(math.floorMod(partitionId, configured.length)))
+    java.nio.file.Files.createDirectories(dir)
+    dir
+  }
+
+  /** The two-pass kernel; spill threshold and directory injectable for
+    * tests (`spillDir = None` resolves the executor scratch dir). */
   private[streaming] def clockIterator(
-      it: Iterator[Record], spillAfter: Int): Iterator[RecordEnv] = {
+      it: Iterator[Record], spillAfter: Int,
+      spillDir: Option[java.nio.file.Path] = None): Iterator[RecordEnv] = {
     if (!it.hasNext) return Iterator.empty
     val clocks = scala.collection.mutable.HashMap.empty[(String, Int), Long]
     def observe(r: Record): Unit = {
@@ -232,7 +257,10 @@ object KeyFlow {
     var spill: java.nio.file.Path = null
     var spilled = 0L
     if (it.hasNext) {
-      spill = java.nio.file.Files.createTempFile("graft-clock-spill", ".bin")
+      val pid = Option(org.apache.spark.TaskContext.get())
+        .map(_.partitionId()).getOrElse(0)
+      spill = java.nio.file.Files.createTempFile(
+        spillDir.getOrElse(spillDirFor(pid)), "graft-clock-spill", ".bin")
       // task failure between here and iterator exhaustion must not leak
       // the file; completion listener covers success too (delete is
       // idempotent)

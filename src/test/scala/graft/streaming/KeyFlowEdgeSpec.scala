@@ -161,8 +161,12 @@ class KeyFlowEdgeSpec extends SparkTestBase {
       val (t, p) = if (i % 2 == 0) ("a", 0) else if (i % 5 == 0) ("a", 1) else ("b", 7)
       rec(t, p, if (i == 3) 9999L else i, s"k${i % 11}") // source ("b",7) max lands in-heap
     }
+    // dedicated spill dir: the leak assertion below must only ever see
+    // files THIS test created (a stale spill from a killed JVM or a
+    // concurrently forked smoke in the shared tmpdir is not our leak)
+    val spillHome = java.nio.file.Files.createTempDirectory("graft-clock-spec")
     def run(spillAfter: Int) =
-      KeyFlow.clockIterator(records.iterator, spillAfter).toSeq
+      KeyFlow.clockIterator(records.iterator, spillAfter, Some(spillHome)).toSeq
     val inHeap = run(Int.MaxValue)
     val spilled = run(16) // 500 records, threshold 16 → ~484 spill
     assert(spilled.size == 500 && inHeap.size == 500)
@@ -184,14 +188,37 @@ class KeyFlowEdgeSpec extends SparkTestBase {
     // threshold so it provably round-trips through the spill file)
     val withNanos = rec("n", 0, 1L, "k")
     withNanos.timestamp.setNanos(123456789)
-    val rt = KeyFlow.clockIterator((records.take(40) ++ Seq(withNanos)).iterator, 8).toSeq
+    val rt = KeyFlow.clockIterator(
+      (records.take(40) ++ Seq(withNanos)).iterator, 8, Some(spillHome)).toSeq
     assert(rt.last.record.timestamp.getNanos == 123456789)
-    // no graft-clock-spill files left behind
-    val tmp = java.io.File.createTempFile("probe", ".bin").getParentFile
-    tmp.delete()
-    val leftovers = Option(new java.io.File(
-      System.getProperty("java.io.tmpdir")).listFiles())
+    // no spill files left behind IN OUR dedicated dir
+    val leftovers = Option(spillHome.toFile.listFiles())
       .getOrElse(Array.empty).filter(_.getName.startsWith("graft-clock-spill"))
     assert(leftovers.isEmpty, s"spill files leaked: ${leftovers.mkString(",")}")
+    java.nio.file.Files.deleteIfExists(spillHome)
+  }
+
+  test("spillDirFor honors spark.local.dir over the JVM tmpdir and " +
+    "spreads by partition id") {
+    // the suite's session has no spark.local.dir set -> JVM default
+    val default = KeyFlow.spillDirFor(0)
+    assert(default.toString.startsWith(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")).toString))
+    // with spark.local.dir set on the active SparkEnv conf, spills go
+    // there (comma list, picked by partition id, created if missing)
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ld1")
+    val d2 = d1.resolveSibling(d1.getFileName.toString + "-b") // not yet created
+    val conf = org.apache.spark.SparkEnv.get.conf
+    conf.set("spark.local.dir", s"$d1,$d2")
+    try {
+      assert(KeyFlow.spillDirFor(0) == d1)
+      assert(KeyFlow.spillDirFor(1) == d2 && java.nio.file.Files.isDirectory(d2))
+      assert(KeyFlow.spillDirFor(2) == d1)
+      assert(KeyFlow.spillDirFor(-1) == d2) // floorMod, never negative index
+    } finally {
+      conf.remove("spark.local.dir")
+      java.nio.file.Files.deleteIfExists(d2)
+      java.nio.file.Files.deleteIfExists(d1)
+    }
   }
 }

@@ -55,23 +55,30 @@ object ScaleGen {
       println(s"[scalegen] $name x$factor -> ${all.count()} rows")
     }
 
-    // target pool for the e/t/a rewrite: digits + letters EXCLUDING the
+    // target pool for the e/t/a rewrite: printable ASCII EXCLUDING the
     // replaced letters themselves (a no-op mapping would leave a replica
-    // sharing grams with replica 0). Each of the three targets is drawn at
-    // a distinct stride so no two replicas share ANY target — sharing even
-    // one (e.g. only the t-target, as the first mod-10/mod-26 scheme did
-    // for k and k+26) leaves all grams without the other letters equal
-    // across those replicas, and cross-replica Jaccard climbs back into
-    // LSH range. Pool size 59 bounds the factor.
-    val pool = (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z'))
+    // sharing grams with replica 0) and space (word structure preserved).
+    // Replica k takes the DISJOINT CONTIGUOUS TRIPLE at pool offset
+    // 3(k-1), so no two replicas share ANY target, across letters too —
+    // strided schemes (k, k+20, k+40 mod |pool|) wrap for k >= 21 and
+    // collide CROSS-letter (one replica's a-target equals another's
+    // e-target: "ga" there equals "ge" here), quietly re-opening
+    // cross-replica gram sharing the slope table assumes is excluded.
+    // Sharing even one target leaves all grams without the other letters
+    // equal across those replicas, and cross-replica Jaccard climbs back
+    // into LSH range. Alphanumerics first (replicas <= 20 keep word-ish
+    // targets), punctuation extends the pool to 91 — factor bound 31.
+    val pool = (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z') ++
+      ('!' to '/') ++ (':' to '@') ++ ('[' to '`') ++ ('{' to '~'))
       .filterNot("eta".contains(_))
-    require(factor <= pool.size,
-      s"factor $factor exceeds the ${pool.size}-char replica-unique pool")
+    require(3 * (factor - 1) <= pool.size,
+      s"factor $factor needs ${3 * (factor - 1)} distinct targets; the " +
+        s"replica-unique pool has ${pool.size}")
     replicate("documents") { (df, k) =>
       if (k == 0) df
       else {
-        val targets = "" + pool(k % pool.size) +
-          pool((k + 20) % pool.size) + pool((k + 40) % pool.size)
+        val targets = "" + pool(3 * (k - 1)) + pool(3 * (k - 1) + 1) +
+          pool(3 * (k - 1) + 2)
         df.select(
           (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
           translate(col("text"), "eta", targets).as("text"),
