@@ -313,10 +313,12 @@ object Dedup {
       val sizeGuard =
         size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
           size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
-      // greatest(.., 1): two EMPTY shingle sets (docs shorter than k) have
-      // union 0 — double 0/0 is NaN and the ANSI cast to long kills the
-      // query; the guard makes them 0 ppm (dropped by any minPpm > 0),
-      // matching the DuckDB oracle where x // 0 is NULL and WHERE-filtered
+      // greatest(.., 1): belt-and-braces against union = 0. The shingle
+      // kernels clamp to >= 1 shingle per non-null text (n = max(len-k+1,
+      // 1), ShingleKernels.scala:24), so the 0/0 state is unreachable
+      // HERE — the guard exists so the expression stays total if a future
+      // caller feeds pre-built arrays that can be empty (the
+      // TextAnalysis.jaccardPpm situation, where it is load-bearing)
       val union = greatest(
         size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter, lit(1L))
       withSh.filter(sizeGuard)
@@ -436,13 +438,22 @@ object Dedup {
       maxBlockPopulation: Long = 10000L,
       route: PairRoute = PairRoute.FailFast): DataFrame = route match {
     case PairRoute.Auto =>
-      val hotKeys = hotBlockKeys(docs.select(blockCols.map(col): _*),
+      // materialize the slim working set ONCE: the Auto route consumes
+      // the docs subtree from many consumers (hot-key aggregate, the
+      // anti/semi splits, LSH signatures, block re-attachment twice,
+      // verify shingles) — against an expensive upstream plan each would
+      // recompute the lot (the eager-checkpoint-before-self-joins house
+      // rule; at cluster scale swap for checkpoint())
+      val slim = docs
+        .select((idCol +: textCol +: blockCols).distinct.map(col): _*)
+        .localCheckpoint(true)
+      val hotKeys = hotBlockKeys(slim.select(blockCols.map(col): _*),
         blockCols, maxBlockPopulation, "ngramJaccardPairs")
       if (hotKeys.isEmpty)
-        ngramJaccardPairs(docs, idCol, textCol, blockCols, k, minPpm,
+        ngramJaccardPairs(slim, idCol, textCol, blockCols, k, minPpm,
           packedAscii, Long.MaxValue)
       else {
-        val (cool, hotDocs) = splitByHotBlocks(docs, blockCols, hotKeys)
+        val (cool, hotDocs) = splitByHotBlocks(slim, blockCols, hotKeys)
         val coolPairs = ngramJaccardPairs(cool, idCol, textCol, blockCols, k,
           minPpm, packedAscii, Long.MaxValue)
         // hot blocks: LSH candidates (Jaccard's scale twin), same-block
@@ -479,8 +490,8 @@ object Dedup {
       size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
         size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
     val joinCond = blockCond && sizeGuard
-    // greatest(.., 1): two empty shingle sets otherwise yield double 0/0 =
-    // NaN and the ANSI long cast kills the query (exactVerifyPairs note)
+    // greatest(.., 1): belt-and-braces — the kernels' >= 1 shingle clamp
+    // makes union = 0 unreachable here (exactVerifyPairs note)
     val union = greatest(
       size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter, lit(1L))
     // Barrier pins the expensive jaccard filter ABOVE the join — otherwise
@@ -520,13 +531,18 @@ object Dedup {
       maxBlockPopulation: Long = 10000L,
       route: PairRoute = PairRoute.FailFast): DataFrame = route match {
     case PairRoute.Auto =>
-      val hotKeys = hotBlockKeys(docs.select(blockCols.map(col): _*),
+      // one slim materialization for the route's many consumers — the
+      // ngramJaccardPairs discipline
+      val slim = docs
+        .select((idCol +: textCol +: blockCols).distinct.map(col): _*)
+        .localCheckpoint(true)
+      val hotKeys = hotBlockKeys(slim.select(blockCols.map(col): _*),
         blockCols, maxBlockPopulation, "ngramContainmentPairs")
       if (hotKeys.isEmpty)
-        ngramContainmentPairs(docs, idCol, textCol, blockCols, k, minPpm,
+        ngramContainmentPairs(slim, idCol, textCol, blockCols, k, minPpm,
           packedAscii, Long.MaxValue)
       else {
-        val (cool, hotDocs) = splitByHotBlocks(docs, blockCols, hotKeys)
+        val (cool, hotDocs) = splitByHotBlocks(slim, blockCols, hotKeys)
         val coolPairs = ngramContainmentPairs(cool, idCol, textCol, blockCols,
           k, minPpm, packedAscii, Long.MaxValue)
         // hot blocks: winnowed-fingerprint candidates — CONTAINMENT's

@@ -1961,7 +1961,9 @@ object TextQueries {
         |ORDER BY eval_id, rnk""".stripMargin,
 
     // same packed-shingle CTE as q_dedup_ngram; containment denominator =
-    // least(); floor division mirrored; threshold repeated verbatim
+    // least(); floor division mirrored; threshold repeated verbatim;
+    // IS NOT DISTINCT FROM mirrors the Spark side's null-safe <=> block
+    // join (NULL lang is a real block on both engines)
     "q_containment" ->
       """WITH s AS (
         | SELECT doc_id, lang,
@@ -1974,7 +1976,7 @@ object TextQueries {
         | CAST(len(list_intersect(a.sh, b.sh)) * 1000000
         |   // greatest(least(len(a.sh), len(b.sh)), 1) AS BIGINT) AS cont_ppm
         |FROM s a JOIN s b
-        | ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) * 1000000
         |   // greatest(least(len(a.sh), len(b.sh)), 1) AS BIGINT) >= 900000
         |ORDER BY doc1, doc2""".stripMargin,
@@ -2773,7 +2775,9 @@ object TextQueries {
         | CAST(len(list_intersect(a.sh, b.sh)) * 1000000
         |   // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jacc_ppm
         |FROM s a JOIN s b
-        | ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+        | ON a.lang IS NOT DISTINCT FROM b.lang
+        |  AND a.len_band IS NOT DISTINCT FROM b.len_band
+        |  AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) * 1000000
         |   // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) >= 800000
         |ORDER BY doc1, doc2""".stripMargin,

@@ -24,13 +24,61 @@ import scala.concurrent.duration.FiniteDuration
   *
   * STORE FORMAT: values are [[Compressor]]-framed (1-byte marker +
   * passthrough or LZ4 block) since r10 — `upsert` writes frames,
-  * `readLatest` decodes them, `compact` passes them through. A directory
-  * written by a pre-framing `upsert` (raw value bytes) is NOT readable by
-  * this `readLatest`: re-upsert it through the current writer. No such
-  * store ships with the repo; this note exists so the format change is a
-  * documented migration, not a silent corruption.
+  * `readLatest` decodes them, `compact` passes them through. The format
+  * is SELF-PROVING, not doc-proving: every writer stamps a
+  * `_graft_store_format` file (underscore-prefixed, so parquet readers
+  * ignore it) and every reader/writer REQUIRES it on a non-empty store —
+  * a directory written by a pre-framing `upsert` (raw value bytes) fails
+  * loudly with a migration message instead of having its first value
+  * byte silently stripped by the frame decoder.
   */
 object ExternalSnapshots {
+
+  /** Format stamp: `_`-prefixed so Spark's parquet scan skips it. */
+  private[state] val FormatFileName = "_graft_store_format"
+  private[state] val FormatId = "framed-v1"
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Stamp `dir` as framed-v1 (idempotent; same bytes every time, so a
+    * concurrent double-create is harmless). */
+  private def writeFormatMarker(spark: SparkSession, dir: String): Unit = {
+    val (fs, base) = hadoopFs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(base, FormatFileName)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(FormatId.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Fail fast unless `dir` is fresh/empty or stamped framed-v1. Guards
+    * BOTH directions of the r10 format change: reading a pre-framing
+    * store through the frame decoder (corrupts values), and appending
+    * frames into one (mixes encodings the reader cannot distinguish). */
+  private def requireFramedStore(spark: SparkSession, dir: String): Unit = {
+    val (fs, base) = hadoopFs(spark, dir)
+    if (!fs.exists(base)) return
+    val p = new org.apache.hadoop.fs.Path(base, FormatFileName)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val got =
+        try { val b = new Array[Byte](64); val n = math.max(in.read(b), 0)
+              new String(b, 0, n, "UTF-8") }
+        finally in.close()
+      require(got == FormatId, s"graft.ExternalSnapshots: store $dir has " +
+        s"format '$got' but this build reads/writes '$FormatId'")
+    } else if (fs.listStatus(base).nonEmpty) {
+      throw new IllegalStateException(
+        s"graft.ExternalSnapshots: store $dir has data but no " +
+          s"$FormatFileName stamp — it predates Compressor framing. Its " +
+          "values are RAW bytes the frame decoder would corrupt; migrate " +
+          "by reading it with the pre-framing build (or spark.read.parquet " +
+          "directly) and re-upserting through this writer")
+    }
+  }
 
   /** One snapshot row; `value = null` is a tombstone (deleted key) —
     * mirrors the compacted-topic convention (reference
@@ -65,6 +113,11 @@ object ExternalSnapshots {
   def upsert(rows: Dataset[SnapshotRow], storeDir: String,
              compressionThreshold: Int = CompressionThresholdBytes): Unit = {
     import rows.sparkSession.implicits._
+    requireFramedStore(rows.sparkSession, storeDir)
+    // stamp BEFORE appending: a crash between the two must strand an
+    // empty-but-stamped dir (readable as an empty store), never a framed
+    // store that fails the stamp check as pseudo-legacy
+    writeFormatMarker(rows.sparkSession, storeDir)
     rows.mapPartitions { it =>
       val c = new Compressor(compressionThreshold)
       it.map(r => if (r.value == null) r else r.copy(value = c.compress(r.value)))
@@ -85,6 +138,7 @@ object ExternalSnapshots {
                  applicationId: String, groupId: String,
                  expiration: Option[FiniteDuration] = None,
                  nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    requireFramedStore(spark, storeDir)
     val latest = spark.read.parquet(storeDir)
       .filter(col("application_id") === applicationId && col("group_id") === groupId)
       .groupBy("topic", "partition", "key")
@@ -122,6 +176,7 @@ object ExternalSnapshots {
   def compact(spark: SparkSession, storeDir: String, outDir: String,
               expiration: Option[FiniteDuration] = None,
               nowMs: Long = System.currentTimeMillis()): Unit = {
+    requireFramedStore(spark, storeDir)
     val latest = spark.read.parquet(storeDir)
       .groupBy("application_id", "group_id", "topic", "partition", "key")
       .agg(
@@ -134,6 +189,7 @@ object ExternalSnapshots {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("application_id", "group_id")
       .parquet(outDir)
+    writeFormatMarker(spark, outDir)
   }
 
   def rowFor(key: KafkaKey, offset: Long, metadata: String, value: Array[Byte],

@@ -42,6 +42,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnParquet {
 
+  /** Post-rename overtake re-publishes allowed before [[commitFrom]]
+    * declares the store pathologically contended. Each legitimate
+    * iteration is one lost race against a DIFFERENT concurrent commit —
+    * 20 in a row means publishers are mutually overtaking in lockstep,
+    * and every further round writes another duplicate manifest. */
+  private[state] val MaxOvertakeRepublishes = 20
+
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -118,16 +125,30 @@ object TxnParquet {
     * if a higher version committed inside the window, the same content is
     * RE-PUBLISHED above it (the overtaken manifest stays readable —
     * publishes never delete — so the rare race costs one duplicate
-    * snapshot, never a lost newest). The loop terminates because each
-    * extra iteration requires a fresh concurrent commit to land inside a
-    * re-scan→rename window; the returned version is guaranteed to have
-    * been the newest committed snapshot at some instant after its rename
-    * — `read()` after `publish()` always sees the write. */
+    * snapshot, never a lost newest). Each extra iteration requires a
+    * fresh concurrent commit to land inside a re-scan→rename window, but
+    * two re-publishing committers can in principle overtake EACH OTHER
+    * (every iteration is itself a commit that re-triggers the peer), each
+    * round writing another duplicate manifest — so the loop is BOUNDED at
+    * [[MaxOvertakeRepublishes]] and fails loudly past it naming what is
+    * and is not durable, instead of ping-ponging manifests until the
+    * contention happens to break. The returned version is guaranteed to
+    * have been the newest committed snapshot at some instant after its
+    * rename — `read()` after `publish()` always sees the write. */
   private[state] def commitFrom(f: FileSystem, base: String, tmp: Path,
                                 startV: Long): Long = {
     var v = claimAndRename(f, base, tmp, startV)
     var newest = committedMax(f, base)
+    var republishes = 0
     while (newest > v) {
+      republishes += 1
+      if (republishes > MaxOvertakeRepublishes)
+        throw new IllegalStateException(
+          s"graft.TxnParquet: overtaken $republishes times in a row " +
+            s"publishing to $base — the store is pathologically contended. " +
+            s"The content IS durable at version $v (readVersion($v)), but " +
+            "read-your-write via read() could not be established; retry " +
+            "when contention subsides or serialize the publishers")
       // overtaken inside the re-scan→rename window: replay the committed
       // manifest bytes into a fresh tmp and commit them above the overtaker
       val bytes = readManifestBytes(f, new Path(manifestDir(base), s"$v.json"))

@@ -238,8 +238,22 @@ object KeyFlow {
     dir
   }
 
+  /** Backstop for spill cleanup when [[clockIterator]] runs OUTSIDE a
+    * Spark task (library callers, tests): no TaskContext completion
+    * listener exists there, so an abandoned iterator (downstream
+    * take/limit) would hold its fd and spill file until JVM exit. The
+    * Cleaner closes/deletes when the iterator becomes unreachable. */
+  private val SpillCleaner = java.lang.ref.Cleaner.create()
+
   /** The two-pass kernel; spill threshold and directory injectable for
-    * tests (`spillDir = None` resolves the executor scratch dir). */
+    * tests (`spillDir = None` resolves the executor scratch dir).
+    *
+    * Note the spill is written PLAINTEXT: Spark's own shuffle/spill
+    * encryption (`spark.io.encryption.enabled`) wraps streams through
+    * `private[spark]` machinery this library cannot reach. Deployments
+    * whose record payloads must never touch disk unencrypted should rely
+    * on encrypted local volumes for `spark.local.dir` (the usual cluster
+    * posture) or raise [[ClockSpillAfter]]. */
   private[streaming] def clockIterator(
       it: Iterator[Record], spillAfter: Int,
       spillDir: Option[java.nio.file.Path] = None): Iterator[RecordEnv] = {
@@ -299,6 +313,15 @@ object KeyFlow {
           if (read == total) { in.close(); java.nio.file.Files.deleteIfExists(spill) }
           env(r)
         }
+      }
+      if (org.apache.spark.TaskContext.get() == null) {
+        // library caller (no task): reclaim an abandoned iterator's fd +
+        // file on GC — the action must not capture spillOut itself
+        val (cIn, cSpill) = (in, spill)
+        SpillCleaner.register(spillOut, () => {
+          try cIn.close() catch { case _: java.io.IOException => () }
+          java.nio.file.Files.deleteIfExists(cSpill)
+        })
       }
       heapOut ++ spillOut
     }

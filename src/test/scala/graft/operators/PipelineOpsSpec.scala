@@ -389,11 +389,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rootMsg(e).contains("maxBlockPopulation"))
   }
 
-  test("empty-shingle docs (text shorter than k) never NaN-crash the " +
-    "jaccard division — 0 ppm, dropped by any positive threshold") {
+  test("sub-k docs (text shorter than k) score 0 ppm and are dropped by " +
+    "any positive threshold — and the division never sees union = 0") {
     import org.apache.spark.sql.functions._
-    // two sub-k docs in ONE block: sizeGuard passes (0 >= t*0), union
-    // would be 0 — ANSI NaN→long cast killed the query before the guard
+    // two sub-k docs in ONE block: the shingle kernels CLAMP to one
+    // truncated shingle (n = max(len-k+1, 1), ShingleKernels.scala:24),
+    // so each doc has exactly one — disjoint — shingle: intersect 0,
+    // union 2, 0 ppm, dropped. union = 0 is unreachable through these
+    // paths (greatest(union, 1) in the plan is belt-and-braces for
+    // callers that bypass the kernels, e.g. TextAnalysis.jaccardPpm on
+    // arbitrary arrays); this test pins the sub-k behavior itself
     val docs = docsDf((1L, "ab"), (2L, "xy"), (3L, "a real document with text"),
         (4L, "a real document with text"))
       .withColumn("blk", lit(0))

@@ -157,6 +157,37 @@ class ExternalSnapshotsSpec extends SparkTestBase {
       .collect().map(r => r.getAs[String]("key") -> r.getAs[Array[Byte]]("value")).toMap
     assert(back2.keySet == Set("big", "raw", "noise") &&
       back2.forall { case (key, v) => java.util.Arrays.equals(v, back(key)) })
+    // the framed stores carry the self-proving format stamp
+    assert(new java.io.File(dir, "_graft_store_format").exists())
+    assert(new java.io.File(compacted, "_graft_store_format").exists())
+  }
+
+  test("a pre-framing store (data, no format stamp) fails loudly on read, " +
+    "upsert and compact — never silently frame-decodes raw values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snaplegacy").toString
+    def k(key: String) = graft.model.KafkaKey("app", "g", "t", 0, key)
+    // a legacy writer: raw value bytes straight to parquet, no stamp.
+    // 0x00 first byte is the worst case — the frame decoder would
+    // silently strip it instead of erroring.
+    Seq(ExternalSnapshots.rowFor(k("k1"), 1L, "", Array[Byte](0, 42, 43)))
+      .toDS().write.mode("append")
+      .partitionBy("application_id", "group_id").parquet(dir)
+    def msg(t: Throwable) = { assert(t.getMessage.contains("_graft_store_format")) }
+    msg(intercept[IllegalStateException] {
+      ExternalSnapshots.readLatest(spark, dir, "app", "g").collect() })
+    msg(intercept[IllegalStateException] {
+      ExternalSnapshots.upsert(Seq(
+        ExternalSnapshots.rowFor(k("k2"), 2L, "", "x".getBytes)).toDS(), dir) })
+    msg(intercept[IllegalStateException] {
+      ExternalSnapshots.compact(spark, dir,
+        Files.createTempDirectory("snaplegacyc").toString) })
+    // an unknown future stamp is rejected too (no best-effort decode)
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "_graft_store_format"))
+    try out.write("framed-v99".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      ExternalSnapshots.readLatest(spark, dir, "app", "g").collect() }
+    assert(e.getMessage.contains("framed-v99"))
   }
 
   test("journal STREAMING source: live tail into KeyFlowTws matches batch " +
