@@ -61,8 +61,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def plan(name: String): String =
-      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    val planCache = scala.collection.mutable.HashMap.empty[String, String]
+    def plan(name: String): String = planCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString)
 
     def check(name: String, what: String)(cond: String => Boolean): Unit = {
       val p = plan(name)
@@ -567,6 +568,31 @@ object PlanAudit {
         "q_epoch_order", "q_pps_sample", "q_budget_select", "q_shard_manifest"))
       check(q, "no Window/Sort over a SinglePartition exchange (Ranks decomposition)")(p =>
         !windowOverSinglePartition(p))
+
+    // GLOBAL single-partition-window sweep: the rows above pin the rank
+    // family; this sweep pins EVERY declared query, so a future query
+    // cannot reintroduce the r8 anti-pattern unaudited. Exceptions are
+    // windows over tables bounded BY CONSTRUCTION, allowlisted here with
+    // their bound — and the allowlist is a RATCHET: an entry must still
+    // exhibit the pattern, so a fixed query fails its row until the
+    // stale entry is removed.
+    // (q_hybrid_search's 20-row top-k re-rank window needs no entry: its
+    // child is TakeOrderedAndProject, already single-partition, so no
+    // Exchange SinglePartition exists for the detector to flag — the
+    // runtime "No Partition Defined" warning there is the bounded case.)
+    val boundedWindowAllowlist = Map(
+      "q_chisq" -> "marginal windows over the (priority x status) contingency grid — <= 15 rows after the ONE corpus-scan aggregate",
+      "q_benford" -> "share window over the 9 first-digit rows after the ONE corpus-scan aggregate"
+    )
+    for (q <- SparkEntry.queries.keys.toSeq.sorted)
+      boundedWindowAllowlist.get(q) match {
+        case Some(reason) =>
+          check(q, s"bounded-window allowlist entry still needed ($reason)")(p =>
+            windowOverSinglePartition(p))
+        case None =>
+          check(q, "global sweep: no Window/Sort over a SinglePartition exchange")(p =>
+            !windowOverSinglePartition(p))
+      }
     spark.stop()
   }
 }
