@@ -593,6 +593,18 @@ object PlanAudit {
           check(q, "global sweep: no Window/Sort over a SinglePartition exchange")(p =>
             !windowOverSinglePartition(p))
       }
+
+    // GLOBAL UDF + cross-join sweep, same ratchet discipline: no declared
+    // query may plan a ScalaUDF (functions/Expressions only — a UDF in a
+    // hot path silently kills codegen) or a CartesianProduct (all-pairs
+    // must always arrive via bounded candidate joins).
+    // BroadcastNestedLoopJoin is NOT globally banned — it is the correct
+    // plan when one side is a broadcast-small query/probe set
+    // (q_knn_brute's ANN query batch) — the per-query rows above pin the
+    // queries where it must not appear.
+    for (q <- SparkEntry.queries.keys.toSeq.sorted)
+      check(q, "global sweep: no ScalaUDF, no CartesianProduct")(p =>
+        !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
     spark.stop()
   }
 }
