@@ -25,6 +25,16 @@ object Corpus {
   def idBucket(id: Column, buckets: Int): Column =
     pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(buckets.toLong))
 
+  /** Modulus for ORDERING hashes (epoch shuffle, stratified pick): must be
+    * wide, not ppm-sized. With only 10^6 buckets a 10^9-doc corpus gets
+    * ~1000 docs per hash value, and the id-ASC tie-break then leaves
+    * kilodoc runs of the ORIGINAL ingestion order inside every "shuffled"
+    * epoch — 2^31−1 keeps expected tie runs below one doc until corpora
+    * pass 2^31. Fraction/split hashes ([[withSplit]],
+    * [[applyMixWeights]]) keep their own small moduli: there the bucket
+    * IS the semantics (permille / ppm), order does not matter. */
+  val OrderHashWidth = 2147483647
+
   /** Apply [[uniformMixWeights]]-style sampling weights to the corpus:
     * per document, the integer number of copies a weighted epoch would
     * train on — `floor(w/10^6)` whole epochs plus one more iff the doc's
@@ -86,7 +96,18 @@ object Corpus {
     val rebuilt = when(schemeL === "", noFrag) // not scheme://… — pass through
       .otherwise(concat(schemeL, lit("://"), userinfo, hostNoPort, rest))
     val tracker = "(utm_[a-z0-9]+|gclid|fbclid)"
-    val noMid = regexp_replace(rebuilt, s"&$tracker=[^&#]*", "")
+    // the '&'-variant strip must see ONLY the query: '&' is a legal
+    // pchar in paths (RFC 3986 sub-delim), so an unanchored replace
+    // would corrupt /a&utm_b=2/c into /a/c and collide two distinct
+    // pages' dedup keys. Split at the first '?' (the '?'-anchored
+    // variants below are safe by construction).
+    val qPos = instr(rebuilt, "?")
+    val pathPart = when(qPos === 0, rebuilt)
+      .otherwise(rebuilt.substr(lit(1), qPos - lit(1)))
+    val queryPart = when(qPos === 0, lit(""))
+      .otherwise(rebuilt.substr(qPos, length(rebuilt)))
+    val noMid = concat(pathPart,
+      regexp_replace(queryPart, s"&$tracker=[^&#]*", ""))
     val noLead = regexp_replace(
       regexp_replace(noMid, s"\\?$tracker=[^&#]*&", "?"),
       s"\\?$tracker=[^&#]*$$", "")
@@ -132,7 +153,7 @@ object Corpus {
   def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
                        n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
-    val hashed = docs.withColumn("__h", idBucket(col(idCol), 1000000))
+    val hashed = docs.withColumn("__h", idBucket(col(idCol), OrderHashWidth))
     Ranks.groupedBucketRange(hashed, groupCol,
         Seq(col("__h").asc, col(idCol).asc))
       .withRowNumber("sample_rank")
@@ -221,6 +242,9 @@ object Corpus {
     * time). */
   def packSequences(df: DataFrame, partitionCol: String, idCol: String,
                     tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive, got $budgetTokens (0 would fail as " +
+        "an ANSI division error deep inside the job)")
     val w = Window.partitionBy(partitionCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokensCol)).over(w))
@@ -249,7 +273,7 @@ object Corpus {
                  buckets: Int = 0): DataFrame = {
     require(epoch >= 0, "epoch must be non-negative")
     val hashed = df
-      .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000))
+      .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), OrderHashWidth))
     Ranks.bucketRange(hashed, Seq(col("__h").asc, col(idCol).asc), buckets = buckets)
       .withRowNumber("epoch_rank")
       .result.drop("__h")
@@ -277,7 +301,7 @@ object Corpus {
     // few and corpus-sized — exactly the skew a partitionBy(source)
     // window would concentrate into one task per source
     val hashed = docs
-      .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), 1000000))
+      .withColumn("__h", idBucket(col(idCol) + lit(epoch.toLong * 1000003L), OrderHashWidth))
     Ranks.groupedBucketRange(hashed, groupCol,
         Seq(col("__h").asc, col(idCol).asc))
       .withRowNumber("src_rank")
@@ -288,37 +312,6 @@ object Corpus {
         expr(s"(src_rank * 1000000L) div greatest($weightCol, 1L)"))
   }
 
-  /** Token-budget selection: keep the best documents by `scoreCol` (ties
-    * broken by `idCol` — a total, engine-agnostic order) until their
-    * cumulative token count fills `budgetTokens`. A doc is selected iff
-    * its FIRST token lands inside the budget (`cum_before < budget`, the
-    * [[packSequences]] convention), so the last selected doc may overrun
-    * the boundary — a budget is a target, not a guillotine that splits a
-    * document. Emits `cum_tokens` (running total through the doc) so the
-    * caller can see the fill level.
-    *
-    * Scale shape — the whole point of this operator: a global running
-    * sum is ONE `Window.orderBy` away, but that plans a single-partition
-    * sort (the classic 100 TB trap: one task sorts the corpus). Instead,
-    * a two-level decomposition with no global sort anywhere:
-    *
-    *  1. range-repartition on (score DESC, id ASC) into `buckets`
-    *     partitions — sampled boundaries, so skewed scores still land in
-    *     balanced buckets, and every bucket owns a contiguous slice of
-    *     the total order;
-    *  2. per-bucket token totals (tiny: `buckets` rows) come to the
-    *     driver (bounded gather) and return as a literal prefix-map
-    *     projection — see [[Ranks]], which owns the implementation;
-    *  3. a within-bucket running sum (hash-partitioned window — each
-    *     bucket sorts independently) plus the bucket's prefix is the
-    *     exact global running sum.
-    *
-    * The decomposition is invariant to WHERE the sampled boundaries fall
-    * (associativity of + over a fixed total order), so results are
-    * bit-identical to the naive single-partition window — the oracle and
-    * BudgetSelectSpec both pin that. `spark_partition_id()` is stable
-    * under task retry (a re-run recomputes the same partition) and only
-    * ever feeds same-stage bookkeeping here, never a cross-run contract. */
   /** Systematic probability-proportional-to-size sampling: lay every
     * row's `sizeCol` mass end to end in `idCol` order, then take every
     * `step = max(total div n, 1)`-th position starting at `step div 2` —
@@ -360,6 +353,37 @@ object Corpus {
       .filter(col("multiplicity") > 0)
   }
 
+  /** Token-budget selection: keep the best documents by `scoreCol` (ties
+    * broken by `idCol` — a total, engine-agnostic order) until their
+    * cumulative token count fills `budgetTokens`. A doc is selected iff
+    * its FIRST token lands inside the budget (`cum_before < budget`, the
+    * [[packSequences]] convention), so the last selected doc may overrun
+    * the boundary — a budget is a target, not a guillotine that splits a
+    * document. Emits `cum_tokens` (running total through the doc) so the
+    * caller can see the fill level.
+    *
+    * Scale shape — the whole point of this operator: a global running
+    * sum is ONE `Window.orderBy` away, but that plans a single-partition
+    * sort (the classic 100 TB trap: one task sorts the corpus). Instead,
+    * a two-level decomposition with no global sort anywhere:
+    *
+    *  1. range-repartition on (score DESC, id ASC) into `buckets`
+    *     partitions — sampled boundaries, so skewed scores still land in
+    *     balanced buckets, and every bucket owns a contiguous slice of
+    *     the total order;
+    *  2. per-bucket token totals (tiny: `buckets` rows) come to the
+    *     driver (bounded gather) and return as a literal prefix-map
+    *     projection — see [[Ranks]], which owns the implementation;
+    *  3. a within-bucket running sum (hash-partitioned window — each
+    *     bucket sorts independently) plus the bucket's prefix is the
+    *     exact global running sum.
+    *
+    * The decomposition is invariant to WHERE the sampled boundaries fall
+    * (associativity of + over a fixed total order), so results are
+    * bit-identical to the naive single-partition window — the oracle and
+    * BudgetSelectSpec both pin that. `spark_partition_id()` is stable
+    * under task retry (a re-run recomputes the same partition) and only
+    * ever feeds same-stage bookkeeping here, never a cross-run contract. */
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
                      tokensCol: String, budgetTokens: Long,
                      buckets: Int = 0): DataFrame = {
@@ -427,12 +451,17 @@ object Corpus {
     * and the (group, status) aggregate are map-side-combinable. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    idCol: String, textCol: String, groupCol: String): DataFrame = {
+    // presence is an explicit marker, NOT id-nullness: a NULL-id row never
+    // matches the equi-join, and inferring absence from its own null id
+    // would classify an old-snapshot NULL-id doc as "added" (its __ido is
+    // null by identity) — with markers it reads correctly as removed, and
+    // a NULL-id pair surfaces as one removed + one added (no silent merge)
     val o = oldSnap.select(col(idCol).as("__ido"), col(groupCol).as("__go"),
-      md5(col(textCol).cast("binary")).as("__do"))
+      md5(col(textCol).cast("binary")).as("__do"), lit(true).as("__po"))
     val n = newSnap.select(col(idCol).as("__idn"), col(groupCol).as("__gn"),
-      md5(col(textCol).cast("binary")).as("__dn"))
-    val status = when(col("__ido").isNull, "added")
-      .when(col("__idn").isNull, "removed")
+      md5(col(textCol).cast("binary")).as("__dn"), lit(true).as("__pn"))
+    val status = when(col("__po").isNull, "added")
+      .when(col("__pn").isNull, "removed")
       .when(col("__do") === col("__dn"), "unchanged")
       .otherwise("changed")
     o.join(n, col("__ido") === col("__idn"), "full_outer")
@@ -447,12 +476,25 @@ object Corpus {
     * semi-lookup at 100 TB: explode distinct shingles, broadcast-join,
     * per-doc count; no shuffle of train text. */
   def contamination(train: DataFrame, eval: DataFrame,
-                    idCol: String, textCol: String, k: Int): DataFrame = {
-    val evalGrams = eval
-      .select(explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
-      .distinct()
-    train
+                    idCol: String, textCol: String, k: Int): DataFrame =
+    contaminationTail(train, distinctEvalGrams(eval, textCol, k),
+      idCol, textCol, k, prefilter = None)
+
+  /** The distinct eval gram set both decontamination variants consume. */
+  private def distinctEvalGrams(eval: DataFrame, textCol: String, k: Int): DataFrame =
+    eval.select(explode(TextAnalysis.shingles(col(textCol), k)).as("g")).distinct()
+
+  /** Shared second half of [[contamination]]/[[contaminationBloom]]:
+    * explode train grams (optionally gated by a cheap prefilter), verify
+    * against the broadcast eval set, count per doc. One body so the two
+    * variants can never drift — the Bloom doc PROMISES row-identical
+    * results. */
+  private def contaminationTail(train: DataFrame, evalGrams: DataFrame,
+                                idCol: String, textCol: String, k: Int,
+                                prefilter: Option[Column]): DataFrame = {
+    val grams = train
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
+    prefilter.fold(grams)(grams.filter)
       .join(broadcast(evalGrams), "g")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -478,10 +520,7 @@ object Corpus {
     import graft.functions.{BloomKernels, BloomMightContain, BloomPositions}
     // eval grams feed the filter build AND the verify join: materialize
     // once (the clean()/connectedComponents checkpoint discipline)
-    val evalGrams = eval
-      .select(explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
-      .distinct()
-      .localCheckpoint(true)
+    val evalGrams = distinctEvalGrams(eval, textCol, k).localCheckpoint(true)
     val words = BloomKernels.emptyWords(bits, hashes)
     evalGrams
       .select(explode(BloomPositions(col("g"), bits, hashes)).as("p"))
@@ -489,12 +528,8 @@ object Corpus {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), p % 64))").as("m"))
       .collect() // bits/64 rows max — a bounded driver gather, like IVF centroids
       .foreach(r => words(r.getInt(0)) = r.getLong(1))
-    train
-      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), k)).as("g"))
-      .filter(BloomMightContain(col("g"), words, hashes))
-      .join(broadcast(evalGrams), "g")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shared_grams"))
+    contaminationTail(train, evalGrams, idCol, textCol, k,
+      prefilter = Some(BloomMightContain(col("g"), words, hashes)))
   }
 
   /** Provenance attribution — [[contamination]]'s per-PAIR refinement:

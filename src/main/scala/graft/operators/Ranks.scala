@@ -203,11 +203,18 @@ object Ranks {
     // bounded gather: #buckets + #groups - 1 rows (staircase incidence)
     val aggs = count(lit(1)).cast("long").as("__n") +:
       valueCols.map(v => sum(col(v)).cast("long").as(s"__s_$v"))
+    // the fail-fast must bound the GATHER itself, not just check after:
+    // limit(maxGroups + 1) makes a high-cardinality misuse (per-user
+    // group column on a large corpus) raise the require below instead of
+    // collecting millions of stat rows into the driver first. orderBy +
+    // limit plans TakeOrderedAndProject, so the retained rows are the
+    // ordered head — when the bound holds they are ALL the rows, in order
     val stats = ranged.groupBy(col(groupCol).cast("string").as("__g"), col(BucketCol))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("__g").asc_nulls_first, col(BucketCol).asc).collect()
+      .orderBy(col("__g").asc_nulls_first, col(BucketCol).asc)
+      .limit(maxGroups + 1).collect()
     require(stats.length <= maxGroups,
-      s"groupedBucketRange gathered ${stats.length} (group, bucket) pairs > maxGroups=$maxGroups; " +
+      s"groupedBucketRange gathered more than maxGroups=$maxGroups (group, bucket) pairs; " +
         "high-cardinality groups should use a plain partitioned window (already task-sized)")
     def gKey(r: Row): String = if (r.isNullAt(0)) NullKey else r.getString(0)
     def cell(r: Row, idx: Int): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)

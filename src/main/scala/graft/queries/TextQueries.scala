@@ -1776,7 +1776,7 @@ object TextQueries {
     "q_epoch_order" ->
       """SELECT doc_id,
         | CAST(ROW_NUMBER() OVER (ORDER BY
-        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id)
+        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 2147483647, doc_id)
         |  AS BIGINT) AS epoch_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1786,10 +1786,10 @@ object TextQueries {
     "q_interleave_order" ->
       """SELECT doc_id, source,
         | CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id)
+        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 2147483647, doc_id)
         |  AS BIGINT) AS src_rank,
         | (CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id)
+        |   ((doc_id + 1000003) % 2147483648 * 2654435761) % 2147483647, doc_id)
         |  AS BIGINT) * 1000000)
         |  // greatest((1 + len(source) % 3) * 1000000, 1) AS interleave_key
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1801,7 +1801,7 @@ object TextQueries {
         | SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
         |  ROW_NUMBER() OVER (ORDER BY
-        |    ((doc_id + 1000003) % 2147483648 * 2654435761) % 1000000, doc_id) AS rk
+        |    ((doc_id + 1000003) % 2147483648 * 2654435761) % 2147483647, doc_id) AS rk
         | FROM documents)
         |SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard, COUNT(*) AS n_docs,
         | CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
@@ -2221,7 +2221,7 @@ object TextQueries {
       """WITH r AS (
         | SELECT doc_id, source,
         |  ROW_NUMBER() OVER (PARTITION BY source
-        |   ORDER BY (doc_id % 2147483648 * 2654435761) % 1000000, doc_id) AS sample_rank
+        |   ORDER BY (doc_id % 2147483648 * 2654435761) % 2147483647, doc_id) AS sample_rank
         | FROM documents)
         |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
         |FROM r WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin,
@@ -2498,19 +2498,23 @@ object TextQueries {
 
     // synthesis mirrored; md5 digests are the proven cross-engine
     // primitive; NULL-digest rows fall through to 'changed' in BOTH
-    // engines (CASE equality semantics)
+    // engines (CASE equality semantics); presence comes from explicit
+    // TRUE markers, not id-nullness, mirroring the operator (a NULL-id
+    // row never matches the join and must not read as present/absent by
+    // its own null id)
     "q_snapshot_diff" ->
       """WITH o AS (
-        | SELECT doc_id, source, md5(text) AS d
+        | SELECT doc_id, source, md5(text) AS d, TRUE AS p
         | FROM documents WHERE doc_id % 10 <> 9),
         |n AS (
         | SELECT doc_id, source,
-        |  md5(CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END) AS d
+        |  md5(CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END) AS d,
+        |  TRUE AS p
         | FROM documents WHERE doc_id % 10 <> 0),
         |j AS (
         | SELECT coalesce(n.source, o.source) AS source,
-        |  CASE WHEN o.doc_id IS NULL THEN 'added'
-        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |  CASE WHEN o.p IS NULL THEN 'added'
+        |       WHEN n.p IS NULL THEN 'removed'
         |       WHEN o.d = n.d THEN 'unchanged'
         |       ELSE 'changed' END AS status
         | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)

@@ -38,8 +38,13 @@ object ExternalJournal {
       ExpressionEncoder[(String, (Long, Option[S]))]()
     implicit val outEnc: Encoder[(String, S)] = ExpressionEncoder[(String, S)]()
 
+    // null-key records are dropped to match the flow contract
+    // (KeyFlowTws.flow filters them): a journal with null-key appends
+    // must rebuild the SAME keyed state set batch-wise that the
+    // streaming path produces — stream-vs-batch parity would otherwise
+    // differ by a spurious (null, state) row
     val records = spark.read.parquet(journalDir)
-      .filter(col("topic") === topic)
+      .filter(col("topic") === topic && col("key").isNotNull)
       .select("topic", "partition", "offset", "timestamp", "timestampType",
         "key", "value", "headers")
       .as[Record]

@@ -130,8 +130,13 @@ class KeyFlowProcessor[S](
         if (prev.isDefined && offsetBasis.exists) offsetBasis.get()
         else if (prev.isDefined) prev.get.snapshot.offset
         else firstFolded
-      if (armBasis != Long.MinValue &&
-          (!offsetBasis.exists || (prev.isEmpty && offsetBasis.get() != armBasis)))
+      // written EVERY invocation, even when the value is unchanged: TWS
+      // value-state TTL refreshes per CELL on update, and flowState is
+      // rewritten each batch — an unchanged basis left unwritten would
+      // expire mid-window under stateTtl while the key stays alive,
+      // silently re-arming at the current offset (a skipped tick). The
+      // 8-byte rewrite is the price of basis-TTL lockstep with flowState.
+      if (armBasis != Long.MinValue)
         offsetBasis.update(armBasis)
       if (current.isDefined && armBasis != Long.MinValue &&
           maxSeen != Long.MinValue && maxSeen - armBasis >= n) {
@@ -231,6 +236,21 @@ object KeyFlowTws {
       config: KeyFlowConfig = KeyFlowConfig())(
       implicit stateEnc: Encoder[FlowState[S]],
       outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
+    val (timeMode, keyedGroups) = prepare(records, config)
+    keyedGroups.transformWithState(
+      new KeyFlowProcessor[S](fold, tick, config, stateEnc),
+      timeMode,
+      OutputMode.Update())
+  }
+
+  /** Shared front half of [[flow]]/[[flowWithInitialState]]: the
+    * stateTtl/timer-domain guard, the TimeMode derivation, the null-key
+    * drop, partition-clock enrichment, and keying. ONE body because the
+    * guard and the TimeMode match are safety-critical — a new
+    * TimerDomain handled in one entry point but not the other would be
+    * a silent divergence. */
+  private def prepare(records: Dataset[Record], config: KeyFlowConfig)
+      : (TimeMode, org.apache.spark.sql.KeyValueGroupedDataset[String, KeyFlow.RecordEnv]) = {
     import records.sparkSession.implicits._
     require(config.stateTtl.isEmpty || config.timerDomain == TimerDomain.Clock,
       "stateTtl is processing-time-domain only (TWS TTL requires TimeMode.ProcessingTime)")
@@ -245,12 +265,7 @@ object KeyFlowTws {
       if (config.maxOffsetDifference.isDefined || config.tickEveryOffsets.isDefined)
         KeyFlow.withPartitionClock(keyed)
       else keyed.map(r => KeyFlow.RecordEnv(r, Long.MinValue))
-    enriched
-      .groupByKey((e: KeyFlow.RecordEnv) => config.keyOf(e.record))
-      .transformWithState(
-        new KeyFlowProcessor[S](fold, tick, config, stateEnc),
-        timeMode,
-        OutputMode.Update())
+    (timeMode, enriched.groupByKey((e: KeyFlow.RecordEnv) => config.keyOf(e.record)))
   }
 
   /** [[flow]] seeded with per-key initial state — the cross-JOB eager
@@ -269,25 +284,11 @@ object KeyFlowTws {
       implicit stateEnc: Encoder[FlowState[S]],
       outEnc: Encoder[KeyOutput[S]]): Dataset[KeyOutput[S]] = {
     import records.sparkSession.implicits._
-    require(config.stateTtl.isEmpty || config.timerDomain == TimerDomain.Clock,
-      "stateTtl is processing-time-domain only (TWS TTL requires TimeMode.ProcessingTime)")
-    val timeMode = (config.maxIdle, config.timerDomain) match {
-      case (None, _) if config.stateTtl.isDefined => TimeMode.ProcessingTime()
-      case (None, _) => TimeMode.None()
-      case (Some(_), TimerDomain.Clock) => TimeMode.ProcessingTime()
-      case (Some(_), TimerDomain.Watermark) => TimeMode.EventTime()
-    }
-    val keyed = records.filter((r: Record) => r.key != null)
-    val enriched =
-      if (config.maxOffsetDifference.isDefined || config.tickEveryOffsets.isDefined)
-        KeyFlow.withPartitionClock(keyed)
-      else keyed.map(r => KeyFlow.RecordEnv(r, Long.MinValue))
-    enriched
-      .groupByKey((e: KeyFlow.RecordEnv) => config.keyOf(e.record))
-      .transformWithState(
-        new KeyFlowProcessor[S](fold, tick, config, stateEnc),
-        timeMode,
-        OutputMode.Update(),
-        initial.groupByKey(_._1).mapValues(_._2))
+    val (timeMode, keyedGroups) = prepare(records, config)
+    keyedGroups.transformWithState(
+      new KeyFlowProcessor[S](fold, tick, config, stateEnc),
+      timeMode,
+      OutputMode.Update(),
+      initial.groupByKey(_._1).mapValues(_._2))
   }
 }

@@ -41,6 +41,17 @@ class CanonicalUrlSpec extends SparkTestBase {
     assert(canon("https://a.com/x?q=1&gclid=z&r=2") == "https://a.com/x?q=1&r=2")
   }
 
+  test("'&' in the PATH is a legal pchar (RFC 3986) — tracker-shaped path " +
+    "segments are never stripped, only real query params are") {
+    // a path segment that merely LOOKS like a tracker param must survive:
+    // stripping it would collide two distinct pages' dedup keys
+    assert(canon("http://h/a&utm_b=2/c") == "http://h/a&utm_b=2/c")
+    assert(canon("https://a.com/p&gclid=x/q?utm_source=f&r=1")
+      == "https://a.com/p&gclid=x/q?r=1")
+    // no '?' at all: the '&' variant has no query to act on
+    assert(canon("https://a.com/x&utm_a=1") == "https://a.com/x&utm_a=1")
+  }
+
   test("all rules compose on a maximally-flawed URL") {
     assert(canon("HTTPS://WWW.Example.ORG:443/p/7?utm_source=feed&utm_medium=rss#sec")
       == "https://example.org/p/7")

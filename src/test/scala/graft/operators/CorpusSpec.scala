@@ -33,6 +33,12 @@ class CorpusSpec extends SparkTestBase {
     val out = Corpus.packSequences(docs, "src", "doc_id", "n_tokens", 10L)
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 0L, 7L -> 1L))
+    // a non-positive budget fails at the call, not as an ANSI division
+    // error deep inside the job
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packSequences(docs, "src", "doc_id", "n_tokens", 0L)
+    }
+    assert(e.getMessage.contains("budgetTokens"))
   }
 
   test("packSequences matches a naive driver-side cumsum on random corpora") {
@@ -124,7 +130,7 @@ class CorpusSpec extends SparkTestBase {
     val ids = (0 until 300).map(i => Tuple1(i.toLong * 7L)) // sparse ids
     val df = ids.toDF("doc_id")
     def hash(id: Long, epoch: Int): Long =
-      ((id + epoch.toLong * 1000003L) % 2147483648L * 2654435761L) % 1000000L
+      ((id + epoch.toLong * 1000003L) % 2147483648L * 2654435761L) % 2147483647L
     for (epoch <- Seq(0, 1); buckets <- Seq(1, 5, 64)) {
       val truth = ids.map(_._1).sortBy(id => (hash(id, epoch), id))
         .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
@@ -192,7 +198,8 @@ class CorpusSpec extends SparkTestBase {
     val upCopies = (500L until 1000L).map(out)
     assert(upCopies.forall(c => c == 2L || c == 3L))
     // exact hash semantics: copy iff bucket < remainder (spot-check against
-    // the published formula)
+    // the published formula — ppm bucket, NOT OrderHashWidth: here the
+    // 1e6 bucket IS the fraction semantics)
     def bucket(id: Long): Long = (id % 2147483648L * 2654435761L) % 1000000L
     (0L until 500L).foreach { id =>
       assert(out(id) == (if (bucket(id) < 400000L) 1L else 0L), s"id=$id")
@@ -239,7 +246,7 @@ class CorpusSpec extends SparkTestBase {
     val small = out.filter(_._2 == "small")
     assert(big.length == 20 && small.length == 20) // small group kept whole
     // ranks are 1..n in (hash, id) order — verify against the published formula
-    def bucket(id: Long): Long = (id % 2147483648L * 2654435761L) % 1000000L
+    def bucket(id: Long): Long = (id % 2147483648L * 2654435761L) % 2147483647L
     val expect = (0L until 280L).sortBy(id => (bucket(id), id)).take(20)
     assert(big.map(_._1).toList == expect.toList)
   }
@@ -323,6 +330,22 @@ class CorpusSpec extends SparkTestBase {
       ("s1", "unchanged") -> 1L, // doc 2
       ("s2", "changed") -> 2L,   // doc 3 + null-digest doc 5
       ("s2", "added") -> 1L))    // doc 4
+  }
+
+  test("snapshotDiff: NULL-id rows never silently merge — old side reads " +
+    "removed, new side reads added (presence markers, not id-nullness)") {
+    import spark.implicits._
+    val oldSnap = Seq((Some(1L), "s", "kept"), (None, "s", "ghost-old"))
+      .toDF("doc_id", "source", "text")
+    val newSnap = Seq((Some(1L), "s", "kept"), (None, "s", "ghost-new"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // inferring presence from id-nullness classified ghost-old as "added"
+    assert(out == Map(
+      ("s", "unchanged") -> 1L,
+      ("s", "removed") -> 1L,
+      ("s", "added") -> 1L))
   }
 
   test("contamination: shared shingles counted, clean docs absent, eval broadcast") {

@@ -41,10 +41,14 @@ class ExternalJournalSpec extends SparkTestBase {
     ExternalJournal.append(Seq(rec("k1", 0, 10), rec("k1", 1, 20), rec("k2", 0, 5)).toDS(), dir)
     // at-least-once: offset 1 re-appended plus a new offset 2
     ExternalJournal.append(Seq(rec("k1", 1, 20), rec("k1", 2, 30)).toDS(), dir)
+    // a null-key record: the flow contract drops these (KeyFlowTws.flow),
+    // so the batch rebuild must too — stream-vs-batch parity would
+    // otherwise differ by a spurious (null, state) row
+    ExternalJournal.append(Seq(rec(null, 3, 999)).toDS(), dir)
     val sum = FoldOption.of[Long, Record](r => new String(r.value).toLong)(
       (s, r) => s + new String(r.value).toLong)
     val states = ExternalJournal.replay(spark, dir, "t")(sum).collect().toMap
-    assert(states == Map("k1" -> 60L, "k2" -> 5L)) // 20 folded once
+    assert(states == Map("k1" -> 60L, "k2" -> 5L)) // 20 folded once, null key dropped
   }
 }
 
