@@ -50,8 +50,16 @@ object Graph {
     // edge plan — often an expensive pair-generation join — executes
     // exactly once. (Before this, frac and nodes each re-ran the upstream
     // plan: q_pagerank's lineitem self-join executed twice.)
+    // Weight hygiene at the same point: a NULL weight would make its
+    // edge's frac NULL (contribution silently dropped — rank mass no
+    // longer sums to 1), and a source whose weights sum to 0 would make
+    // frac = w/0 = NaN/Infinity and corrupt every downstream rank. Edges
+    // with NULL or non-positive weight carry no rank mass BY DEFINITION,
+    // so they are dropped here — a node left with no out-edges becomes
+    // dangling and the existing redistribution keeps the mass invariant.
     val e = materialize(edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"), w.as("w")))
+      col(dstCol).cast("long").as("dst"), w.as("w"))
+      .filter(col("w") > 0.0))
     // contribution fractions, normalized once: frac = w(u,v) / W(u).
     // Pre-partitioned by src so the per-round rank join never re-shuffles
     // the edge side (the big table moves ONCE, at build).

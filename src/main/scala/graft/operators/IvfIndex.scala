@@ -48,44 +48,80 @@ object IvfIndex {
 
   /** Persist the fitted centroids as a tiny parquet (`centroid_id`,
     * `centroid`): at 100 TB the build is minutes of cluster time — a
-    * driver restart must [[load]] it, not refit. */
-  def save(spark: SparkSession, index: IvfIndex, path: String): Unit = {
+    * driver restart must [[load]] it, not refit. `buildParams` (the
+    * [[getOrBuild]] fingerprint) rides along on every row so a reload can
+    * verify it is getting the index it asked for. */
+  def save(spark: SparkSession, index: IvfIndex, path: String,
+           buildParams: String = ""): Unit = {
     import spark.implicits._
     index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq
-      .toDF("centroid_id", "centroid")
+      .map { case (c, i) => (i, c, buildParams) }.toSeq
+      .toDF("centroid_id", "centroid", "build_params")
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }
 
   /** Load previously-[[save]]d centroids; None if nothing is stored at
     * `path`. Centroid order (= inverted-list ids) is restored exactly. */
-  def load(spark: SparkSession, path: String): Option[IvfIndex] = {
+  def load(spark: SparkSession, path: String): Option[IvfIndex] =
+    loadWithParams(spark, path).map(_._1)
+
+  /** [[load]] plus the stored build-params fingerprint (empty for stores
+    * written before the fingerprint existed, or saved without one). */
+  private def loadWithParams(
+      spark: SparkSession, path: String): Option[(IvfIndex, String)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
-    else Some(IvfIndex(
-      spark.read.parquet(path)
-        .orderBy("centroid_id")
-        .select("centroid")
-        .collect()
-        .map(_.getSeq[Float](0).toArray)))
+    else {
+      val df = spark.read.parquet(path).orderBy("centroid_id")
+      val hasParams = df.columns.contains("build_params")
+      val rows = (if (hasParams) df.select("centroid", "build_params")
+                  else df.select("centroid")).collect()
+      val idx = IvfIndex(rows.map(_.getSeq[Float](0).toArray))
+      val params =
+        if (hasParams && rows.nonEmpty) rows.head.getString(1) else ""
+      Some((idx, params))
+    }
   }
 
   /** Build-once-per-key: repeated queries against the same corpus reuse
     * the fitted centroids instead of refitting per invocation. The cache
     * key covers EVERY build parameter — two calls that would fit different
-    * indexes never alias. With `storePath`, the durable store is consulted
-    * before fitting and written after, so the index survives JVM restarts. */
+    * indexes never alias, and that holds for the DURABLE store too: the
+    * fingerprint is saved with the centroids and validated on reload, so
+    * a storePath holding an index built with different parameters (or a
+    * pre-fingerprint store) fails loudly instead of silently searching
+    * against the wrong centroids. */
+  /** The build-parameter fingerprint [[getOrBuild]] stamps into durable
+    * stores and validates on reload. Public so a manual [[build]]+[[save]]
+    * that getOrBuild should later adopt can stamp the same string:
+    * `save(spark, idx, path, IvfIndex.fingerprint(key, ...))`. */
+  def fingerprint(key: String, vecCol: String, nlist: Int, seed: Long,
+                  sampleFraction: Double = 1.0,
+                  maxFitVectors: Int = 100000): String =
+    s"$key|$vecCol|$nlist|$seed|$sampleFraction|$maxFitVectors"
+
   def getOrBuild(
       key: String, corpus: DataFrame, vecCol: String, nlist: Int, seed: Long,
       sampleFraction: Double = 1.0, maxFitVectors: Int = 100000,
-      storePath: Option[String] = None): IvfIndex =
+      storePath: Option[String] = None): IvfIndex = {
+    val fp = fingerprint(key, vecCol, nlist, seed, sampleFraction, maxFitVectors)
     cache.computeIfAbsent(
-      s"$key|$vecCol|$nlist|$seed|$sampleFraction|$maxFitVectors|${storePath.getOrElse("")}",
-      _ => storePath.flatMap(p => load(corpus.sparkSession, p)).getOrElse {
+      s"$fp|${storePath.getOrElse("")}",
+      _ => storePath.flatMap(p =>
+        loadWithParams(corpus.sparkSession, p).map { case (idx, stored) =>
+          require(stored == fp,
+            s"IvfIndex store $p holds an index built with parameters " +
+              s"'$stored', not '$fp' — pass a different storePath, delete " +
+              "the stale store, or re-save it stamped with " +
+              "IvfIndex.fingerprint(...) (refusing to silently search " +
+              "against wrong centroids)")
+          idx
+        }).getOrElse {
         val built = build(corpus, vecCol, nlist, seed, sampleFraction, maxFitVectors)
-        storePath.foreach(p => save(corpus.sparkSession, built, p))
+        storePath.foreach(p => save(corpus.sparkSession, built, p, fp))
         built
       })
+  }
 }

@@ -31,15 +31,8 @@ object Layout {
     * cheap slim aggregate over the write input. */
   def zorderWrite(df: DataFrame, c1: String, c2: String,
                   path: String, numFiles: Int): Unit = {
-    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    def norm(c: String, lo: Double, hi: Double) =
-      if (hi > lo) ((col(c).cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long")
-      else lit(0L)
-    val keyed = df.withColumn("__z", InterleaveBits(
-      norm(c1, r.getDouble(0), r.getDouble(1)),
-      norm(c2, r.getDouble(2), r.getDouble(3))))
-    write(keyed, path, numFiles)
+    val Seq(n1, n2) = norm16(df, Seq(c1, c2))
+    write(df.withColumn("__z", InterleaveBits(n1, n2)), path, numFiles)
   }
 
   /** N-column z-order (2-4 dims): each column normalizes to a common
@@ -49,15 +42,8 @@ object Layout {
   def zorderWriteN(df: DataFrame, cols: Seq[String],
                    path: String, numFiles: Int): Unit = {
     require(cols.size >= 2 && cols.size <= 4, "zorderWriteN takes 2-4 columns")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val normed = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
-      if (hi > lo) ((col(c).cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long")
-      else lit(0L)
-    }
-    write(df.withColumn("__z", graft.functions.ZOrderKey(normed)), path, numFiles)
+    write(df.withColumn("__z", graft.functions.ZOrderKey(norm16(df, cols))),
+      path, numFiles)
   }
 
   /** Write `df` Hilbert-ordered on (c1, c2): same 16-bit range
@@ -67,15 +53,30 @@ object Layout {
     * file count (HilbertKeySpec quantifies chunk for chunk). */
   def hilbertWrite(df: DataFrame, c1: String, c2: String,
                    path: String, numFiles: Int): Unit = {
-    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    def norm(c: String, lo: Double, hi: Double) =
-      if (hi > lo) ((col(c).cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long")
-      else lit(0L)
-    val keyed = df.withColumn("__z", graft.functions.HilbertKey(
-      norm(c1, r.getDouble(0), r.getDouble(1)),
-      norm(c2, r.getDouble(2), r.getDouble(3)), 16))
-    write(keyed, path, numFiles)
+    val Seq(n1, n2) = norm16(df, Seq(c1, c2))
+    write(df.withColumn("__z", graft.functions.HilbertKey(n1, n2, 16)),
+      path, numFiles)
+  }
+
+  /** Shared 16-bit range normalization for the curve writers: each column
+    * maps to [0, 65535] from its observed min/max (one slim aggregate).
+    * NULL stats — an EMPTY input (routine for an incremental re-layout
+    * partition) or an all-NULL column — normalize to the constant 0 key
+    * instead of NPE-ing on r.getDouble: the writer then emits an empty
+    * (or single-box) dataset and the pipeline proceeds. A constant column
+    * (hi == lo) is likewise 0 — it carries no split signal. */
+  private def norm16(df: DataFrame, cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        if (hi > lo) ((col(c).cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long")
+        else lit(0L)
+      }
+    }
   }
 
   /** Baseline: linear sort layout on a single column. */
@@ -92,9 +93,10 @@ object Layout {
     * group_bytes).
     *
     * The listing is metadata-scale (one FS listing, not a data scan) and
-    * the packing is the proven cumulative-quota shape (q_pack_sequences):
-    * at a million files this runs as a DataFrame window over the file
-    * index, never touching row data. Groups then compact independently —
+    * the packing is the proven cumulative-quota shape (q_pack_sequences),
+    * computed as a plain driver-side scan over the listed index — the
+    * index is already a driver array, so no Spark job (and no global
+    * window) exists at all. Groups then compact independently —
     * each is a separate read-coalesce-write job ([[compact]]), so a
     * 100 TB re-layout parallelizes per group and restarts cheaply. */
   def compactionPlan(spark: org.apache.spark.sql.SparkSession,
@@ -107,27 +109,26 @@ object Layout {
       .map(st => (st.getPath.toString, st.getLen))
       .sortBy(_._1)
     import spark.implicits._
-    val idx = files.toSeq.toDF("file", "bytes")
     // quota grouping: group = which targetBytes-window the file's
-    // cumulative total ENDS in — one running-total window pass over the
-    // file index, the q_pack_sequences shape (a strict greedy close-on-
-    // overflow is inherently sequential and buys nothing here: the bound
-    // above is what compaction needs).
-    val w = org.apache.spark.sql.expressions.Window.orderBy("file")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // cumulative greedy grouping is inherently sequential; on the
-    // metadata-sized index a single-partition window is the right tool
-    // (files count ~1e6 rows max — trivially window-able)
-    val planned = idx
-      .withColumn("cum", sum("bytes").over(w))
-      .withColumn("grp", expr(s"CAST((cum - 1) div $targetBytes AS BIGINT)"))
-    planned
-      .withColumn("group_files", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("grp")))
-      .withColumn("group_bytes", sum("bytes")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("grp")))
-      .select(col("grp").as("group_id"), col("file"), col("bytes"),
-        col("group_files"), col("group_bytes"))
+    // cumulative total ENDS in — the q_pack_sequences shape (a strict
+    // greedy close-on-overflow is inherently sequential and buys nothing
+    // here: the bound above is what compaction needs). The file index is
+    // ALREADY a driver array (one FS listing), so the cumsum is a plain
+    // scan — no Spark job, and no Window.orderBy-without-partitionBy (the
+    // CLAUDE.md hard rule admits no "it's only metadata" exception).
+    var cum = 0L
+    val planned = files.map { case (f, b) =>
+      cum += b
+      (math.max(cum - 1, 0L) / targetBytes, f, b)
+    }
+    val byGroup = planned.groupBy(_._1)
+      .map { case (g, rows) => g -> ((rows.length.toLong, rows.map(_._3).sum)) }
+    planned.toSeq
+      .map { case (g, f, b) =>
+        val (nf, gb) = byGroup(g)
+        (g, f, b, nf, gb)
+      }
+      .toDF("group_id", "file", "bytes", "group_files", "group_bytes")
   }
 
   /** Execute a [[compactionPlan]]: rewrite each group as ONE parquet file

@@ -20,11 +20,19 @@ object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double
     * (sequential left-to-right accumulation — deterministic; see
-    * [[graft.functions.FloatDotProduct]]). */
+    * [[graft.functions.FloatDotProduct]]). A zero vector scores 0
+    * against everything — without the guard 0/0 = NaN, and NaN sorts
+    * FIRST under `desc("sim")`, so one all-zero embedding (an empty doc)
+    * would crowd the head of every top-k it collides into. */
   def cosine(a: Column, b: Column): Column = {
     val dot = graft.functions.FloatDotProduct
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    safeSim(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** `dot / normProd` with the zero-vector case pinned to 0.0 — shared by
+    * every similarity scorer here (see [[cosine]]'s NaN note). */
+  private def safeSim(dot: Column, normProd: Column): Column =
+    when(normProd === lit(0.0), lit(0.0)).otherwise(dot / normProd)
 
   /** Exact top-k neighbors for each row of `queries` within `corpus`
     * (self-matches excluded by id). */
@@ -68,8 +76,8 @@ object Similarity {
       .select(col("qid"), col("cand_id"),
         graft.functions.IntDotProduct(col("q_qvec"), col("c_qvec")).as("dot"),
         col("q_qnorm"), col("c_qnorm"))
-      .withColumn("sim", col("dot").cast("double")
-        / sqrt(col("q_qnorm").cast("double")) / sqrt(col("c_qnorm").cast("double")))
+      .withColumn("sim", safeSim(col("dot").cast("double"),
+        sqrt(col("q_qnorm").cast("double")) * sqrt(col("c_qnorm").cast("double"))))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("cand_id"), col("rnk"), col("dot"), col("sim"))
@@ -84,6 +92,16 @@ object Similarity {
     * SignatureKernelsSpec). */
   def rhpSignature(vecCol: Column, planes: Int): Column =
     graft.functions.RhpSignature64(vecCol, planes)
+
+  /** The chunk-LSH paths split the signature into 4 equal chunks:
+    * planes < 4 gives 0-bit chunks — EVERY row in one bucket, a full
+    * quadratic self-join; planes not divisible by 4 silently discards
+    * the top signature bits. Both are tuning mistakes the docstring
+    * invites, so they fail at the call. */
+  private def requirePlanes(planes: Int): Unit =
+    require(planes >= 4 && planes <= 64 && planes % 4 == 0,
+      s"planes must be a multiple of 4 in [4, 64], got $planes (the " +
+        "signature splits into 4 equal bucket chunks)")
 
   /** IVF (inverted-file) approximate top-k: KMeans centroids partition the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
@@ -137,7 +155,7 @@ object Similarity {
     probed.join(assigned, Seq("cell"))
       .filter(col("cand_id") =!= col("qid"))
       .select(col("qid"), col("cand_id"),
-        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+        safeSim(dot(col("qvec"), col("cvec")), col("qn") * col("cn")).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
@@ -159,6 +177,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, planes: Int = 16,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    requirePlanes(planes)
     val chunkBits = planes / 4
     val chunkMask = (1L << chunkBits) - 1
     val dot = graft.functions.FloatDotProduct
@@ -187,7 +206,7 @@ object Similarity {
       .join(base.select(col("id").as("cand_id"), col("vec").as("cvec"), col("n").as("cn")),
         Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
-        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+        safeSim(dot(col("qvec"), col("cvec")), col("qn") * col("cn")).as("sim"))
       .filter(graft.functions.PushdownBarrier.double(col("sim")) >= minCosine)
   }
 
@@ -197,7 +216,9 @@ object Similarity {
     * re-ranked by exact cosine within buckets. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, planes: Int = 16): DataFrame = {
+      k: Int, planes: Int = 16,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    requirePlanes(planes)
     val chunkBits = planes / 4
     val chunkMask = (1L << chunkBits) - 1
     // Same slim-shuffle discipline as lshNearDupPairs: the bucket join and
@@ -215,7 +236,11 @@ object Similarity {
         sqrt(graft.functions.FloatDotProduct(col(vecCol), col(vecCol))).as(n))
     val dot = graft.functions.FloatDotProduct
     val cq = chunkedIds(queries, "qid")
-    val cc = chunkedIds(corpus, "cand_id")
+    // hot-bucket cap on the CORPUS side, exactly like lshNearDupPairs: a
+    // heavy cluster of near-identical vectors in one (chunk, cv) bucket
+    // otherwise makes the bucket join emit q*m candidate rows unbounded
+    val cc = Dedup.dropHotBuckets(
+      chunkedIds(corpus, "cand_id"), Seq("chunk", "cv"), maxBucket)
     val cands = cq.join(cc,
         cq("chunk") === cc("chunk") && cq("cv") === cc("cv") &&
           col("cand_id") =!= col("qid"))
@@ -226,7 +251,7 @@ object Similarity {
       .join(slim(queries, "qid", "qvec", "qn"), Seq("qid"))
       .join(slim(corpus, "cand_id", "cvec", "cn"), Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
-        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+        safeSim(dot(col("qvec"), col("cvec")), col("qn") * col("cn")).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
@@ -256,6 +281,10 @@ object Similarity {
       scores: DataFrame, scoreCol: String,
       minCosine: Double, planes: Int = 16,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(emb.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semanticDedup needs a NUMERIC $idCol: connectedComponents casts " +
+        s"ids to long, and a string id (got ${emb.schema(idCol).dataType}) " +
+        "would fail the ANSI cast deep inside the CC loop")
     val pairs = lshNearDupPairs(emb, idCol, vecCol, minCosine, planes, maxBucket)
       .select(col("qid").as("src"), col("cand_id").as("dst"))
     val comp = Dedup.connectedComponents(pairs, "src", "dst")

@@ -52,6 +52,19 @@ class LayoutSpec extends SparkTestBase {
     assert(zAvgP < 0.8 * (maxP - minP).toDouble)
   }
 
+  test("curve writers survive an EMPTY input (routine for an incremental " +
+    "re-layout partition) instead of NPE-ing on null min/max stats") {
+    val base = Tables(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+    val empty = base.filter(col("l_partkey") < 0)
+    val tmp = java.nio.file.Files.createTempDirectory("layout_empty").toString
+    Layout.zorderWrite(empty, "l_partkey", "l_suppkey", s"$tmp/z", 4)
+    Layout.zorderWriteN(empty, Seq("l_partkey", "l_suppkey"), s"$tmp/zn", 4)
+    Layout.hilbertWrite(empty, "l_partkey", "l_suppkey", s"$tmp/h", 4)
+    assert(spark.read.parquet(s"$tmp/z").count() == 0)
+    assert(spark.read.parquet(s"$tmp/zn").count() == 0)
+    assert(spark.read.parquet(s"$tmp/h").count() == 0)
+  }
+
   test("compaction plan covers every file once, bounds group bytes, and " +
     "executing it preserves rows while shrinking the file count") {
     import spark.implicits._

@@ -630,7 +630,9 @@ class PipelineOpsSpec extends SparkTestBase {
     val index = IvfIndex.build(emb, "embedding", nlist = 2, seed = 42L)
     val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
     val path = s"$dir/centroids"
-    IvfIndex.save(spark, index, path)
+    // stamped with the fingerprint getOrBuild will ask for below
+    IvfIndex.save(spark, index, path,
+      IvfIndex.fingerprint("persist-spec-key", "embedding", 2, 42L))
 
     // a fresh session (new SQL state, shared context — the driver-restart
     // analogue available in-sandbox) must load the identical index
@@ -651,6 +653,13 @@ class PipelineOpsSpec extends SparkTestBase {
       nlist = 2, seed = 42L, storePath = Some(path))
     assert(viaStore.centroids.zip(index.centroids).forall { case (a, b) => a.sameElements(b) })
     assert(IvfIndex.load(fresh, s"$dir/absent").isEmpty)
+    // a store whose stamp does not match the requested parameters fails
+    // loudly instead of silently serving wrong centroids (stale nlist)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.getOrBuild("persist-spec-key", empty, "embedding",
+        nlist = 4, seed = 42L, storePath = Some(path))
+    }
+    assert(e.getMessage.contains("storePath") || e.getMessage.contains("parameters"))
   }
 
   test("IVF build is reproducible and cache key covers all build params") {

@@ -44,6 +44,45 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(out(20L) == ((20L, 1L, true)))
   }
 
+  test("zero vectors score 0 against everything and never crowd a top-k " +
+    "head (0/0 = NaN sorts FIRST under desc without the guard)") {
+    import spark.implicits._
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val emb = (Seq((0L, e1), (1L, v(e1, 0.01f, 3)), (2L, v(e1, 0.02f, 4))) :+
+      ((9L, Array.fill(8)(0.0f)))) // the all-zero embedding (empty doc)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .select("cand_id", "rnk", "sim")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    // the zero vector is ranked LAST with sim exactly 0, never NaN-first
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 9L), out.mkString(","))
+    assert(out.last._3 == 0.0 && !out.exists(_._3.isNaN))
+  }
+
+  test("chunk-LSH paths reject planes that break the 4-chunk split") {
+    import spark.implicits._
+    val emb = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    // planes < 4 -> 0-bit chunks -> ONE bucket -> full quadratic self-join
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, planes = 3)
+    }
+    // planes % 4 != 0 silently discards the top signature bits
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", 1, planes = 18)
+    }
+  }
+
+  test("semanticDedup fails fast on a non-numeric id column") {
+    import spark.implicits._
+    val emb = Seq(("doc-1", Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val scores = Seq(("doc-1", 1L)).toDF("vec_id", "q")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb, "vec_id", "embedding", scores, "q", 0.9)
+    }
+    assert(e.getMessage.contains("NUMERIC"))
+  }
+
   test("exactly one survivor per component, always") {
     import spark.implicits._
     val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
