@@ -89,11 +89,14 @@ object BpeTokenCount {
   /** Classic BPE over the letter run s[from, until): start from single
     * chars; each round merge every left-to-right occurrence of the
     * lowest-rank adjacent pair; stop when no adjacent pair is ranked.
-    * Returns the surviving symbol count. */
-  private def mergedSymbolCount(s: String, from: Int, until: Int,
-                                table: BpeMergeTable): Long = {
+    * Returns the surviving symbols — the ONE merge-loop body shared by
+    * the counter (length) and [[BpeEncode]] (emission), so the
+    * size(BpeEncode(text)) == BpeTokenCount(text) invariant cannot drift
+    * through a one-sided edit of a duplicated loop. */
+  private[functions] def mergedSymbols(s: String, from: Int, until: Int,
+                                       table: BpeMergeTable): Array[String] = {
     val len = until - from
-    if (len == 1) return 1L
+    if (len == 1) return Array(String.valueOf(s.charAt(from)))
     var syms = new Array[String](len)
     var i = 0
     while (i < len) { syms(i) = String.valueOf(s.charAt(from + i)); i += 1 }
@@ -126,8 +129,12 @@ object BpeTokenCount {
         nSyms = o
       }
     }
-    nSyms.toLong
+    if (nSyms == syms.length) syms else java.util.Arrays.copyOfRange(syms, 0, nSyms)
   }
+
+  private def mergedSymbolCount(s: String, from: Int, until: Int,
+                                table: BpeMergeTable): Long =
+    mergedSymbols(s, from, until, table).length.toLong
 
   /** Column wrapper. */
   def apply(text: Column): Column =

@@ -14,8 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * array, which dominates pairwise similarity joins.
   *
   * Summation is sequential left-to-right with each element widened to
-  * double first — bit-identical to the higher-order-function formulation,
-  * so oracle-checked results are unchanged.
+  * double first — bit-identical to the higher-order-function formulation
+  * on EQUAL-length arrays (every embedding table's contract), so
+  * oracle-checked results are unchanged. Lengths are deliberately
+  * min-clamped on mismatch, matching [[IntDotProduct]]'s spec'd
+  * length-min semantics (QuantizationSpec) — note the old HOF returned
+  * NULL there instead (zip_with pads with nulls): a corpus with
+  * corrupt truncated vectors scores them as partial dot products rather
+  * than visibly-broken NULL rows, so validate dimensions at ingest if
+  * that matters.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {

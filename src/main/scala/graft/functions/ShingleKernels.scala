@@ -19,13 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleKernels {
 
-  /** Distinct k-char shingles in first-occurrence order. */
+  /** Distinct k-char shingles in first-occurrence order. Shingle bytes
+    * are addressed through [[TextKernels.charOffsets]] — substringSQL
+    * re-walks from byte 0 per gram, O(n^2) in doc length, the per-row
+    * cliff the other kernels already eliminated. */
   def shingleSet(text: UTF8String, k: Int): ArrayData = {
-    val n = math.max(text.numChars() - k + 1, 1)
+    val nChars = text.numChars()
+    val n = math.max(nChars - k + 1, 1)
+    val bytes = text.getBytes
+    val charOff = TextKernels.charOffsets(text)
     val seen = new java.util.LinkedHashSet[UTF8String]()
-    var i = 1
-    while (i <= n) {
-      seen.add(text.substringSQL(i, k))
+    var i = 0
+    while (i < n) {
+      seen.add(UTF8String.fromBytes(bytes, charOff(i),
+        charOff(math.min(i + k, nChars)) - charOff(i)))
       i += 1
     }
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
@@ -33,7 +40,15 @@ object ShingleKernels {
 
   /** Distinct k-char shingles packed base-256 per code point (ASCII text:
     * injective; mirrors `ascii(substr(...)) * 2^(8(k-1-j))` summed, with
-    * positions past the end contributing ascii('') = 0). */
+    * positions past the end contributing ascii('') = 0).
+    *
+    * ASCII-ONLY precondition, loudly: a code point > 255 carries into the
+    * next 8-bit lane, so on non-ASCII text DISTINCT shingles can pack to
+    * one value (cps (1,354) and (2,98) both pack to 610 at k=2) and
+    * packed-shingle Jaccard inflates — with no error, because the oracle
+    * mirrors the same lane arithmetic and agrees bit-for-bit. Callers on
+    * non-ASCII corpora must pass `packedAscii = false` (the string-shingle
+    * path is exact for any text). */
   def packedShingleSet(text: UTF8String, k: Int): ArrayData = {
     val s = text.toString
     // code points left-to-right (substr counts chars = code points)

@@ -60,10 +60,14 @@ object TextKernels {
     if (k <= 8 && text.numBytes() == nChars) return repetitionPpmAsciiPacked(text, k)
     val n = math.max(nChars - k + 1, 1)
     val counts = new java.util.HashMap[UTF8String, Integer]()
+    // direct byte addressing via charOffsets (see minShingleMd5's note)
+    val bytes = text.getBytes
+    val charOff = charOffsets(text)
     var maxC = 0
-    var i = 1
-    while (i <= n) {
-      val s = text.substringSQL(i, k)
+    var i = 0
+    while (i < n) {
+      val s = UTF8String.fromBytes(bytes, charOff(i),
+        charOff(math.min(i + k, nChars)) - charOff(i))
       val prev = counts.get(s)
       val c = if (prev == null) 1 else prev + 1
       counts.put(s, c)
@@ -245,12 +249,21 @@ object TextKernels {
     * usual sub-k clamp; md5 is over the shingle's UTF-8 bytes, matching
     * `md5(substr(...).cast("binary"))`. */
   def minShingleMd5(text: UTF8String, k: Int): UTF8String = {
-    val n = math.max(text.numChars() - k + 1, 1)
+    val nChars = text.numChars()
+    val n = math.max(nChars - k + 1, 1)
+    // one byte copy + the charOffsets table: each shingle's bytes are
+    // addressed directly — substringSQL would re-walk from byte 0 per
+    // gram, O(n^2) in doc length (one multi-MB doc = an hours-long task)
+    val bytes = text.getBytes
+    val charOff = charOffsets(text)
     val md = java.security.MessageDigest.getInstance("MD5")
     var best: Array[Byte] = null
-    var i = 1
-    while (i <= n) {
-      val d = md.digest(text.substringSQL(i, k).getBytes)
+    var i = 0
+    while (i < n) {
+      val from = charOff(i)
+      val until = charOff(math.min(i + k, nChars))
+      md.update(bytes, from, until - from)
+      val d = md.digest()
       if (best == null || unsignedLess(d, best)) best = d
       i += 1
     }

@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count without regex: separators + 1. */
+  /** Whitespace token count without regex: separator CHARS + 1 — cheap
+    * and mirrorable (`translate` deletes unmapped chars on both engines).
+    * Counts space, tab, LF and CR as separators: a newline-separated doc
+    * (clean() itself emits \n-joined text) must not read as one token —
+    * that saturated the stopword-density credit and flattened BM25's
+    * length normalization. Consecutive whitespace still overcounts by
+    * design (a heuristic counter, not a tokenizer — [[bpeTokenCount]] is
+    * the exact one). */
   def tokenCount(text: Column): Column =
-    (length(text) - length(replace(text, lit(" "), lit(""))) + lit(1)).cast("long")
+    (length(text) - length(translate(text, " \t\n\r", "")) + lit(1)).cast("long")
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token (regexp shared verbatim with the
@@ -142,9 +149,15 @@ object TextAnalysis {
                     idCol: String, textCol: String, groupCol: String,
                     minLen: Int, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE corpus scan: df, tf and the doc count all read the exploded
+    // token projection, which would otherwise re-run the regex explode
+    // per consumer (the keywordSearch/termDrift checkpoint discipline)
     val toks = docs.select(col(idCol).as("__doc"), col(groupCol),
         explode(regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0))).as("token"))
       .filter(length(col("token")) >= minLen)
+      .localCheckpoint(true)
+    // N = TOTAL corpus docs (not token-bearing docs — the oracle's df
+    // semantics); a count(*) scan is parquet-footer metadata, not data
     val n = docs.agg(count(lit(1)).as("__n"))
     val df = toks.groupBy("token").agg(countDistinct(col("__doc")).as("df"))
     val tf = toks.groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
@@ -425,12 +438,19 @@ object TextAnalysis {
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
         s => s.getField("__line")), "\n").as("__clean"),
       count(lit(1)).as("__kept"))
+    // explicit NULL-text policy (the dedupLines discipline): a null doc
+    // stays NULL with 0 kept / 0 dropped — the old shape returned
+    // text_clean = '' with n_lines_dropped = NULL, conflating an upstream
+    // decode failure with a legitimately all-boilerplate doc AND breaking
+    // kept+dropped accounting (sum over a null silently skips the row)
     norm.join(reassembled, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("__clean"), lit("")).as("text_clean"),
+        when(col("__t").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("text_clean"),
         coalesce(col("__kept"), lit(0L)).as("n_lines_kept"),
-        (size(split(col("__t"), "\n")).cast("long")
-          - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
+        when(col("__t").isNull, lit(0L))
+          .otherwise(size(split(col("__t"), "\n")).cast("long")
+            - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
   }
 
   /** HTML-to-text extraction — the stage BEFORE any cleaning/scoring in a
@@ -745,7 +765,13 @@ object TextAnalysis {
     * union is k·lists rows — driver-free, one tiny aggregate. */
   def rrfFuse(lists: Seq[org.apache.spark.sql.DataFrame], idCol: String,
               rankCol: String, k0: Long, topK: Int): org.apache.spark.sql.DataFrame = {
-    require(lists.nonEmpty && topK > 0 && k0 >= 0)
+    // k0 >= 1 (not >= 0): ranks are 1-based in this codebase, but a
+    // caller fusing a 0-BASED reranker list with k0 = 0 would evaluate
+    // 1e6 div 0 on the first row — an ANSI DIVIDE_BY_ZERO that kills the
+    // query; k0 >= 1 makes every non-negative rank safe (standard RRF
+    // uses k0 = 60 anyway)
+    require(lists.nonEmpty && topK > 0 && k0 >= 1,
+      s"need non-empty lists, topK > 0 and k0 >= 1 (got k0=$k0)")
     lists.map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
       .reduce(_ unionByName _)
       .groupBy(col(idCol))
@@ -838,10 +864,15 @@ object TextAnalysis {
           .select(col(idCol),
             posexplode(graft.functions.GramDigests(t, L)).as(Seq("p0", "g")))
           .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
-    val dup = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("c") > 1)
-      .select(idCol, "p")
+    // duplicated-gram marking is an AGGREGATE + join, not a
+    // Window.partitionBy(g): a spam corpus puts one banner gram hundreds
+    // of millions of times into a single window partition (one task
+    // buffers the whole hot key), while the aggregate gets map-side
+    // partial combine and the equi-join gets AQE skew-splitting — the
+    // dedupLinesCorpus discipline applied to the gram grain
+    val dupGrams = grams.groupBy("g")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+    val dup = grams.join(dupGrams, "g").select(idCol, "p")
     val wDoc = Window.partitionBy(idCol).orderBy("p")
     dup
       .withColumn("prev_end",

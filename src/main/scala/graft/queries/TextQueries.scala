@@ -1537,7 +1537,7 @@ object TextQueries {
     "q_doc_stats" ->
       """SELECT doc_id,
         | CAST(len(text) AS BIGINT) AS n_chars_calc,
-        | CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        | CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS BIGINT) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
         | CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1546,7 +1546,7 @@ object TextQueries {
       """WITH t AS (
         | SELECT doc_id,
         |  CAST(len(text) AS DOUBLE) AS chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS DOUBLE) AS tokens,
         |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
@@ -1870,7 +1870,7 @@ object TextQueries {
       """WITH t AS (
         | SELECT doc_id, text, ' '||text||' ' AS p,
         |  CAST(len(text) AS DOUBLE) AS chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS DOUBLE) AS tokens,
         |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
         |  md5(text) AS digest
@@ -2032,7 +2032,7 @@ object TextQueries {
       """WITH t AS (
         | SELECT doc_id, text,
         |  CAST(len(text) AS DOUBLE) AS chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS DOUBLE) AS tokens,
         |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
@@ -2138,7 +2138,7 @@ object TextQueries {
         |t AS (
         | SELECT doc_id, text, ' '||text||' ' AS p,
         |  CAST(len(text) AS BIGINT) AS n_chars_calc,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
         |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
         | FROM documents),
@@ -2253,7 +2253,7 @@ object TextQueries {
       """WITH t AS (
         | SELECT doc_id, source,
         |  CAST(len(text) AS DOUBLE) AS chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS DOUBLE) AS tokens,
         |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
@@ -2304,7 +2304,7 @@ object TextQueries {
         |  (len(' '||text||' ') - len(replace(' '||text||' ', ' query ', ''))) // 7 AS tf0,
         |  (len(' '||text||' ') - len(replace(' '||text||' ', ' table ', ''))) // 7 AS tf1,
         |  (len(' '||text||' ') - len(replace(' '||text||' ', ' stream ', ''))) // 8 AS tf2,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS dl
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS BIGINT) AS dl
         | FROM documents),
         |d AS (
         | SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
@@ -2370,7 +2370,7 @@ object TextQueries {
         |  (len(' '||text||' ') - len(replace(' '||text||' ', ' query ', ''))) // 7 AS tf0,
         |  (len(' '||text||' ') - len(replace(' '||text||' ', ' table ', ''))) // 7 AS tf1,
         |  (len(' '||text||' ') - len(replace(' '||text||' ', ' stream ', ''))) // 8 AS tf2,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS dl
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS BIGINT) AS dl
         | FROM documents),
         |d AS (
         | SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
@@ -2426,9 +2426,11 @@ object TextQueries {
         | SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1) WHERE df > 20),
         |kept AS (SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, COUNT(*) AS n_kept FROM kept GROUP BY 1)
-        |SELECT n.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |SELECT n.doc_id,
+        | CASE WHEN n.t IS NULL THEN NULL ELSE coalesce(a.text_clean, '') END AS text_clean,
         | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
-        | CAST(len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped
+        | CAST(CASE WHEN n.t IS NULL THEN 0
+        |   ELSE len(string_split(n.t, chr(10))) - coalesce(a.n_kept, 0) END AS BIGINT) AS n_lines_dropped
         |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
         |ORDER BY n.doc_id""".stripMargin,
 
@@ -2448,7 +2450,7 @@ object TextQueries {
         |t AS (
         | SELECT doc_id, source, text, ' '||text||' ' AS p,
         |  CAST(len(text) AS BIGINT) AS n_chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS BIGINT) AS n_tokens,
         |  md5(text) AS digest,
         |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
         | FROM documents),
@@ -2554,7 +2556,7 @@ object TextQueries {
       """WITH t AS (
         | SELECT doc_id,
         |  CAST(len(text) AS DOUBLE) AS chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS DOUBLE) AS tokens,
         |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
@@ -2667,7 +2669,7 @@ object TextQueries {
       """WITH t AS (
         | SELECT doc_id,
         |  CAST(len(text) AS DOUBLE) AS chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS DOUBLE) AS tokens,
         |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4
@@ -2715,7 +2717,7 @@ object TextQueries {
       """WITH t AS (
         | SELECT doc_id,
         |  CAST(len(text) AS DOUBLE) AS chars,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE) AS tokens,
+        |  CAST(len(text) - len(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) + 1 AS DOUBLE) AS tokens,
         |  CAST((len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
         |     + (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4

@@ -724,5 +724,10 @@ class PipelineOpsSpec extends SparkTestBase {
         TextAnalysis.shingles(col("a"), 3), TextAnalysis.shingles(col("a"), 3))).head()
     assert(r.getLong(0) == 3L)
     assert(r.getLong(1) == 1000000L) // self-jaccard is exactly 1
+    // newline/tab-separated text counts its words too — a 1-word-per-line
+    // doc must not read as ONE token (that saturated stopword density and
+    // flattened BM25's length normalization)
+    val multi = Seq(Tuple1("one\ntwo\tthree\r\nfour")).toDF("a")
+    assert(multi.select(TextAnalysis.tokenCount(col("a"))).head().getLong(0) == 5L)
   }
 }

@@ -44,7 +44,11 @@ class TextCleanSpec extends SparkTestBase {
     assert(out(3L) == (("unique three", 1L, 3L))) // both HEADER copies dropped
     assert(out(4L) == (("", 0L, 2L)))             // all-boilerplate doc kept as row
     assert(out(5L) == (("alpha\nbeta", 2L, 0L)))
-    assert(out(6L)._1 == "" && out(6L)._2 == 0L)  // null text → empty, no lines
+    // null text stays NULL with 0 kept / 0 dropped — a decode failure must
+    // not read as "legitimately cleaned to empty", and kept+dropped
+    // accounting must reconcile (the old shape emitted '' with NULL
+    // dropped, silently skipped by any SUM)
+    assert(out(6L) == ((null, 0L, 0L)))
   }
 
   test("redactPii: typed placeholders, rule order, count semantics") {
