@@ -407,8 +407,9 @@ object PlanAudit {
     check("q_linreg", "closed-form OLS: one scan + one 5-number-per-group shuffle; scan prunes to 3 columns")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
         "FileScan parquet".r.findAllIn(p).size == 1 && !p.contains("ScalaUDF"))
-    check("q_triangles", "triangle enumeration: oriented equi-joins only (wedge join + closing check), never a cartesian")(p =>
-      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+    check("q_triangles", "triangle enumeration: DEGREE-oriented edge table materialized once (wedge set O(|E|^1.5) on any graph), wedge + closing joins are equi-joins over it, never a cartesian")(p =>
+      p.contains("Scan ExistingRDD") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
     check("q_k_anonymity", "k-anonymity audit: one slim partial-agg shuffle over the quasi-identifier grid; no UDF")(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&

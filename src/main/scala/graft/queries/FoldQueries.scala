@@ -73,6 +73,24 @@ object FoldQueries {
   private def parseK(props: String): Long =
     kPattern.findFirstMatchIn(props).map(_.group(1).toLong).getOrElse(0L)
 
+  /** BIGINT-overflow-safe exact floor(num/den) for POSITIVE integer SQL
+    * expressions (write both in DECIMAL(38,0) arithmetic — the caller
+    * casts before multiplying, or the product overflows before it gets
+    * here). Decimal division ROUNDS (HALF_UP at the result scale) instead
+    * of flooring, so the quotient gets a remainder correction: q ∈ {floor,
+    * floor+1} by the rounding bound, and q·den > num ⟺ q = floor+1 —
+    * bit-exact with the oracle's integer `//` at any scale. Same pattern
+    * as q_market_basket's lift (Relational.scala); factored here for the
+    * ppm ratios whose numerators outgrow BIGINT at realistic populations. */
+  private def exactFloorDiv(df: DataFrame, num: String, den: String,
+      out: String): DataFrame =
+    df.withColumn("__fd_n", expr(num))
+      .withColumn("__fd_d", expr(den))
+      .withColumn("__fd_q", expr("CAST(__fd_n / __fd_d AS DECIMAL(38,0))"))
+      .withColumn(out, expr(
+        "CAST(CASE WHEN __fd_q * __fd_d > __fd_n THEN __fd_q - 1 ELSE __fd_q END AS BIGINT)"))
+      .drop("__fd_n", "__fd_d", "__fd_q")
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -1023,10 +1041,13 @@ object FoldQueries {
           expr("CAST(SUM(cb) AS BIGINT)").as("n_b"),
           expr("CAST(SUM(ca * r2) AS BIGINT)").as("s2_a"),
           expr("CAST(SUM(cb * r2) AS BIGINT)").as("s2_b"))
-        .selectExpr("n_a", "n_b",
-          "s2_a - n_a * (n_a + 1) AS u2_a",
-          "s2_b - n_b * (n_b + 1) AS u2_b",
-          "(s2_a - n_a * (n_a + 1)) * 1000000 div (2 * n_a * n_b) AS auc_ppm")
+        .withColumn("u2_a", expr("s2_a - n_a * (n_a + 1)"))
+        .withColumn("u2_b", expr("s2_b - n_b * (n_b + 1)"))
+        // auc_ppm's numerator u2·1e6 outgrows BIGINT past ~2e6
+        // users/variant → the exactFloorDiv decimal discipline
+        .transform(exactFloorDiv(_, "CAST(u2_a AS DECIMAL(38,0)) * 1000000",
+          "CAST(2 AS DECIMAL(38,0)) * n_a * n_b", "auc_ppm"))
+        .select("n_a", "n_b", "u2_a", "u2_b", "auc_ppm")
     },
 
     // Two-sample Kolmogorov-Smirnov (distribution-shape complement of the
@@ -1047,14 +1068,24 @@ object FoldQueries {
         .agg(expr("CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("ca"),
           expr("CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)").as("cb"))
       val b = Ranks.bucketRange(grp, Seq(col("cents").asc), valueCols = Seq("ca", "cb"))
-      b.withCumSum("ca", "cum_a").withCumSum("cb", "cum_b")
+      // gap and d_ppm ride DECIMAL(38,0): the cum·n products outgrow
+      // BIGINT past ~3e9 users/variant and the ppm numerator already at
+      // ~3e6 — the exactFloorDiv discipline (d_num reports as BIGINT,
+      // fine to ~9.2e18; the ARGMAX compares the unclipped decimals).
+      // d_ppm derives on the grid BEFORE the top-1, keeping the tail a
+      // bare Sort+Limit — a projection between them forfeits the
+      // TakeOrderedAndProject fusion (planned as global sort+CollectLimit)
+      val grid = b.withCumSum("ca", "cum_a").withCumSum("cb", "cum_b")
         .result
         .withColumn("n_a", lit(b.valueTotal("ca")))
         .withColumn("n_b", lit(b.valueTotal("cb")))
-        .withColumn("gap", expr("abs(cum_a * n_b - cum_b * n_a)"))
-        .orderBy(col("gap").desc, col("cents").asc).limit(1)
-        .selectExpr("n_a", "n_b", "cents AS at_cents", "gap AS d_num",
-          "gap * 1000000 div (n_a * n_b) AS d_ppm")
+        .withColumn("gap", expr(
+          "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a)"))
+      exactFloorDiv(grid, "gap * 1000000", "CAST(n_a AS DECIMAL(38,0)) * n_b", "d_ppm")
+        .select(col("n_a"), col("n_b"), col("cents").as("at_cents"),
+          expr("CAST(gap AS BIGINT)").as("d_num"), col("d_ppm"), col("gap"))
+        .orderBy(col("gap").desc, col("at_cents").asc).limit(1)
+        .drop("gap")
     },
 
     // Recency-decay engagement score with an exact integer half-life:

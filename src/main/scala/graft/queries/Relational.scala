@@ -549,13 +549,13 @@ object Relational {
     },
 
     // Triangle enumeration in the part co-purchase graph (edges = part
-    // pairs sharing >= 2 orders). The id-ordered orientation (u < v)
-    // makes each triangle appear exactly once as a < b < c: two equi-joins
-    // over the oriented edge list, no pairwise explosion beyond the wedge
-    // set. At 100 TB orient by DEGREE instead of id (bounds wedges by
-    // O(|E|^1.5) on skewed graphs — id orientation is the demo-scale
-    // simplification); the threshold keeps co-purchase edges, not
-    // co-occurrence noise.
+    // pairs sharing >= 2 orders), via [[graft.operators.Graph.triangles]] —
+    // DEGREE orientation, so wedge volume is O(|E|^1.5) on ANY graph
+    // (id orientation, the shape the oracle uses, explodes quadratically
+    // at a skewed hub; the operator's output is the orientation-
+    // independent id-sorted triple, so the two enumerations are
+    // set-identical and the oracle hash still pins it exactly). The
+    // threshold keeps co-purchase edges, not co-occurrence noise.
     "q_triangles" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       val e = li.as("x").join(li.as("y"), "l_orderkey")
@@ -564,10 +564,7 @@ object Relational {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("u", "v")
-      e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      graft.operators.Graph.triangles(e, "u", "v")
         .orderBy("a", "b", "c")
     },
 
@@ -587,13 +584,24 @@ object Relational {
         .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
+      // lift's numerator n_ab*nb*1e6 outgrows BIGINT once baskets pass
+      // ~1e6 (nb²·1e6 > 2^63), so it rides DECIMAL(38,0) products — exact
+      // integers to 38 digits, safe to nb ~ 1e10. Decimal DIVISION rounds
+      // (HALF_UP at the result scale) instead of flooring, so the quotient
+      // gets an explicit remainder correction: q ∈ {floor, floor+1} by the
+      // rounding bound, and q·d > n ⟺ q = floor+1 — bit-exact with the
+      // oracle's integer `//` at any scale, not just below the overflow.
       pc.join(broadcast(ic.select(col("l_partkey").as("pa"), col("n_i").as("n_a"))), "pa")
         .join(broadcast(ic.select(col("l_partkey").as("pb"), col("n_i").as("n_b"))), "pb")
         .crossJoin(broadcast(nB))
+        .withColumn("__ln", expr("CAST(n_ab AS DECIMAL(38,0)) * nb * 1000000"))
+        .withColumn("__ld", expr("CAST(n_a AS DECIMAL(38,0)) * n_b"))
+        .withColumn("__lq", expr("CAST(__ln / __ld AS DECIMAL(38,0))"))
         .select(col("pa"), col("pb"), col("n_ab"),
           expr("n_ab * 1000000 div nb").as("support_ppm"),
           expr("n_ab * 1000000 div n_a").as("conf_ppm"),
-          expr("n_ab * nb * 1000000 div (n_a * n_b)").as("lift_ppm"))
+          expr("CAST(CASE WHEN __lq * __ld > __ln THEN __lq - 1 ELSE __lq END AS BIGINT)")
+            .as("lift_ppm"))
         .orderBy(desc("lift_ppm"), asc("pa"), asc("pb"))
     },
 
