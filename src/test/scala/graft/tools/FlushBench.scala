@@ -24,13 +24,17 @@ import org.apache.spark.sql.SparkSession
   * a multi-generation store) is timed separately — it is the reference's
   * restart path, not part of the flush number.
   *
-  * Usage: sbt "Test/runMain graft.tools.FlushBench [keys] [bytes] [runs]"
+  * Usage: sbt "Test/runMain graft.tools.FlushBench [keys] [bytes] [runs] [parts]"
+  * `parts` = input partition count (the append inherits it; a 20 MB wave
+  * doesn't need 32 commit tasks — the task/commit protocol is the floor
+  * here, like network batching is the reference's).
   */
 object FlushBench {
   def main(args: Array[String]): Unit = {
     val keys = args.lift(0).map(_.toInt).getOrElse(2000)
     val bytes = args.lift(1).map(_.toInt).getOrElse(10240)
     val runs = args.lift(2).map(_.toInt).getOrElse(5)
+    val parts = args.lift(3).map(_.toInt).getOrElse(32)
     val base = s"/tmp/graft_flush_${System.nanoTime()}"
 
     val spark = SparkSession.builder()
@@ -43,7 +47,7 @@ object FlushBench {
 
     // xorshift payloads: deterministic, high-entropy (≈ the worst case for
     // the LZ4 frame — a compressible corpus would only flush FASTER)
-    val rows = spark.range(0, keys.toLong, 1, 32).map { i =>
+    val rows = spark.range(0, keys.toLong, 1, parts).map { i =>
       val b = new Array[Byte](bytes)
       var x = i * 0x9e3779b97f4a7c15L + 1
       var j = 0
@@ -51,7 +55,7 @@ object FlushBench {
         x ^= x << 13; x ^= x >>> 7; x ^= x << 17
         b(j) = x.toByte; j += 1
       }
-      SnapshotRow("flush-bench", "g1", "events", (i % 32).toInt, s"key-$i",
+      SnapshotRow("flush-bench", "g1", "events", (i % parts).toInt, s"key-$i",
         offset = i, metadata = "", value = b, written_at_ms = 0L)
     }.localCheckpoint(true)
     rows.count() // materialize before any clock
@@ -61,7 +65,7 @@ object FlushBench {
         val t0 = System.nanoTime()
         ExternalSnapshots.upsert(rows, s"$base/run_$r")
         val s = (System.nanoTime() - t0) / 1e9
-        if (r > 0) println(f"FLUSHBENCH upsert run$r $s%.3f s (keys=$keys bytes=$bytes)")
+        if (r > 0) println(f"FLUSHBENCH upsert run$r $s%.3f s (keys=$keys bytes=$bytes parts=$parts)")
         s
       }.drop(1)
 
