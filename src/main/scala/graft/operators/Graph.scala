@@ -65,11 +65,17 @@ object Graph {
     * because the enumeration reads it three times.
     */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // materialize the canonical edge table FIRST (the pageRank edge-plan
+    // discipline): the degree count and BOTH orientation-join legs read
+    // it, and the caller's edge plan is typically an expensive
+    // pair-generation join — without this pin it executes three times
+    // inside the oriented plan (q_triangles measured 30 s vs 3 s at sf0.1)
     val e0 = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
+      .localCheckpoint(true)
     val deg = e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // direct from lower (deg, id) to higher; carry the head's (deg, id) so
