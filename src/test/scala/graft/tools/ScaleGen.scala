@@ -92,6 +92,14 @@ object ScaleGen {
       else df
         .withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+        // partkey offset keeps the co-PURCHASE graph (q_triangles) F
+        // disjoint copies too — without it every replica stacks weight
+        // onto the SAME part-pair edge, the w>=2 threshold admits all
+        // base-weight-1 pairs and the edge set explodes super-linearly
+        // (measured 16x time at x3). Queries joining the symlinked `part`
+        // dim are NOT scale-measurable on these corpora (replica partkeys
+        // have no dim rows); none of the SCALING.md queries do.
+        .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
     }
     replicate("orders") { (df, k) =>
       if (k == 0) df
