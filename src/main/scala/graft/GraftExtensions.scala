@@ -252,6 +252,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.KmvJaccardPpm(exprs(0), exprs(1), intLit(exprs(2), "k"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("frame_decode"),
+      new ExpressionInfo(classOf[graft.functions.FrameDecode].getName, "frame_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "frame_decode(bytes)")
+        graft.functions.FrameDecode(exprs.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("kmv_distinct_estimate"),
       new ExpressionInfo(classOf[graft.functions.KmvDistinctEstimate].getName, "kmv_distinct_estimate"),
       (exprs: Seq[Expression]) => {
@@ -378,6 +385,11 @@ object ExtensionsSmoke {
       .head().getSeq[Long](0)
     val gdOk = gd.length == 4 && gd(0) == gd(3) && gd(0) != gd(1)
 
+    // frame_decode: passthrough frame (marker 0) strips to the payload —
+    // SQL access to the snapshot store's value frames
+    val fd = spark.sql("SELECT frame_decode(unhex('00414243')) AS b").head()
+    val fdOk = new String(fd.getAs[Array[Byte]](0), "UTF-8") == "ABC"
+
     // cms_probe reads the built-in count_min_sketch binary: tiny stream,
     // wide sketch → exact counts
     val cms = spark.sql(
@@ -439,9 +451,9 @@ object ExtensionsSmoke {
 
     val ok = row.getLong(0) == 2L && math.abs(row.getDouble(1) - 11.0) < 1e-12 &&
       rewritten && n == 3 && notRewritten && n2 == 3 && mediaOk && kernOk && hhOk &&
-      kllOk && bkOk && gdOk && cmsOk && ilOk && kmvOk && levOk
+      kllOk && bkOk && gdOk && fdOk && cmsOk && ilOk && kmvOk && levOk
     spark.stop()
-    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk cms=$cmsOk il=$ilOk kmv=$kmvOk lev=$levOk)")
+    println(s"EXTENSIONS_SMOKE_OK=$ok (rewrite=$rewritten n=$n notRewritten=$notRewritten n2=$n2 media=$mediaOk kern=$kernOk hh=$hhOk kll=$kllOk bk=$bkOk gd=$gdOk fd=$fdOk cms=$cmsOk il=$ilOk kmv=$kmvOk lev=$levOk)")
     sys.exit(if (ok) 0 else 1)
   }
 }

@@ -33,7 +33,16 @@ final class Compressor(thresholdBytes: Int = 10000) {
     }
   }
 
-  def decompress(frame: Array[Byte]): Array[Byte] = {
+  def decompress(frame: Array[Byte]): Array[Byte] = Compressor.decodeFrame(frame)
+}
+
+object Compressor {
+  private val factory = LZ4Factory.fastestInstance()
+
+  /** Static frame decode — the body `graft.functions.FrameDecode`'s
+    * generated code calls, so the snapshot read path decodes inside
+    * whole-stage codegen instead of an interpreted row loop. */
+  def decodeFrame(frame: Array[Byte]): Array[Byte] = {
     require(frame.nonEmpty, "empty frame")
     frame(0) match {
       case 0 => java.util.Arrays.copyOfRange(frame, 1, frame.length)

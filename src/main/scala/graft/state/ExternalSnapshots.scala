@@ -151,20 +151,11 @@ object ExternalSnapshots {
     val live = expiration.fold(latest)(ttl =>
       latest.filter(col("written_at_ms") >= lit(nowMs - ttl.toMillis)))
     // decompress AFTER last-write-wins + TTL resolution: only surviving
-    // rows pay the decode; the frame marker routes raw vs LZ4 per value
-    val schema = live.schema
-    val vIdx = schema.fieldIndex("value")
-    live.mapPartitions { it =>
-      val c = new Compressor()
-      it.map { row =>
-        val vals = new Array[Any](row.length)
-        var i = 0
-        while (i < row.length) { vals(i) = row.get(i); i += 1 }
-        vals(vIdx) = c.decompress(row.getAs[Array[Byte]](vIdx))
-        new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
-          : org.apache.spark.sql.Row
-      }
-    }(org.apache.spark.sql.Encoders.row(schema))
+    // rows pay the decode; the frame marker routes raw vs LZ4 per value.
+    // The decode is a codegen'd Expression (FrameDecode) inside the
+    // projection — r10 replaced the interpreted mapPartitions row-copy
+    // loop, the only non-codegen stage this path had.
+    live.withColumn("value", graft.functions.FrameDecode(col("value")))
   }
 
   /** Rewrite the log keeping only the latest row per key — bounded store
