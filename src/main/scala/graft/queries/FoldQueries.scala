@@ -82,7 +82,7 @@ object FoldQueries {
     * bit-exact with the oracle's integer `//` at any scale. Same pattern
     * as q_market_basket's lift (Relational.scala); factored here for the
     * ppm ratios whose numerators outgrow BIGINT at realistic populations. */
-  private def exactFloorDiv(df: DataFrame, num: String, den: String,
+  private[graft] def exactFloorDiv(df: DataFrame, num: String, den: String,
       out: String): DataFrame =
     df.withColumn("__fd_n", expr(num))
       .withColumn("__fd_d", expr(den))
