@@ -341,10 +341,10 @@ object PlanAudit {
     check("q_skew_report", "skew report: partial agg on the slim key, 1-row total broadcast, bounded top-20")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("HashAggregate") &&
         !p.contains("ScalaUDF"))
-    check("q_substring_dup", "span dedup is corpus-LINEAR: dup-gram AGGREGATE (map-side combine, AQE-skew-splittable join, never a gram window) + doc interval-merge windows, never pairwise, no UDF")(p =>
+    check("q_substring_dup", "span dedup is corpus-LINEAR: dup grams marked by the ONE-exchange sorted neighbor scan (external sort, O(1) memory at any gram skew — never a gram window, never a second gram exchange) + doc interval-merge windows, never pairwise, no UDF")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("ScalaUDF") &&
-        "Exchange hashpartitioning".r.findAllIn(p).size <= 4)
+        !p.contains("ScalaUDF") && p.contains("MapPartitions") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3)
     check("q_substring_dup_fast", "span dedup production path: gram_digests kernel projection (no substring/md5), 8-byte shuffle key")(p =>
       p.contains("gram_digests") && !p.contains("md5") &&
         !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))

@@ -864,15 +864,43 @@ object TextAnalysis {
           .select(col(idCol),
             posexplode(graft.functions.GramDigests(t, L)).as(Seq("p0", "g")))
           .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
-    // duplicated-gram marking is an AGGREGATE + join, not a
-    // Window.partitionBy(g): a spam corpus puts one banner gram hundreds
-    // of millions of times into a single window partition (one task
-    // buffers the whole hot key), while the aggregate gets map-side
-    // partial combine and the equi-join gets AQE skew-splitting — the
-    // dedupLinesCorpus discipline applied to the gram grain
-    val dupGrams = grams.groupBy("g")
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
-    val dup = grams.join(dupGrams, "g").select(idCol, "p")
+    // duplicated-gram marking: co-locate + sort occurrences by g, then a
+    // streaming one-lookahead scan — a row's gram is duplicated iff it
+    // equals a sorted NEIGHBOR's. ONE exchange of the gram table, the
+    // external sorter spills, O(1) task memory at ANY key skew (the
+    // OrderedFold shape). The two rejected designs both pay more: a
+    // Window.partitionBy(g) count buffers a hot banner gram's hundreds of
+    // millions of rows in one window group, and the dup-gram aggregate +
+    // marking join (the r10 first cut) runs the corpus-wide gram digest
+    // or its materialization through TWO more big exchanges — measured
+    // 3.2 s -> 12 s warm at sf0.1.
+    val gramSchema = grams.schema
+    val gIdx = gramSchema.fieldIndex("g")
+    val dup = grams.repartition(col("g")).sortWithinPartitions("g")
+      .mapPartitions { it =>
+        val b = it.buffered
+        new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+          private var prevG: Any = null
+          private var staged: org.apache.spark.sql.Row = _
+          private def fetch(): Unit = {
+            while (staged == null && b.hasNext) {
+              val r = b.next()
+              val g = r.get(gIdx)
+              val nextSame = b.hasNext && b.head.get(gIdx) == g
+              val dupRow = (prevG != null && prevG == g) || nextSame
+              prevG = g
+              if (dupRow) staged = r
+            }
+          }
+          def hasNext: Boolean = { fetch(); staged != null }
+          def next(): org.apache.spark.sql.Row = {
+            fetch()
+            if (staged == null) throw new NoSuchElementException
+            val r = staged; staged = null; r
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(gramSchema))
+      .select(idCol, "p")
     val wDoc = Window.partitionBy(idCol).orderBy("p")
     dup
       .withColumn("prev_end",
