@@ -1,0 +1,106 @@
+package graft.tools
+
+import graft.Tables
+import graft.fold.FoldOption
+import graft.model.Record
+import graft.streaming.{KeyFlowTws, KeyOutput}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Streaming-ingest throughput probe (test scope) — the third leg of the
+  * measured performance story: Bench times the query surface, FlushBench
+  * the state-flush path against the reference's published number, and
+  * this measures the keyed-fold INGEST path — records/second through the
+  * production engine ([[KeyFlowTws]]: transformWithState on RocksDB with
+  * per-microbatch atomic state+offset commit).
+  *
+  * Workload: the sf0.1 `events` table (≈600k records, ≈75k keys) replayed
+  * through MemoryStream in equal microbatches; the fold keeps per-user
+  * (count, exact cent sum) — the reference's canonical counter shape.
+  * Batch 1 pays codegen + state-store init, so the steady-state rate is
+  * reported over batches 2..N alongside per-batch wall times. The feed is
+  * pre-built on the driver before any clock starts.
+  *
+  * The run self-checks: folded counts must total the records fed and the
+  * cent sum must equal the driver-computed truth — a throughput number
+  * from a wrong fold is worthless.
+  *
+  * Usage: sbt "Test/runMain graft.tools.StreamBench [sfDir] [batches]"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batches = args.lift(1).map(_.toInt).getOrElse(6)
+    require(batches >= 2, "need >= 2 batches for a steady-state rate")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2) // offset order, as a log replay would arrive
+    val feed = rows.map { case (user, eventId, cents) =>
+      Record("events", (user % 32).toInt, eventId, new Timestamp(0L), 0,
+        user.toString, cents.toString.getBytes("UTF-8"), Map.empty)
+    }
+    val truthN = rows.length.toLong
+    val truthCents = rows.map(_._3).sum
+
+    val fold = FoldOption.of[(Long, Long), Record] { r =>
+      (1L, new String(r.value, "UTF-8").toLong)
+    } { (st, r) => (st._1 + 1, st._2 + new String(r.value, "UTF-8").toLong) }
+
+    val input = MemoryStream[Record]
+    val q = KeyFlowTws.flow(input.toDS(), fold)
+      .writeStream.format("memory").queryName("streambench")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streambench").toString)
+      .start()
+
+    val per = feed.length / batches
+    val times = (0 until batches).map { i =>
+      val slice =
+        if (i == batches - 1) feed.drop(i * per) else feed.slice(i * per, (i + 1) * per)
+      val t0 = System.nanoTime()
+      input.addData(slice.toSeq)
+      q.processAllAvailable()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"STREAMBENCH batch${i + 1} ${slice.length}%d records in $s%.3f s " +
+        f"(${slice.length / s}%.0f rec/s)")
+      (slice.length, s)
+    }
+
+    val outputs = spark.table("streambench").as[KeyOutput[(Long, Long)]].collect()
+    println(s"STREAMBENCH outputs=${outputs.length} distinct_keys=" +
+      s"${outputs.map(_.key).distinct.length} tombstones=${outputs.count(_.tombstone)}")
+    // .values.toSeq BEFORE mapping to the state tuple: mapping a Map to
+    // tuple2 results re-keys it as a Map and silently collapses equal
+    // states (15 keys read as 13 on the first run of this tool)
+    val finalStates = outputs.groupBy(_.key).values.toSeq
+      .map(outs => outs.maxBy(_.offset).state.get)
+    q.stop()
+    val okN = finalStates.map(_._1).sum == truthN
+    val okC = finalStates.map(_._2).sum == truthCents
+    val steadyRecs = times.drop(1).map(_._1).sum
+    val steadySecs = times.drop(1).map(_._2).sum
+    println(f"STREAMBENCH steady-state ${steadyRecs / steadySecs}%.0f rec/s " +
+      f"over ${batches - 1} batches ($steadyRecs records, $steadySecs%.2f s); " +
+      f"keys=${finalStates.size} fold_check=${okN && okC}")
+    spark.stop()
+    sys.exit(if (okN && okC) 0 else 1)
+  }
+}
