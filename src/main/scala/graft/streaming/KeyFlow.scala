@@ -406,8 +406,16 @@ object KeyFlow {
         var eventBasis = prev.map(_.processedAtMs).getOrElse(Long.MinValue)
         sorted.foreach { e =>
           if (e.record.offset > snapOffset) { // replay dedup guard (P9)
-            val ts = e.record.timestamp.getTime
-            if (current.isDefined && eventBasis != Long.MinValue && ts - eventBasis > retroGapMs) {
+            // null-timestamp records are TIMELESS: they fold (offset order
+            // is the only folding contract — the spill codec and journal
+            // accept null timestamps), but they can neither fire a
+            // retroactive expiry (an unguarded MinValue ts would UNDERFLOW
+            // ts - basis into a spurious huge positive) nor advance the
+            // event-time basis
+            val ts = if (e.record.timestamp == null) Long.MinValue
+              else e.record.timestamp.getTime
+            if (ts != Long.MinValue && current.isDefined &&
+                eventBasis != Long.MinValue && ts - eventBasis > retroGapMs) {
               val ticked = tick.run(current)
               if (config.removeOnIdle || ticked.isEmpty) {
                 // closing state first, then tombstone — see the twin

@@ -93,8 +93,13 @@ class KeyFlowProcessor[S](
     sorted.foreach { e =>
       if (e.record.offset > snapOffset) { // replay dedup guard (P9)
         if (firstFolded == Long.MinValue) firstFolded = e.record.offset
-        val ts = e.record.timestamp.getTime
-        if (current.isDefined && basis != Long.MinValue && ts - basis > retroGapMs) {
+        // null-timestamp records are TIMELESS — fold but never expire or
+        // advance the basis (twin of KeyFlow.update's guard: an unguarded
+        // MinValue ts would underflow the gap check into a spurious fire)
+        val ts = if (e.record.timestamp == null) Long.MinValue
+          else e.record.timestamp.getTime
+        if (ts != Long.MinValue && current.isDefined &&
+            basis != Long.MinValue && ts - basis > retroGapMs) {
           val ticked = tick.run(current)
           if (config.removeOnIdle || ticked.isEmpty) {
             // emit the closing state THEN the tombstone: a state that both

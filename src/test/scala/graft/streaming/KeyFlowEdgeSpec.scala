@@ -104,6 +104,29 @@ class KeyFlowEdgeSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("null-timestamp records fold as TIMELESS rows (no NPE, no basis advance)") {
+    // the journal and the spill codec both accept null timestamps; the
+    // fold loop must too — offset order is the only folding contract, and
+    // before the r10 guard this NPE'd in .getTime even in Clock mode
+    // where the timestamp is semantically unused
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Record]
+    val out = KeyFlow.flow(input.toDS(), countFold)
+    val q = out.writeStream.format("memory").queryName("nullts")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("nullts").toString)
+      .start()
+    input.addData(
+      Record("t", 0, 0, null, 0, "k", Array.empty[Byte], Map.empty),
+      rec("t", "k", 1),
+      Record("t", 0, 2, null, 0, "k", Array.empty[Byte], Map.empty))
+    q.processAllAvailable()
+    val fin = spark.table("nullts").as[KeyOutput[Long]].collect().maxBy(_.offset)
+    q.stop()
+    assert(fin.state == Some(3L) && fin.offset == 2L && !fin.tombstone)
+  }
+
   test("poison records recover through handleErrorWith without killing the query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
