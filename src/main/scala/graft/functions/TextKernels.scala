@@ -310,20 +310,28 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
-  /** Adjacent element pairs of a string array, each joined by `sep` —
-    * the [[AdjacentJoin]] kernel. Pairs touching a null slot are skipped
-    * (token arrays are containsNull=false in every declared path; the
-    * guard covers arbitrary SQL callers). */
+  /** Adjacent `width`-grams of a string array, each joined by `sep` —
+    * the [[AdjacentJoin]] kernel (width 2 = the bigram builder; width 3
+    * feeds the BPE batcher's created-pair bounds). Windows touching a
+    * null slot are skipped (token arrays are containsNull=false in every
+    * declared path; the guard covers arbitrary SQL callers). */
   def adjacentJoin(a: org.apache.spark.sql.catalyst.util.ArrayData,
-                   sep: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+                   sep: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = a.numElements()
-    if (n < 2)
+    if (n < width)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
-    val out = new java.util.ArrayList[Any](n - 1)
+    val out = new java.util.ArrayList[Any](n - width + 1)
     var i = 0
-    while (i < n - 1) {
-      if (!a.isNullAt(i) && !a.isNullAt(i + 1))
-        out.add(UTF8String.concat(a.getUTF8String(i), sep, a.getUTF8String(i + 1)))
+    while (i <= n - width) {
+      var ok = true
+      var j = 0
+      while (ok && j < width) { if (a.isNullAt(i + j)) ok = false; j += 1 }
+      if (ok) {
+        var acc = a.getUTF8String(i)
+        j = 1
+        while (j < width) { acc = UTF8String.concat(acc, sep, a.getUTF8String(i + j)); j += 1 }
+        out.add(acc)
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
@@ -459,14 +467,16 @@ object MergePair {
     ColumnBridge.column(MergePair(ColumnBridge.expression(arr), left, right))
 }
 
-/** `adjacent_join(arr, sep)` → `array<string>` of each adjacent element
-  * pair joined by `sep` — the bigram builder: adjacent-pair enumeration as
-  * a codegen'd projection instead of an interpreted `zip_with`/`transform`
-  * (this runs inside the corpus scan, where the HOF ban applies) or a
-  * lead()-window (which would shuffle the corpus). Null elements produce
-  * no pair. */
-case class AdjacentJoin(child: Expression, sep: String)
+/** `adjacent_join(arr, sep[, width])` → `array<string>` of each adjacent
+  * `width`-gram joined by `sep` (default width 2: the bigram builder) —
+  * adjacent-window enumeration as a codegen'd projection instead of an
+  * interpreted `zip_with`/`transform` (this runs inside the corpus scan,
+  * where the HOF ban applies) or a lead()-window (which would shuffle the
+  * corpus). Null elements produce no window. */
+case class AdjacentJoin(child: Expression, sep: String, width: Int = 2)
   extends UnaryExpression with ExpectsInputTypes {
+
+  require(width >= 2, s"width must be >= 2, got $width")
 
   override def inputTypes =
     Seq(org.apache.spark.sql.types.ArrayType(StringType))
@@ -477,13 +487,13 @@ case class AdjacentJoin(child: Expression, sep: String)
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.adjacentJoin(
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      UTF8String.fromString(sep))
+      UTF8String.fromString(sep), width)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sepRef = ctx.addReferenceObj("sep", UTF8String.fromString(sep),
       "org.apache.spark.unsafe.types.UTF8String")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextKernels.adjacentJoin($c, $sepRef)")
+      c => s"graft.functions.TextKernels.adjacentJoin($c, $sepRef, $width)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): AdjacentJoin =
@@ -494,4 +504,7 @@ object AdjacentJoin {
   /** Column wrapper. */
   def apply(arr: Column, sep: String): Column =
     ColumnBridge.column(AdjacentJoin(ColumnBridge.expression(arr), sep))
+  /** Column wrapper, explicit window width. */
+  def apply(arr: Column, sep: String, width: Int): Column =
+    ColumnBridge.column(AdjacentJoin(ColumnBridge.expression(arr), sep, width))
 }

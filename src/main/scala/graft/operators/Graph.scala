@@ -96,14 +96,21 @@ object Graph {
     // no explicit unpersist: `tri` is lazy and its truncated lineage READS
     // the checkpointed blocks — they are reclaimed when the caller drops
     // the returned plan (the Ingest.withRejects discipline)
+    // Middle vertex = the one that is neither least nor greatest. A
+    // when/otherwise chain, NOT x+y+z-least-greatest: the sum trick
+    // overflows Long for ids near 2^62, and ids are caller-arbitrary
+    // (often hashes). Triangle vertices are pairwise distinct by
+    // construction (oriented simple graph), so the chain is total.
+    val lo = least(col("x"), col("y"), col("z"))
+    val hi = greatest(col("x"), col("y"), col("z"))
     wedge.join(oriented.as("e3"),
         col("e3.src") === col("y") && col("e3.dst") === col("z"), "left_semi")
       .select(
-        least(col("x"), col("y"), col("z")).as("a"),
-        (col("x") + col("y") + col("z")
-          - least(col("x"), col("y"), col("z"))
-          - greatest(col("x"), col("y"), col("z"))).as("b"),
-        greatest(col("x"), col("y"), col("z")).as("c"))
+        lo.as("a"),
+        when(col("x") =!= lo && col("x") =!= hi, col("x"))
+          .when(col("y") =!= lo && col("y") =!= hi, col("y"))
+          .otherwise(col("z")).as("b"),
+        hi.as("c"))
   }
 
   def pageRank(

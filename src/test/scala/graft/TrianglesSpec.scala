@@ -60,6 +60,15 @@ class TrianglesSpec extends SparkTestBase {
     assert(run(edges) == expect)
   }
 
+  test("ids near 2^62 do not overflow the middle-vertex selection") {
+    // regression (r10 ADVICE): the middle vertex used to be computed as
+    // x+y+z-least-greatest, which overflows Long for large ids (hashed
+    // node ids routinely land here). Sum of these three ids ≈ 3*2^62 > 2^63.
+    val base = (1L << 62) + 5L
+    val (a, b, c) = (base, base + 1L, base + 2L)
+    assert(run(Seq((b, a), (b, c), (a, c))) == Set((a, b, c)))
+  }
+
   test("hub-heavy skewed graph matches brute force") {
     // two hubs wired to every rim node + a rim cycle: the id-oriented
     // wedge set at the hubs is quadratic, the degree-oriented one linear —

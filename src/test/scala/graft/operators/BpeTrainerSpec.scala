@@ -116,6 +116,45 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(learned(texts, 220, maxVocabRows = 0L) == driver)
   }
 
+  test("batched fallback equals reference on random small-alphabet corpora") {
+    // tiny alphabets force the batcher's hard cases: symbol remints (the
+    // same merged string minted from different splits), exact count ties,
+    // created pairs overtaking, self-adjacent pairs (a,a). Five seeded
+    // draws, each checked against the independent sequential reference.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(120)(
+        (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val texts = words.grouped(12).map(_.mkString(" ")).toSeq
+      assert(learned(texts, 60, maxVocabRows = 0L) == reference(texts, 60),
+        s"divergence at seed $seed")
+    }
+  }
+
+  test("remint-heavy single-letter corpus: batched fallback stays exact") {
+    // words of a single repeated letter: every merge re-mints runs of 'a'
+    // ("aa" from (a,a), "aaaa" from (aa,aa), "aaa" from (aa,a)/(a,aa) —
+    // the same symbol string from DIFFERENT splits), all counts tie-laden.
+    // This is the corpus shape that punishes any unsound batch rule.
+    val texts = Seq.tabulate(24)(i => "a" * (1 + i % 9)).grouped(6)
+      .map(_.mkString(" ")).toSeq
+    assert(learned(texts, 20, maxVocabRows = 0L) == reference(texts, 20))
+  }
+
+  test("fallback batches multiple merges per counting job") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(400)(
+      (0 until (5 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString)
+    val texts = words.grouped(40)
+      .map(g => g.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w)).mkString(" "))
+      .toSeq
+    val got = learned(texts, 200, maxVocabRows = 0L)
+    assert(got == reference(texts, 200))
+    val rounds = BpeTrainer.lastDistributedRounds
+    assert(rounds > 0 && rounds < got.size,
+      s"expected fewer counting jobs than merges, got $rounds jobs for ${got.size} merges")
+  }
+
   test("merge list is deterministic and respects the tie rule") {
     val texts = Seq("ab ab", "cd cd") // (a,b) and (c,d) tie at 2 -> smaller joined pair wins
     val l = learned(texts, 2)

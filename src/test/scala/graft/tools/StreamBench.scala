@@ -17,12 +17,15 @@ import java.sql.Timestamp
   * production engine ([[KeyFlowTws]]: transformWithState on RocksDB with
   * per-microbatch atomic state+offset commit).
   *
-  * Workload: the sf0.1 `events` table (≈600k records, ≈75k keys) replayed
+  * Workload: the sf0.1 `events` table (100,000 records, ~1,500 keys —
+  * verified against the corpus; see tools/bench_history.md r10) replayed
   * through MemoryStream in equal microbatches; the fold keeps per-user
   * (count, exact cent sum) — the reference's canonical counter shape.
   * Batch 1 pays codegen + state-store init, so the steady-state rate is
-  * reported over batches 2..N alongside per-batch wall times. The feed is
-  * pre-built on the driver before any clock starts.
+  * reported over batches 2..N alongside per-batch wall times — as the
+  * MEDIAN per-batch rate with its spread (r10's single-sum design hid a
+  * 10x tail batch inside the average). The feed is pre-built on the
+  * driver before any clock starts.
   *
   * The run self-checks: folded counts must total the records fed and the
   * cent sum must equal the driver-computed truth — a throughput number
@@ -100,9 +103,20 @@ object StreamBench {
     q.stop()
     val okN = finalStates.map(_._1).sum == truthN
     val okC = finalStates.map(_._2).sum == truthCents
-    val steadyRecs = times.drop(1).map(_._1).sum
-    val steadySecs = times.drop(1).map(_._2).sum
-    println(f"STREAMBENCH steady-state ${steadyRecs / steadySecs}%.0f rec/s " +
+    val steady = times.drop(1)
+    val steadyRecs = steady.map(_._1).sum
+    val steadySecs = steady.map(_._2).sum
+    // median + spread over the steady batches: one slow batch (GC, RocksDB
+    // compaction, host pressure) must be VISIBLE, not averaged away. Spread
+    // = (max-min)/median of the per-batch rates; the committed number is
+    // the median rate, believed only when spread <= ~20%.
+    val rates = steady.map { case (n, s) => n / s }.sorted
+    val median =
+      if (rates.size % 2 == 1) rates(rates.size / 2)
+      else (rates(rates.size / 2 - 1) + rates(rates.size / 2)) / 2.0
+    val spread = (rates.last - rates.head) / median
+    println(f"STREAMBENCH steady-state mean ${steadyRecs / steadySecs}%.0f rec/s, " +
+      f"median ${median}%.0f rec/s, spread ${spread * 100}%.0f%% " +
       f"over ${batches - 1} batches ($steadyRecs records, $steadySecs%.2f s); " +
       f"keys=${finalStates.size} fold_check=${okN && okC}")
     spark.stop()

@@ -84,14 +84,21 @@ def main():
             sys.exit(2)
         with open(BENCH_FULL) as f:
             full = json.load(f)
+        # r11+ BENCH_FULL carries {cold, warm_best, warm_spread} per query
+        # ("basis":"warm_best_of_2", value = warm total); pre-r11 files had
+        # {cold, warm} with value = cold total. Read both so old rounds stay
+        # comparable — the per-query warm column is best-of-2 from r11 on.
+        new_basis = full.get("basis") == "warm_best_of_2"
         entry = {
             "label": label,
             "sf": full.get("sf"),
-            "cold_total": round(full["value"], 3),
+            "basis": full.get("basis", "warm_single"),
+            "cold_total": round(full["cold_total"] if new_basis else full["value"], 3),
             "warm_total": round(full["warm_total"], 3),
             "errors": full.get("errors", 0),
             "failed": full.get("failed", []),
-            "queries": {k: round(v["warm"], 3) for k, v in full["queries"].items()},
+            "queries": {k: round(v.get("warm_best", v.get("warm")), 3)
+                        for k, v in full["queries"].items()},
         }
         history = [e for e in history if e["label"] != label] + [entry]
         with open(HISTORY, "w") as f:
