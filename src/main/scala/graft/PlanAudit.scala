@@ -202,6 +202,9 @@ object PlanAudit {
     // is a 12-row parallelize), and the ngram demo is the documented
     // quadratic oracle check — both are shape-pinned by their specs
     // (BpeTrainerSpec / PipelineOpsSpec) instead.
+    check("q_dedup_ngram_auto", "Auto route: cool-block exact pairs UNION hot-block LSH-verified pairs, equi-joins only, never nested-loop")(p =>
+      p.contains("Union") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     check("q_html_extract", "HTML extraction is a pure chained-regex projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
     check("q_filter_report", "filter cascade = one kernel projection, count agg + source-share window, <=2 shuffles")(p =>
@@ -341,13 +344,31 @@ object PlanAudit {
     check("q_skew_report", "skew report: partial agg on the slim key, 1-row total broadcast, bounded top-20")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("HashAggregate") &&
         !p.contains("ScalaUDF"))
-    check("q_substring_dup", "span dedup is corpus-LINEAR: dup grams marked by the ONE-exchange sorted neighbor scan (external sort, O(1) memory at any gram skew — never a gram window, never a second gram exchange) + doc interval-merge windows, never pairwise, no UDF")(p =>
+    check("q_substring_dup", "span dedup downstream: dup positions arrive via the lifted UnsafeRow scan (ExistingRDD), doc interval-merge windows only, never pairwise, no UDF")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("ScalaUDF") && p.contains("MapPartitions") &&
-        "Exchange hashpartitioning".r.findAllIn(p).size <= 3)
-    check("q_substring_dup_fast", "span dedup production path: gram_digests kernel projection (no substring/md5), 8-byte shuffle key")(p =>
-      p.contains("gram_digests") && !p.contains("md5") &&
-        !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+        !p.contains("ScalaUDF") && p.contains("Scan ExistingRDD") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+    check("q_substring_dup_fast", "span dedup production downstream: same lifted-scan shape, no UDF, never pairwise")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("ScalaUDF") && p.contains("Scan ExistingRDD") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+    // the r11 UnsafeRow lift hides the gram half from the final explain;
+    // audit the exposed spanGramScan subplan directly so the kernel
+    // projection and the single gram exchange stay pinned
+    locally {
+      def gramPlan(exact: Boolean): String =
+        graft.operators.TextAnalysis.spanGramScan(
+          Tables(spark, dir, "documents"), "doc_id", "text", 50, exact)
+          .queryExecution.executedPlan.toString
+      val pe = gramPlan(exact = true)
+      println(f"AUDIT ${if (pe.contains("md5") &&
+          "Exchange hashpartitioning".r.findAllIn(pe).size == 1 &&
+          !pe.contains("ScalaUDF")) "PASS" else "FAIL"}%-4s q_substring_dup    gram subplan: md5 digest projection, exactly ONE gram exchange, external sort below the scan, no UDF")
+      val pf = gramPlan(exact = false)
+      println(f"AUDIT ${if (pf.contains("gram_digests") && !pf.contains("md5") &&
+          "Exchange hashpartitioning".r.findAllIn(pf).size == 1 &&
+          !pf.contains("ScalaUDF")) "PASS" else "FAIL"}%-4s q_substring_dup_fast gram subplan: gram_digests kernel projection (no substring/md5, 8-byte key), exactly ONE gram exchange, no UDF")
+    }
     check("q_media_quality", "corrupt-rate report: all three parsers + truncation in one map-side projection; no UDF, no hash shuffle below the 4-row agg")(p =>
       !p.contains("ScalaUDF") &&
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1)

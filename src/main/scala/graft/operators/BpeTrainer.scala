@@ -188,12 +188,6 @@ object BpeTrainer {
     out.result()
   }
 
-  /** Per-round collected window for the batched fallback: the top-M pairs
-    * by (count desc, pair asc) with their created-pair bounds — a bounded
-    * driver gather (M rows of two short strings + two longs), and the
-    * ceiling on how many merges one round can emit. */
-  val BatchWindow = 256
-
   /** Rounds (= Spark count-jobs) the last [[distributedMergeLoop]] run
     * took — the merges-per-job measurement hook for the scale harness.
     * Driver-side only, set at loop exit; not thread-safe by design (the
@@ -208,174 +202,322 @@ object BpeTrainer {
   /** Driver-side stop-reason tracing for the batched fallback (stderr). */
   private def debug: Boolean = sys.env.get("GRAFT_BPE_DEBUG").contains("1")
 
-  /** Above-cap route: BATCHED merge rounds. One Spark counting job per
-    * round emits up to [[BatchWindow]] merges, provably identical to the
-    * one-merge-at-a-time greedy sequence (which is what the driver loop
-    * runs and BpeTrainerSpec pins). Per round:
+  /** Speculation depth per round: how many merges one counting job tries
+    * to confirm. Bounded driver work (the verify walk is over the
+    * collected window) and bounded kernel work (each word replays at most
+    * this many merges per scan). */
+  val SpecDepth = 48
+
+  /** Per-round collected rows: all delta rows (sorted first) plus the top
+    * of the base pair/triple table — a bounded driver gather; the last
+    * collected base count is the completeness horizon below which nothing
+    * is assumed. */
+  val CollectLimit = 160000
+
+  /** Rewrite the stored vocabulary once this many confirmed merges are
+    * pending (the kernel replays pending merges per scan until then, so
+    * rewriting rarely keeps rounds at ~1 action each). */
+  val RewritePendingCap = 64
+
+  /** Above-cap route: SPECULATE-VERIFY merge rounds — optimistic
+    * execution with exact verification, so the learned sequence is
+    * provably the one-merge-at-a-time greedy sequence (what
+    * [[driverMergeLoop]] runs and BpeTrainerSpec pins against an
+    * independent reference) while one Spark job confirms MANY merges.
     *
-    *   1. ONE action computes, over the current vocab, (a) every adjacent
-    *      pair's count and (b) every pair's *created-pair bound* — the max
-    *      count over the adjacent TRIPLES containing it (`x a b` / `a b y`,
-    *      via the width-3 [[graft.functions.AdjacentJoin]]). Merging (a,b)
-    *      can only create pairs involving the merged symbol m=a+b, and
-    *      every occurrence of such a pair ((x,m), (m,y), or (m,m)) maps to
-    *      a distinct pre-merge triple occurrence, so the bound dominates
-    *      every pair the merge can create. Top-M rows collected.
-    *   2. The driver accepts the longest PREFIX `p1..pk` of that
-    *      (count desc, pair asc) order such that each accepted pair is
-    *      symbol-disjoint from all earlier accepted ones (its {a, b} avoid
-    *      every earlier {a_i, b_i, m_i}, and its m is not an earlier
-    *      symbol either — two merges minting the SAME symbol would add
-    *      their created counts) and its count STRICTLY exceeds every
-    *      earlier accepted pair's created-pair bound. One more guard: if
-    *      an accepted merge re-mints a symbol an EARLIER ROUND already
-    *      created (driver-tracked mint set), pairs involving that symbol
-    *      may pre-exist BELOW the window and grow by up to the triple
-    *      bound — unboundable against later batch members — so such a
-    *      merge is accepted but CLOSES its batch. Original symbols are
-    *      single code points while every m is at least two, so a fresh m
-    *      can only collide with a previous round's mint, never with the
-    *      seed alphabet.
-    *   3. The batch is applied youngest-rank-innermost as nested
-    *      [[graft.functions.MergePair]] kernels in one projection — the
-    *      exact sequential application order within each word.
+    * Per round, ONE counting job evaluates [[graft.functions.BpeSpeculate]]
+    * over every word: it applies the already-confirmed-but-unwritten
+    * `pending` merges, emits the exact step-0 pair/triple bag of the
+    * current state, then replays up to [[SpecDepth]] SPECULATED merges
+    * (the driver's heuristic guess), emitting the exact pair-count delta
+    * after each step. The aggregation of those rows gives the driver the
+    * exact global count table after EVERY speculated prefix. The driver
+    * then verifies: walking steps in order, the true greedy argmax
+    * (count desc, then pair-string asc in UTF-8 order — Spark's string
+    * sort) must equal the speculated merge; the walk stops at the first
+    * mismatch (the true argmax is then KNOWN exactly and seeds the next
+    * round's speculation, so every round makes progress) or at the first
+    * unprovable comparison:
     *
-    * Why this equals the sequential greedy argmax sequence: at sequential
-    * round i ≤ k, pairs untouched by merges 1..i-1 keep their counts and
-    * are dominated by p_i (same order, same tie-break, and the batch is a
-    * contiguous prefix so nothing between p_1 and p_i was skipped); pairs
-    * sharing a symbol with an earlier merge only LOSE occurrences (a
-    * non-created pair contains no m_j, so nothing can mint new occurrences
-    * of it); and created pairs are capped by the bounds, each strictly
-    * below c_i. The first rejection ends the batch — the next round
-    * recounts from scratch, so nothing is assumed about rejected pairs.
+    *   - the candidate argmax count must strictly exceed the collection
+    *     horizon (pairs below the collected window could tie otherwise);
+    *   - a delta-touched pair that was NOT in the base window has unknown
+    *     base count unless one of its symbols was minted by a confirmed
+    *     step of THIS round and never minted before (then base = 0 — a
+    *     pair over a nonexistent symbol cannot pre-exist; original symbols
+    *     are single code points, every mint is at least two, so only a
+    *     re-mint of a previous round's symbol is ambiguous). Such unknown-
+    *     base pairs carry a conservative upper bound (horizon + positive
+    *     deltas) and stop the walk if that bound could beat or tie-beat
+    *     the candidate.
     *
-    * Batch sizes are corpus-dependent (contiguous low-context-overlap runs
-    * of the count curve batch well; a steep head with concentrated
-    * contexts batches as 1, which is the old per-merge behavior at the old
-    * cost — measured 1.6-3 merges/counting-job on the synthetic corpora,
-    * whose templated text is saturated with exact count ties).
+    * Mis-speculation costs nothing: deltas beyond the confirmed prefix
+    * are discarded and the stored vocabulary is only ever rewritten with
+    * CONFIRMED merges (same greedy kernel, youngest rank innermost), so
+    * no rollback is needed — each round re-derives the base table from
+    * the actual data, and a speculation bug can only reduce throughput,
+    * never change results.
     *
-    * The second, usually dominant accelerator is SHRINK-THEN-RECOLLECT:
-    * every round drops word types that merged to a single symbol, so an
-    * above-cap corpus shrinks as its frequent head fully merges; the
-    * moment the active set fits `maxVocabRows`, it is collected and the
-    * exact [[driverMergeLoop]] finishes the remaining merges with zero
-    * jobs per merge (rank-offset continuation — the in-memory loop is
-    * state-based, so starting it from the partially-merged vocabulary is
-    * the same sequential computation). Measured on the sf0.1 documents
-    * corpus forced above-cap: see SCALING.md §BPE. */
+    * Speculation quality: the driver simulates greedy from the verified
+    * end-state using the collected pair window plus the base TRIPLE
+    * window (merging (a,b) destroys (x,a) by the (x,a,b) triple count and
+    * creates (x, ab); symmetrically on the right), which predicts the
+    * true order well until counts approach the horizon. If two
+    * consecutive rounds confirm nothing (degenerate windows — e.g. every
+    * count equal at the horizon), a plain exact top-1 round guarantees
+    * progress.
+    *
+    * The second accelerator is SHRINK-THEN-RECOLLECT: every rewrite drops
+    * word types that merged to a single symbol, so an above-cap corpus
+    * shrinks as its frequent head fully merges; the moment the active set
+    * fits `maxVocabRows`, it is collected and the exact [[driverMergeLoop]]
+    * finishes the remaining merges with zero jobs per merge (rank-offset
+    * continuation). Measured merges/job: see SCALING.md §BPE. */
   private def distributedMergeLoop(vocab0: DataFrame, numMerges: Int,
       maxVocabRows: Long = 0L): Seq[(Int, String, String, String, Long)] = {
     var vocab = vocab0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    val minted = mutable.Set[String]()
+    val mintedEver = mutable.Set[String]()
+    val pending = mutable.ArrayBuffer[(String, String)]()
+    var spec: Seq[(String, String)] = Nil
     var rank = 1
     var rounds = 0
     var actions = 0
+    var zeroStreak = 0
     var exhausted = false
+
+    // apply `ms` in rank order via nested greedy kernels, drop fully
+    // merged words, materialize (chunked so no single projection nests
+    // more than 16 kernel calls)
+    def rewrite(ms: Seq[(String, String)]): Unit = {
+      if (ms.isEmpty) return
+      val next0 = ms.grouped(16).foldLeft(vocab) { (d, chunk) =>
+        d.select(chunk.foldLeft(col("sym")) { case (e, (a, b)) =>
+          graft.functions.MergePair(e, a, b)
+        }.as("sym"), col("n"))
+      }
+      val next = next0.filter(size(col("sym")) > 1).localCheckpoint(true)
+      actions += 1
+      vocab.unpersist()
+      vocab = next
+    }
+
     while (rank <= numMerges && !exhausted) {
-      // (a) pair counts and (b) triple-derived bounds in ONE aggregation:
-      // union the pair candidates (c = n, bound = 0) with the pre-combined
-      // triple windows re-keyed to their two sub-pairs (c = 0, bound = tc),
-      // then one groupBy(pair) does sum(c) + max(bound). Symbols never
-      // contain Sep, so substring_index recovers the sub-pairs exactly.
-      val pairCand = vocab.select(
-        explode(graft.functions.AdjacentJoin(col("sym"), Sep)).as("pair"),
-        col("n").as("c"), lit(0L).as("tc"))
-      val tripleCand = vocab.select(
-          explode(graft.functions.AdjacentJoin(col("sym"), Sep, 3)).as("t"),
-          col("n"))
-        .groupBy("t").agg(sum(col("n")).as("tc"))
-        .select(explode(array(
-            substring_index(col("t"), Sep, 2),
-            substring_index(col("t"), Sep, -2))).as("pair"),
-          lit(0L).as("c"), col("tc"))
-      val top = pairCand.union(tripleCand)
-        .groupBy("pair").agg(sum(col("c")).as("c"), max(col("tc")).as("bound"))
-        .orderBy(col("c").desc, col("pair"))
-        .limit(BatchWindow)
+      val depth = math.min(SpecDepth, numMerges - rank + 1)
+      val specNow = spec.take(depth)
+      val rows = vocab
+        .select(explode(graft.functions.BpeSpeculate(
+          col("sym"), col("n"), pending.toSeq, specNow, emitTriples = true)).as("e"))
+        .select(col("e.step").as("step"), col("e.key").as("key"), col("e.v").as("v"))
+        .groupBy("step", "key").agg(sum(col("v")).as("v"))
+        // deltas first (they must be complete), then the base table by
+        // count: the limit auto-tops the base and the tail row defines
+        // the horizon
+        .orderBy(when(col("step") > 0, 0).otherwise(1), col("v").desc, col("key"))
+        .limit(CollectLimit)
         .collect()
       rounds += 1
       actions += 1
-      if (top.isEmpty) exhausted = true
-      else {
-        val used = mutable.Set[String]()
-        var maxBound = 0L
-        val batch = mutable.ArrayBuffer[(String, String, Long)]()
-        var open = true
-        var i = 0
-        while (open && i < top.length && rank + batch.size <= numMerges) {
-          val Array(a, b) = top(i).getString(0).split(Sep, 2)
-          val c = top(i).getLong(1)
-          val bound = top(i).getLong(2)
-          val m = a + b
-          if (batch.isEmpty ||
-              (!used(a) && !used(b) && !used(m) && c > maxBound)) {
-            batch += ((a, b, c))
-            used += a; used += b; used += m
-            maxBound = math.max(maxBound, bound)
-            i += 1
-            // re-minting a symbol from an earlier round: pairs involving
-            // it may pre-exist below the window and GROW — the triple
-            // bound covers only created occurrences, so nothing after
-            // this merge can be proven safe this round
-            if (minted(m)) {
-              open = false
-              if (debug) System.err.println(s"[bpe] round stop: remint $m after ${batch.size}")
+
+      val (deltaRows, baseRows) = rows.partition(_.getInt(0) > 0)
+      if (deltaRows.nonEmpty && baseRows.isEmpty) {
+        // delta overflow crowded out the base table entirely: retry the
+        // round unspeculated (base-only; cannot recurse — no deltas)
+        spec = Nil
+        if (debug) System.err.println(s"[bpe] round $rounds: delta overflow, retrying base-only")
+      } else if (baseRows.isEmpty) {
+        // no pairs at all: flush pending and stop
+        exhausted = true
+      } else {
+        val cut = rows.length == CollectLimit
+        val horizon = if (cut) baseRows.last.getLong(2) else 0L
+        val basePairs = mutable.LinkedHashMap[String, Long]()
+        val baseTriples = mutable.HashMap[String, Long]()
+        baseRows.foreach { r =>
+          val k = r.getString(1)
+          var seps = 0
+          var i = 0
+          while (i < k.length) { if (k.charAt(i) == Sep.charAt(0)) seps += 1; i += 1 }
+          if (seps == 1) basePairs(k) = r.getLong(2) else baseTriples(k) = r.getLong(2)
+        }
+        val deltasByStep = deltaRows.groupBy(_.getInt(0))
+          .map { case (s, rs) => s -> rs.map(r => (r.getString(1), r.getLong(2))) }
+
+        // ---- exact verification walk ----
+        val exact = mutable.HashMap[String, Long]() ++= basePairs
+        val cons = mutable.HashMap[String, Long]() // unknown-base upper bounds
+        val fresh = mutable.Set[String]()
+        val confirmed = mutable.ArrayBuffer[(String, String, Long)]()
+        var knownNext: Option[(String, String)] = None
+        var walking = specNow.nonEmpty
+        var k = 1
+        while (walking && k <= specNow.length) {
+          // argmax over exact counts (count desc, key UTF-8 asc)
+          var amKey: String = null
+          var amC = Long.MinValue
+          exact.foreach { case (key, c) =>
+            if (c > amC || (c == amC && amKey != null && utf8Compare(key, amKey) < 0)) {
+              amKey = key; amC = c
             }
+          }
+          val consThreat = amKey == null || cons.exists { case (ck, cu) =>
+            cu > amC || (cu == amC && utf8Compare(ck, amKey) < 0)
+          }
+          if (amKey == null || amC <= horizon || consThreat) {
+            walking = false
+            if (debug) System.err.println(
+              s"[bpe] verify stop at step $k: horizon/conservative guard (amC=$amC horizon=$horizon)")
           } else {
-            open = false // prefix contiguity: stop, never skip
-            if (debug) {
-              val why =
-                if (used(a) || used(b) || used(m)) s"conflict ($a,$b)"
-                else s"bound c=$c <= maxBound=$maxBound at ($a,$b)"
-              System.err.println(s"[bpe] round stop: $why after ${batch.size}")
+            val Array(a, b) = amKey.split(Sep, 2)
+            if ((a, b) != specNow(k - 1)) {
+              knownNext = Some((a, b))
+              walking = false
+              if (debug) System.err.println(
+                s"[bpe] mis-speculation at step $k: true argmax ($a,$b) != ${specNow(k - 1)}")
+            } else {
+              confirmed += ((a, b, amC))
+              val m = a + b
+              if (!mintedEver(m)) fresh += m
+              deltasByStep.getOrElse(k, Array.empty).foreach { case (dk, dv) =>
+                val si = dk.indexOf(Sep)
+                if (dk.indexOf(Sep, si + 1) >= 0) {
+                  // triple delta: keeps the SIM's triple view current
+                  // through the confirmed prefix (no role in verification)
+                  baseTriples(dk) = baseTriples.getOrElse(dk, 0L) + dv
+                } else if (exact.contains(dk)) exact(dk) += dv
+                else if (cons.contains(dk)) cons(dk) += dv
+                else {
+                  val l = dk.substring(0, si); val r = dk.substring(si + 1)
+                  if (fresh(l) || fresh(r)) exact(dk) = dv
+                  else cons(dk) = horizon + dv
+                }
+              }
+              k += 1
             }
           }
         }
-        batch.foreach { case (a, b, c) =>
-          merges += ((rank, a, b, a + b, c)); rank += 1; minted += (a + b)
+
+        confirmed.foreach { case (a, b, c) =>
+          merges += ((rank, a, b, a + b, c))
+          pending += ((a, b))
+          mintedEver += (a + b)
+          rank += 1
         }
-        // youngest rank innermost: foldLeft nests rank order inside-out,
-        // which IS the sequential per-word application order
-        val applied = batch.foldLeft(col("sym")) { case (e, (a, b, _)) =>
-          graft.functions.MergePair(e, a, b)
-        }
-        // fully-merged words (single symbol) contribute no pairs or
-        // triples ever again — dropping them shrinks later rounds
-        val next = vocab
-          .select(applied.as("sym"), col("n"))
-          .filter(size(col("sym")) > 1)
-          .localCheckpoint(true)
-        vocab.unpersist()
-        vocab = next
-        // shrink-then-recollect: fully-merged word types leave the active
-        // set every round, so an above-cap corpus can FALL UNDER the cap
-        // mid-training — from there the exact in-memory driver loop
-        // finishes the remaining merges with zero jobs per merge. The
-        // count is a cached-scan action on the just-checkpointed frame
-        // (cheap, and honestly tallied in `actions`).
-        if (rank <= numMerges && maxVocabRows > 0) {
-          val active = vocab.count()
+        if (debug) System.err.println(
+          s"[bpe] round $rounds: confirmed ${confirmed.size}/${specNow.length} " +
+            s"(pending ${pending.size}, horizon $horizon)")
+
+        if (confirmed.isEmpty && specNow.nonEmpty) zeroStreak += 1 else zeroStreak = 0
+        if (zeroStreak >= 2 && rank <= numMerges) {
+          // degenerate window (e.g. everything ties at the horizon): one
+          // plain exact top-1 merge guarantees progress
+          rewrite(pending.toSeq); pending.clear()
+          val top = vocab
+            .select(explode(graft.functions.AdjacentJoin(col("sym"), Sep)).as("pair"), col("n"))
+            .groupBy("pair").agg(sum(col("n")).as("c"))
+            .orderBy(col("c").desc, col("pair")).limit(1).collect()
+          rounds += 1
           actions += 1
-          if (active <= maxVocabRows) {
-            val words = vocab.collect().map { r =>
-              (r.getSeq[String](0).toArray, r.getLong(1))
+          zeroStreak = 0
+          if (top.isEmpty) exhausted = true
+          else {
+            val Array(a, b) = top(0).getString(0).split(Sep, 2)
+            merges += ((rank, a, b, a + b, top(0).getLong(1)))
+            pending += ((a, b))
+            mintedEver += (a + b)
+            rank += 1
+          }
+          spec = Nil
+        } else if (!exhausted) {
+          // ---- next round's speculation: heuristic greedy simulation on
+          // the verified end-state counts + (stale) base triples ----
+          spec = simulate(exact, baseTriples, horizon, knownNext)
+        }
+
+        // rewrite + shrink check when enough merges are pending (or the
+        // run is ending)
+        if (pending.size >= RewritePendingCap || rank > numMerges || exhausted) {
+          rewrite(pending.toSeq); pending.clear()
+          if (maxVocabRows > 0 && rank <= numMerges && !exhausted) {
+            val active = vocab.count()
+            actions += 1
+            if (active <= maxVocabRows) {
+              val words = vocab.collect().map { r =>
+                (r.getSeq[String](0).toArray, r.getLong(1))
+              }
+              vocab.unpersist()
+              merges ++= driverMergeLoop(words, numMerges - rank + 1, rank)
+              lastDistributedRounds = rounds
+              lastDistributedActions = actions
+              return merges.result()
             }
-            vocab.unpersist()
-            merges ++= driverMergeLoop(words, numMerges - rank + 1, rank)
-            lastDistributedRounds = rounds
-            lastDistributedActions = actions
-            return merges.result()
           }
         }
       }
     }
+    rewrite(pending.toSeq)
     vocab.unpersist()
     lastDistributedRounds = rounds
     lastDistributedActions = actions
     merges.result()
+  }
+
+  /** Heuristic greedy simulation for the next round's speculation list —
+    * correctness-free by design (every prediction is re-verified against
+    * fresh data): repeatedly pick the argmax from the known-exact counts,
+    * retire it, and apply first-order effects from the base triple window
+    * (destroyed context pairs, created merged-symbol pairs). Stops at the
+    * horizon, where predictions stop being informed. */
+  private def simulate(exactState: mutable.HashMap[String, Long],
+      baseTriples: mutable.HashMap[String, Long], horizon: Long,
+      seed: Option[(String, String)]): Seq[(String, String)] = {
+    val count = mutable.HashMap[String, Long]() ++= exactState
+    // triple indexes: for merge (y,z), triples (x,y,z) destroy (x,y) and
+    // create (x, yz); for merge (x,y), triples (x,y,z) destroy (y,z) and
+    // create (xy, z)
+    val byRight = mutable.HashMap[String, mutable.ArrayBuffer[(String, Long)]]()
+    val byLeft = mutable.HashMap[String, mutable.ArrayBuffer[(String, Long)]]()
+    baseTriples.foreach { case (t, tc) =>
+      val p = t.split(Sep, 3)
+      if (p.length == 3 && tc > 0) {
+        byRight.getOrElseUpdate(p(1) + Sep + p(2), mutable.ArrayBuffer()) += ((p(0), tc))
+        byLeft.getOrElseUpdate(p(0) + Sep + p(1), mutable.ArrayBuffer()) += ((p(2), tc))
+      }
+    }
+    val out = mutable.ArrayBuffer[(String, String)]()
+    var going = true
+    while (going && out.size < SpecDepth) {
+      var amKey: String = null
+      var amC = Long.MinValue
+      count.foreach { case (key, c) =>
+        if (c > amC || (c == amC && amKey != null && utf8Compare(key, amKey) < 0)) {
+          amKey = key; amC = c
+        }
+      }
+      if (amKey == null || amC <= horizon) going = false
+      else {
+        val Array(a, b) = amKey.split(Sep, 2)
+        out += ((a, b))
+        count.remove(amKey)
+        val m = a + b
+        byRight.getOrElse(amKey, mutable.ArrayBuffer()).foreach { case (x, tc) =>
+          val dk = x + Sep + a
+          count.get(dk).foreach(c => count(dk) = math.max(0L, c - tc))
+          count(x + Sep + m) = count.getOrElse(x + Sep + m, 0L) + tc
+        }
+        byLeft.getOrElse(amKey, mutable.ArrayBuffer()).foreach { case (z, tc) =>
+          val dk = b + Sep + z
+          count.get(dk).foreach(c => count(dk) = math.max(0L, c - tc))
+          count(m + Sep + z) = count.getOrElse(m + Sep + z, 0L) + tc
+        }
+      }
+    }
+    // a mis-speculation's known true argmax must lead the list (the sim
+    // reproduces it from the same exact state, but make it structural)
+    seed match {
+      case Some(s) if out.isEmpty || out.head != s => s +: out.toSeq
+      case _ => out.toSeq
+    }
   }
 
   /** Collect a learned merge frame into a runtime [[graft.functions.BpeMergeTable]]

@@ -847,10 +847,16 @@ object TextAnalysis {
     * no md5, an 8-byte shuffle key), same downstream plan; SpanKernelsSpec
     * pins output parity on real data.
     */
-  def duplicateSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                     textCol: String, L: Int,
-                     exact: Boolean = true): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The gram half of [[duplicateSpans]]: per-position L-gram digests
+    * (md5 substring when `exact`, the [[graft.functions.GramDigests]]
+    * xxhash64 kernel otherwise), co-located and sorted by gram — the
+    * subplan the UnsafeRow-level neighbor scan consumes. Exposed so
+    * PlanAudit can pin its shape (kernel projection, exactly one gram
+    * exchange), which the final query's explain no longer shows across
+    * the RDD lift. */
+  def spanGramScan(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, L: Int,
+                   exact: Boolean): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
     val eligible = docs.select(col(idCol), t).filter(length(t) >= L)
     val grams =
@@ -864,6 +870,13 @@ object TextAnalysis {
           .select(col(idCol),
             posexplode(graft.functions.GramDigests(t, L)).as(Seq("p0", "g")))
           .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
+    grams.repartition(col("g")).sortWithinPartitions("g")
+  }
+
+  def duplicateSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, L: Int,
+                     exact: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // duplicated-gram marking: co-locate + sort occurrences by g, then a
     // streaming one-lookahead scan — a row's gram is duplicated iff it
     // equals a sorted NEIGHBOR's. ONE exchange of the gram table, the
@@ -873,33 +886,78 @@ object TextAnalysis {
     // millions of rows in one window group, and the dup-gram aggregate +
     // marking join (the r10 first cut) runs the corpus-wide gram digest
     // or its materialization through TWO more big exchanges — measured
-    // 3.2 s -> 12 s warm at sf0.1.
-    val gramSchema = grams.schema
-    val gIdx = gramSchema.fieldIndex("g")
-    val dup = grams.repartition(col("g")).sortWithinPartitions("g")
-      .mapPartitions { it =>
-        val b = it.buffered
-        new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
-          private var prevG: Any = null
-          private var staged: org.apache.spark.sql.Row = _
-          private def fetch(): Unit = {
-            while (staged == null && b.hasNext) {
-              val r = b.next()
-              val g = r.get(gIdx)
-              val nextSame = b.hasNext && b.head.get(gIdx) == g
-              val dupRow = (prevG != null && prevG == g) || nextSame
-              prevG = g
-              if (dupRow) staged = r
+    // 3.2 s -> 12 s warm at sf0.1. The scan itself runs at the UnsafeRow
+    // level (queryExecution.toRdd + an UnsafeProjection for the output,
+    // lifted back via the InternalFrame shim): the r10 version's generic
+    // RowEncoder decode/re-encode of every corpus gram was the measured
+    // ~2x top-end constant vs the skew-unsafe window design (SCALING.md ‡).
+    // The deferred-by-one emission buffers PRIMITIVES, never rows —
+    // UnsafeRows from toRdd are reused by the scanner underneath, so a
+    // value that outlives one step is copied (the UTF8String case).
+    // The RDD lift hides the gram subplan from the final explain, so
+    // [[spanGramScan]] stays a public seam and PlanAudit pins ITS plan
+    // (gram kernel, one exchange) separately from the downstream.
+    val sorted = spanGramScan(docs, idCol, textCol, L, exact)
+    val inSchema = sorted.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val pIdx = inSchema.fieldIndex("p")
+    val gIdx = inSchema.fieldIndex("g")
+    val idType = inSchema(idIdx).dataType
+    val pType = inSchema(pIdx).dataType
+    val gType = inSchema(gIdx).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema(idIdx),
+      org.apache.spark.sql.types.StructField("p", pType, nullable = false)))
+    val dupRdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val proj =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(outSchema)
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      new scala.collection.AbstractIterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var havePrev = false
+        private var prevDupLeft = false // prev gram equals its LEFT neighbor's
+        private var prevId: Any = null
+        private var prevP: Any = null
+        private var prevG: Any = null
+        private var staged: org.apache.spark.sql.catalyst.InternalRow = null
+        private var done = false
+        private def cp(v: Any): Any = v match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case x => x
+        }
+        private def emitPrev(): Unit = {
+          out(0) = prevId; out(1) = prevP
+          staged = proj(out)
+        }
+        private def fetch(): Unit = {
+          while (staged == null && !done) {
+            if (it.hasNext) {
+              val r = it.next()
+              val curG = cp(r.get(gIdx, gType))
+              val curId = cp(r.get(idIdx, idType))
+              val curP = r.get(pIdx, pType)
+              if (havePrev) {
+                val eq = curG == prevG
+                if (prevDupLeft || eq) emitPrev()
+                prevDupLeft = eq
+              }
+              havePrev = true
+              prevId = curId; prevP = curP; prevG = curG
+            } else {
+              if (havePrev && prevDupLeft) emitPrev()
+              done = true
             }
           }
-          def hasNext: Boolean = { fetch(); staged != null }
-          def next(): org.apache.spark.sql.Row = {
-            fetch()
-            if (staged == null) throw new NoSuchElementException
-            val r = staged; staged = null; r
-          }
         }
-      }(org.apache.spark.sql.Encoders.row(gramSchema))
+        def hasNext: Boolean = { fetch(); staged != null }
+        def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          fetch()
+          if (staged == null) throw new NoSuchElementException
+          val r = staged; staged = null; r
+        }
+      }
+    }
+    val dup = org.apache.spark.sql.graft.InternalFrame
+      .ofRows(docs.sparkSession, dupRdd, outSchema)
       .select(idCol, "p")
     val wDoc = Window.partitionBy(idCol).orderBy("p")
     dup

@@ -1325,6 +1325,21 @@ object TextQueries {
         .orderBy("doc1", "doc2")
     },
 
+    // The PRODUCTION fallback leg of blocked n-gram Jaccard, exercised on
+    // the real corpus: PairRoute.Auto with a block cap the `en` lang
+    // block genuinely exceeds at sf0.01 AND sf0.1 (218 / 2059 docs vs cap
+    // 100), so the default plan runs BOTH legs — exact pairs for the cool
+    // langs, LSH-candidates + exact verify for the hot ones. Rows-only
+    // (xxhash64 candidate gen); PipelineOpsSpec pins Auto pair-set
+    // equality vs the uncapped exact plan and the no-nested-loop shape,
+    // PlanAudit pins the declared plan.
+    "q_dedup_ngram_auto" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang"), k = 3, minPpm = 800000L,
+        maxBlockPopulation = 100L, route = Dedup.PairRoute.Auto)
+        .orderBy("doc1", "doc2")
+    },
+
     // Scale-safe exact near-dup: LSH candidates → exact Jaccard verify
     // (rows-only: xxhash64 candidate gen; PipelineOpsSpec proves the pair
     // set ⊇ the blocked-all-pairs set with identical exact scores). The

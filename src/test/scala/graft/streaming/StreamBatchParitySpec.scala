@@ -98,6 +98,16 @@ class StreamBatchParitySpec extends SparkTestBase {
       "DedupParitySmoke reported a stream/batch dedup mismatch")
   }
 
+  test("LLM-pipeline parity: incremental decontamination through KeyFlowTws " +
+    "equals batch Dedup.exactAgainst folded over batches (forked)") {
+    // the smoke replays sf0.001 documents + re-crawls keyed by digest,
+    // seeded with "yesterday's index" (every 5th doc) as marker records,
+    // first-writer-wins fold, at-least-once overlap per batch; the final
+    // kept map must equal exactAgainst accumulated over the same batches
+    assert(forkSmoke("graft.streaming.ExactAgainstParitySmoke") == 0,
+      "ExactAgainstParitySmoke reported a stream/batch decontamination mismatch")
+  }
+
   test("LLM-pipeline parity: incremental corpus-line dedup through KeyFlowTws " +
     "reassembles into batch dedupLinesCorpus exactly (forked)") {
     // the smoke replays every (doc, pos, line) instance of the

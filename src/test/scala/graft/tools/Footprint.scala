@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.graft.ListenerDrain
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query executor-memory footprint probe (test scope) — the
+  * cluster-relevant numbers obtainable on a single host: total shuffle
+  * bytes written/read, memory/disk spill bytes, and the MAX per-task
+  * peakExecutionMemory, summed over every task a query runs (collected
+  * from SparkListener task-end events, drained via the listener-bus shim
+  * before attribution). A query whose peak task memory or shuffle volume
+  * grows super-linearly with the corpus is a cluster OOM/network
+  * bottleneck in the making even when its single-host wall time looks
+  * sub-linear — SCALING.md records these at x1 and x30 alongside the
+  * wall-time slopes.
+  *
+  * Usage: sbt "Test/runMain graft.tools.Footprint <sfDir> [query ...]"
+  * (no query names = every declared query). Writes FOOTPRINT.json in the
+  * working directory and prints one row per query.
+  */
+object Footprint {
+
+  private class Acc extends SparkListener {
+    var shufWrite = 0L; var shufRead = 0L
+    var memSpill = 0L; var diskSpill = 0L
+    var peak = 0L; var tasks = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+      val m = te.taskMetrics
+      if (m != null) {
+        shufWrite += m.shuffleWriteMetrics.bytesWritten
+        shufRead += m.shuffleReadMetrics.totalBytesRead
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        peak = math.max(peak, m.peakExecutionMemory)
+        tasks += 1
+      }
+    }
+    def reset(): Unit = synchronized {
+      shufWrite = 0L; shufRead = 0L; memSpill = 0L; diskSpill = 0L
+      peak = 0L; tasks = 0L
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // same amortized prebuilds as Bench, so footprints measure the query
+    try SparkEntry.queries.get("q_topk").foreach(_(spark, dir).count())
+    catch { case _: Throwable => () }
+    try graft.operators.IvfIndex.getOrBuild(dir,
+      Tables(spark, dir, "embeddings"), "embedding", nlist = 16, seed = 42L)
+    catch { case _: Throwable => () }
+    try graft.queries.JournalFixture.encoded(spark, dir).count()
+    catch { case _: Throwable => () }
+
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    val out = new StringBuilder
+    println(f"${"query"}%-28s ${"shuf_write"}%12s ${"shuf_read"}%12s " +
+      f"${"spill_mem"}%12s ${"spill_disk"}%12s ${"peak_task_mem"}%14s ${"tasks"}%7s")
+    names.foreach { name =>
+      // drain pending events from the previous query, then reset — the
+      // eager checkpoints some queries run during CONSTRUCTION belong to
+      // the query being measured, so reset happens before construction
+      ListenerDrain.drain(spark.sparkContext)
+      acc.reset()
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[footprint] $name FAILED: ${e.getMessage}"); false
+        }
+      ListenerDrain.drain(spark.sparkContext)
+      if (ok) {
+        println(f"$name%-28s ${acc.shufWrite}%12d ${acc.shufRead}%12d " +
+          f"${acc.memSpill}%12d ${acc.diskSpill}%12d ${acc.peak}%14d ${acc.tasks}%7d")
+        if (out.nonEmpty) out.append(",")
+        out.append(s""""$name":{"shuffle_write":${acc.shufWrite},"shuffle_read":${acc.shufRead},"spill_mem":${acc.memSpill},"spill_disk":${acc.diskSpill},"peak_task_mem":${acc.peak},"tasks":${acc.tasks}}""")
+      }
+    }
+    val json = s"""{"sf":"$dir","queries":{${out.toString}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("FOOTPRINT.json"), json + "\n")
+    println(s"FOOTPRINT.json written (${names.size} queries, sf=$dir)")
+    spark.stop()
+  }
+}
