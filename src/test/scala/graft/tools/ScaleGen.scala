@@ -34,13 +34,28 @@ import org.apache.spark.sql.functions._
   *    degree is constant); orders with custkey/orderkey offsets (F times
   *    the customers at the same per-customer order count).
   *
-  * Usage: Test/runMain graft.tools.ScaleGen <srcDir> <outDir> <factor>
+  * Factors above 31 exhaust the disjoint-TRIPLE pool and switch to a
+  * SINGLE-letter rewrite (only `e` → replica-unique target, factor ≤ 94):
+  * ~0.2% of 50-char grams contain no `e` and stay shared across replicas,
+  * which is fine for the per-occurrence-linear span queries and
+  * irrelevant for lang-blocked or pair-free queries, but ~53% of 5-char
+  * grams survive — LSH/minhash/shingle queries are NOT scale-measurable
+  * on a single-mode corpus (the tool prints a warning). Used only for the
+  * SCALING.md x90 points of q_budget_select / q_substring_dup_fast /
+  * q_dedup_ngram.
+  *
+  * Usage: Test/runMain graft.tools.ScaleGen <srcDir> <outDir> <factor> [tables]
+  * `tables` = comma list of the replicated tables to actually build
+  * (default documents,lineitem,orders) — an x90 documents-only corpus
+  * need not pay for 54M lineitem rows it will never read.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = args(2).toInt
+    val wanted = args.lift(3).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("documents", "lineitem", "orders"))
     require(factor >= 1, "factor must be >= 1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -49,6 +64,7 @@ object ScaleGen {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
 
     def replicate(name: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
+      if (!wanted(name)) return
       val base = spark.read.parquet(s"$src/$name.parquet")
       val all = (0 until factor).map(k => mutate(base, k)).reduce(_ unionAll _)
       all.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -71,17 +87,28 @@ object ScaleGen {
     val pool = (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z') ++
       ('!' to '/') ++ (':' to '@') ++ ('[' to '`') ++ ('{' to '~'))
       .filterNot("eta".contains(_))
-    require(3 * (factor - 1) <= pool.size,
+    val singleMode = factor > 31
+    if (singleMode) {
+      require(factor - 1 <= pool.size,
+        s"factor $factor needs ${factor - 1} distinct single targets; the " +
+          s"replica-unique pool has ${pool.size}")
+      println("[scalegen] WARNING: factor > 31 uses the SINGLE-letter (e) " +
+        "rewrite — ~53% of 5-char grams stay shared across replicas, so " +
+        "LSH/minhash/shingle queries are NOT scale-measurable on this " +
+        "corpus (valid: per-occurrence-linear, lang-blocked, pair-free).")
+    } else require(3 * (factor - 1) <= pool.size,
       s"factor $factor needs ${3 * (factor - 1)} distinct targets; the " +
         s"replica-unique pool has ${pool.size}")
     replicate("documents") { (df, k) =>
       if (k == 0) df
       else {
-        val targets = "" + pool(3 * (k - 1)) + pool(3 * (k - 1) + 1) +
-          pool(3 * (k - 1) + 2)
+        val (from, targets) =
+          if (singleMode) ("e", pool(k - 1).toString)
+          else ("eta", "" + pool(3 * (k - 1)) + pool(3 * (k - 1) + 1) +
+            pool(3 * (k - 1) + 2))
         df.select(
           (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          translate(col("text"), "eta", targets).as("text"),
+          translate(col("text"), from, targets).as("text"),
           concat(col("lang"), lit(s"-r$k")).as("lang"),
           col("source"),
           col("n_chars")) // base value: same length bands in every replica
