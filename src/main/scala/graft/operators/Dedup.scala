@@ -281,9 +281,17 @@ object Dedup {
     val sh = docs
       .join(pairDocs, col(idCol) === col("__pdoc"), "left_semi")
       .select(col(idCol).as("doc"), shingleExpr.as("sh"))
+    // shuffle-HASH builds on the shingle side, not sort-merge: SMJ sorts
+    // the candidate stream WITH its attached shingle arrays (~9 KB/row),
+    // so the external sorter's reservation scales with candidates x
+    // array size — measured 1.4 GiB peak task memory + 31 GiB spill on
+    // q_dedup_ngram_auto at x30 (SCALING.md footprint table). A hash
+    // build bounds peak memory at one PARTITION of the slim per-doc
+    // shingle table instead, and the array-carrying candidate stream is
+    // never sorted.
     val withSh = cands
-      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
+      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")).hint("shuffle_hash"), "doc1")
+      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")).hint("shuffle_hash"), "doc2")
     val inter =
       if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
       else size(array_intersect(col("sh1"), col("sh2"))).cast("long")
@@ -709,10 +717,15 @@ object Dedup {
     // doc-sized signature table (its exchange is built once and reused):
     // the band join + dedup shuffles move 2 longs per candidate instead of
     // 2×perms — the difference between shuffling ids and shuffling the
-    // whole signature matrix at corpus scale.
+    // whole signature matrix at corpus scale. shuffle_hash, not SMJ: a
+    // sort-merge would externally SORT the candidate stream with its
+    // attached 2-perm-long sig payload (candidates × 0.5 KB of sorter
+    // memory/spill — the r11 footprint harness measured 31 GiB of this
+    // at x30), while a hash build holds only one PARTITION of the slim
+    // doc-sized sig table.
     pairs
-      .join(sigs.select(col("doc").as("doc1"), col("sig").as("sig1")), "doc1")
-      .join(sigs.select(col("doc").as("doc2"), col("sig").as("sig2")), "doc2")
+      .join(sigs.select(col("doc").as("doc1"), col("sig").as("sig1")).hint("shuffle_hash"), "doc1")
+      .join(sigs.select(col("doc").as("doc2"), col("sig").as("sig2")).hint("shuffle_hash"), "doc2")
       .select(col("doc1"), col("doc2"),
         // per-pair agreement via the native kernel (the zip_with+filter
         // formulation evaluated interpreted for every candidate pair)
@@ -875,9 +888,10 @@ object Dedup {
         array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"): _*)
     val cands = prefixCandidates(sh, blockCols, minPpm)
     // exact verification — same shape as [[lshVerifiedPairs]]
+    // same shuffle-hash-build rationale as exactVerifyPairs
     val withSh = cands
-      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")), "doc2")
+      .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")).hint("shuffle_hash"), "doc1")
+      .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")).hint("shuffle_hash"), "doc2")
     val sizeGuard =
       size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&
         size(col("sh2")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh1")).cast("long")
