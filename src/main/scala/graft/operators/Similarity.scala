@@ -200,11 +200,15 @@ object Similarity {
         col("cv") === col("cv_r") && col("qid") < col("cand_id"))
       .select(col("qid"), col("cand_id"))
       .dropDuplicates("qid", "cand_id")
+    // shuffle-HASH builds on the vector side (the exactVerifyPairs
+    // rationale): SMJ would sort the candidate stream with an attached
+    // float vector per row; a hash build holds one PARTITION of the slim
+    // doc-sized vector table and never sorts candidates
     cand
-      .join(base.select(col("id").as("qid"), col("vec").as("qvec"), col("n").as("qn")),
-        Seq("qid"))
-      .join(base.select(col("id").as("cand_id"), col("vec").as("cvec"), col("n").as("cn")),
-        Seq("cand_id"))
+      .join(base.select(col("id").as("qid"), col("vec").as("qvec"), col("n").as("qn"))
+        .hint("shuffle_hash"), Seq("qid"))
+      .join(base.select(col("id").as("cand_id"), col("vec").as("cvec"), col("n").as("cn"))
+        .hint("shuffle_hash"), Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
         safeSim(dot(col("qvec"), col("cvec")), col("qn") * col("cn")).as("sim"))
       .filter(graft.functions.PushdownBarrier.double(col("sim")) >= minCosine)
@@ -248,8 +252,12 @@ object Similarity {
       .dropDuplicates("qid", "cand_id")
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cand_id"))
     cands
+      // queries side: SMALL by contract (a query set, not the corpus) —
+      // the optimizer's broadcast is the right plan, no hint
       .join(slim(queries, "qid", "qvec", "qn"), Seq("qid"))
-      .join(slim(corpus, "cand_id", "cvec", "cn"), Seq("cand_id"))
+      // corpus side: doc-sized — shuffle-hash build, never sort the
+      // candidate stream with attached vectors (exactVerifyPairs rationale)
+      .join(slim(corpus, "cand_id", "cvec", "cn").hint("shuffle_hash"), Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
         safeSim(dot(col("qvec"), col("cvec")), col("qn") * col("cn")).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
