@@ -214,6 +214,14 @@ object BpeTrainer {
     * is assumed. */
   val CollectLimit = 160000
 
+  /** Test seam: BpeTrainerSpec shrinks the collected window to force the
+    * CUT-window verification paths (horizon guards, conservative
+    * unknown-base bounds, zero-confirm fallback) that the production
+    * limit never exercises at spec scale — equality with the sequential
+    * reference must hold under ANY window size, because the guards stop
+    * confirmation rather than approximate. Production code never sets it. */
+  @volatile private[graft] var collectLimitForTests: Int = CollectLimit
+
   /** Rewrite the stored vocabulary once this many confirmed merges are
     * pending (the kernel replays pending merges per scan until then, so
     * rewriting rarely keeps rounds at ~1 action each). */
@@ -314,7 +322,7 @@ object BpeTrainer {
         // count: the limit auto-tops the base and the tail row defines
         // the horizon
         .orderBy(when(col("step") > 0, 0).otherwise(1), col("v").desc, col("key"))
-        .limit(CollectLimit)
+        .limit(collectLimitForTests)
         .collect()
       rounds += 1
       actions += 1
@@ -329,7 +337,7 @@ object BpeTrainer {
         // no pairs at all: flush pending and stop
         exhausted = true
       } else {
-        val cut = rows.length == CollectLimit
+        val cut = rows.length == collectLimitForTests
         val horizon = if (cut) baseRows.last.getLong(2) else 0L
         val basePairs = mutable.LinkedHashMap[String, Long]()
         val baseTriples = mutable.HashMap[String, Long]()
@@ -388,7 +396,11 @@ object BpeTrainer {
                 else if (cons.contains(dk)) cons(dk) += dv
                 else {
                   val l = dk.substring(0, si); val r = dk.substring(si + 1)
-                  if (fresh(l) || fresh(r)) exact(dk) = dv
+                  // an UNCUT window is the complete gram table, so an
+                  // absent pair's base count is provably zero — exact,
+                  // like a fresh-mint pair (a cut window leaves base in
+                  // [0, horizon]: conservative upper bound)
+                  if (fresh(l) || fresh(r) || !cut) exact(dk) = dv
                   else cons(dk) = horizon + dv
                 }
               }

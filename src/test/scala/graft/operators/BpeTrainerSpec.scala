@@ -141,6 +141,26 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(learned(texts, 20, maxVocabRows = 0L) == reference(texts, 20))
   }
 
+  test("CUT collection windows: equality holds under the horizon guards") {
+    // the production CollectLimit (160k) is never reached at spec scale,
+    // so the cut-window verification paths (horizon guard, conservative
+    // unknown-base bounds, zero-confirm single-merge fallback) would ship
+    // untested; a tiny window forces all of them, and the learned list
+    // must STILL equal the sequential reference — the guards stop
+    // confirmation, never approximate
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(150)(
+      (0 until (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val texts = words.grouped(15).map(_.mkString(" ")).toSeq
+    val expected = reference(texts, 80)
+    for (window <- Seq(24, 64, 200)) {
+      BpeTrainer.collectLimitForTests = window
+      try assert(learned(texts, 80, maxVocabRows = 0L) == expected,
+        s"divergence at window $window")
+      finally BpeTrainer.collectLimitForTests = BpeTrainer.CollectLimit
+    }
+  }
+
   test("fallback batches multiple merges per counting job") {
     val rnd = new scala.util.Random(7)
     val words = Seq.fill(400)(
