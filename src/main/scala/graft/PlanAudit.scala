@@ -61,9 +61,17 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // cache the QueryExecution (query construction can run driver work —
+    // trainers, bucket-map gathers — so each query must be built ONCE),
+    // and the rendered string on top (many check rows per query)
+    val qeCache = scala.collection.mutable.HashMap
+      .empty[String, org.apache.spark.sql.execution.QueryExecution]
+    def qe(name: String): org.apache.spark.sql.execution.QueryExecution =
+      qeCache.getOrElseUpdate(name,
+        SparkEntry.queries(name)(spark, dir).queryExecution)
     val planCache = scala.collection.mutable.HashMap.empty[String, String]
     def plan(name: String): String = planCache.getOrElseUpdate(name,
-      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString)
+      qe(name).executedPlan.toString)
 
     def check(name: String, what: String)(cond: String => Boolean): Unit = {
       val p = plan(name)
@@ -629,6 +637,36 @@ object PlanAudit {
     for (q <- SparkEntry.queries.keys.toSeq.sorted)
       check(q, "global sweep: no ScalaUDF, no CartesianProduct")(p =>
         !p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+
+    // GLOBAL payload-sort sweep — the r11 shuffle_hash re-attach rule as
+    // an ENFORCED invariant, not a convention: no declared query may plan
+    // a SortMergeJoin whose output carries an array column. Sorting a
+    // candidate/corpus stream with a multi-KB array payload attached
+    // externally sorts candidates × payload (31 GiB of sorter spill at
+    // x30 before the r11 fix, and a corpus-sized broadcast was the
+    // planner's other pick); payload re-attach joins must hash-build on
+    // the slim per-doc side (`hint("shuffle_hash")`) or broadcast a
+    // GENUINELY small side — both keep arrays out of any sort. Walks the
+    // pre-AQE physical tree (AQE may demote an SMJ at runtime on small
+    // stats, but 100 TB plans must not rely on that). Same ratchet as the
+    // window sweep: an allowlisted query must still exhibit the pattern.
+    def smjArrayCols(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.output.filter(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
+      }.flatten.distinct
+    val smjArrayAllowlist = Map.empty[String, String]
+    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+      val bad = smjArrayCols(qe(q).sparkPlan)
+      smjArrayAllowlist.get(q) match {
+        case Some(reason) =>
+          println(f"AUDIT ${if (bad.nonEmpty) "PASS" else "FAIL"}%-4s $q%-18s SMJ-array allowlist entry still needed ($reason)")
+        case None =>
+          println(f"AUDIT ${if (bad.isEmpty) "PASS" else "FAIL"}%-4s $q%-18s global sweep: no SortMergeJoin carrying array payload columns" +
+            (if (bad.isEmpty) "" else s" (sorted arrays: ${bad.mkString(", ")})"))
+      }
+    }
     spark.stop()
   }
 }

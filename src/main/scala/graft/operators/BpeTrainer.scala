@@ -273,7 +273,10 @@ object BpeTrainer {
     * true order well until counts approach the horizon. If two
     * consecutive rounds confirm nothing (degenerate windows — e.g. every
     * count equal at the horizon), a plain exact top-1 round guarantees
-    * progress.
+    * progress; an EMPTY speculation list escalates to that fallback
+    * immediately (an unspeculated round can never confirm, so waiting for
+    * it would loop the identical counting job forever on flat-count
+    * corpora).
     *
     * The second accelerator is SHRINK-THEN-RECOLLECT: every rewrite drops
     * word types that merged to a single symbol, so an above-cap corpus
@@ -295,8 +298,15 @@ object BpeTrainer {
     var exhausted = false
 
     // apply `ms` in rank order via nested greedy kernels, drop fully
-    // merged words, materialize (chunked so no single projection nests
-    // more than 16 kernel calls)
+    // merged words, materialize. The grouped(16) chunking keeps each
+    // AUTHORED Project small, but it does NOT bound the executed plan's
+    // nesting: Catalyst's CollapseProject merges adjacent Projects whose
+    // aliases are referenced once, so at RewritePendingCap=64 the
+    // optimized plan nests all 64 MergePair calls in one collapsed
+    // projection. That is fine by construction — MergePair is a codegen'd
+    // unary kernel and Janino method-size pressure is handled by
+    // codegen's splitExpressions — so no barrier is inserted; the
+    // chunking survives only as cheap authoring hygiene.
     def rewrite(ms: Seq[(String, String)]): Unit = {
       if (ms.isEmpty) return
       val next0 = ms.grouped(16).foldLeft(vocab) { (d, chunk) =>
@@ -419,7 +429,26 @@ object BpeTrainer {
           s"[bpe] round $rounds: confirmed ${confirmed.size}/${specNow.length} " +
             s"(pending ${pending.size}, horizon $horizon)")
 
-        if (confirmed.isEmpty && specNow.nonEmpty) zeroStreak += 1 else zeroStreak = 0
+        // A zero-confirm round counts toward the fallback streak whether
+        // or not anything was speculated: an empty speculation list
+        // (simulate() starved by the horizon) would otherwise re-run an
+        // identical counting job forever with the streak resetting —
+        // non-termination on flat-count corpora where every collected
+        // count ties at the horizon (near-unique-token text).
+        if (confirmed.isEmpty) zeroStreak += 1 else zeroStreak = 0
+        if (zeroStreak < 2 && rank <= numMerges) {
+          // ---- next round's speculation: heuristic greedy simulation on
+          // the verified end-state counts + (stale) base triples ----
+          spec = simulate(exact, baseTriples, horizon, knownNext)
+          // simulate() starved with no known-exact next merge: the coming
+          // round is a guaranteed zero-confirm — escalate to the exact
+          // fallback now instead of paying a counting job to learn that.
+          if (spec.isEmpty) {
+            zeroStreak = 2
+            if (debug) System.err.println(
+              s"[bpe] round $rounds: empty speculation (horizon $horizon), escalating to exact top-1")
+          }
+        }
         if (zeroStreak >= 2 && rank <= numMerges) {
           // degenerate window (e.g. everything ties at the horizon): one
           // plain exact top-1 merge guarantees progress
@@ -440,10 +469,6 @@ object BpeTrainer {
             rank += 1
           }
           spec = Nil
-        } else if (!exhausted) {
-          // ---- next round's speculation: heuristic greedy simulation on
-          // the verified end-state counts + (stale) base triples ----
-          spec = simulate(exact, baseTriples, horizon, knownNext)
         }
 
         // rewrite + shrink check when enough merges are pending (or the

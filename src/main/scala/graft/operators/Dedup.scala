@@ -412,9 +412,16 @@ object Dedup {
       blockCols, maxBlockPopulation, caller)
     val a = withShingles.select(
       col(idCol).as("doc1") +: col("__sh").as("sh1") +: blockCols.map(col): _*)
+    // hash-build on the right side: left to itself the planner sort-merges
+    // the block-key self-join, externally sorting BOTH sides with their
+    // shingle arrays attached (the r11 payload-sort hazard; PlanAudit's
+    // SMJ-array sweep now pins this). The build side is bounded by the
+    // population guard above — one partition of block-guarded shingles —
+    // and neither side ever sorts.
     val b = withShingles.select(
       col(idCol).as("doc2") +: col("__sh").as("sh2") +:
         blockCols.map(c => col(c).as(s"${c}_r")): _*)
+      .hint("shuffle_hash")
     // null-safe: a NULL block key is a real block (consistent with the
     // population guard's groupBy), not a key that silently never pairs
     val joinCond = blockCols.map(c => col(c) <=> col(s"${c}_r"))

@@ -893,7 +893,8 @@ object TextAnalysis {
     // ~2x top-end constant vs the skew-unsafe window design (SCALING.md ‡).
     // The deferred-by-one emission buffers PRIMITIVES, never rows —
     // UnsafeRows from toRdd are reused by the scanner underneath, so a
-    // value that outlives one step is copied (the UTF8String case).
+    // value that outlives one step is copied (UTF8String and any
+    // array/map/struct view — see cp()).
     // The RDD lift hides the gram subplan from the final explain, so
     // [[spanGramScan]] stays a public seam and PlanAudit pins ITS plan
     // (gram kernel, one exchange) separately from the downstream.
@@ -921,7 +922,16 @@ object TextAnalysis {
         private var staged: org.apache.spark.sql.catalyst.InternalRow = null
         private var done = false
         private def cp(v: Any): Any = v match {
+          // every buffer-backed VIEW type an UnsafeRow can hand out must
+          // be copied, not just UTF8String: duplicateSpans is a public
+          // generic operator and a struct/array/map id column would
+          // otherwise alias the scanner's reused row buffer across the
+          // deferred-by-one emission (corrupted ids). Primitives fall
+          // through by value.
           case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+          case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
           case x => x
         }
         private def emitPrev(): Unit = {

@@ -49,6 +49,17 @@ object TxnParquet {
     * and every further round writes another duplicate manifest. */
   private[state] val MaxOvertakeRepublishes = 20
 
+  /** Pre-rename claim retries allowed before [[claimAndRename]] gives up.
+    * Each legitimate iteration means a DIFFERENT committer published a
+    * newer version between our claim and the re-scan; the loop is
+    * lock-free (system-wide progress is guaranteed — someone committed),
+    * but THIS caller could in principle starve forever under sustained
+    * contention. Failing loudly here is safe: nothing has been renamed
+    * yet, so no duplicate or orphan manifest exists — the caller simply
+    * retries when contention subsides. Same discipline as
+    * [[MaxOvertakeRepublishes]] on the post-rename window. */
+  private[state] val MaxClaimRetries = 1000
+
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -171,7 +182,16 @@ object TxnParquet {
                              startV: Long): Long = {
     var v = startV
     var claimed = false
+    var retries = 0
     while (!claimed) {
+      retries += 1
+      if (retries > MaxClaimRetries)
+        throw new IllegalStateException(
+          s"graft.TxnParquet: claim starved $retries times in a row " +
+            s"publishing to $base — concurrent committers kept landing " +
+            "newer versions between every claim and re-scan. Nothing was " +
+            "renamed (no duplicate or orphan manifest exists); retry when " +
+            "contention subsides or serialize the publishers")
       // skip versions whose manifest already exists (an out-of-band
       // committer that bypassed claims) as well as claimed ones — never
       // depend on rename refusing an existing target

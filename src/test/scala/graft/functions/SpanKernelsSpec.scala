@@ -73,4 +73,33 @@ class SpanKernelsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 1L, 12L), (2L, 1L, 12L)))
   }
+
+  test("duplicateSpans: struct and array id columns survive the UnsafeRow scan") {
+    import spark.implicits._
+    // duplicateSpans is a public generic operator; a buffer-backed VIEW id
+    // (struct/array handed out by the reused UnsafeRow) must be COPIED by
+    // the scanner's cp() or the deferred-by-one emission aliases the next
+    // row's bytes into the staged id (r11 ADVICE). Eight docs sharing one
+    // text interleave in the gram sort, so an aliasing bug scrambles ids.
+    val base = Seq.tabulate(8)(i => (i.toLong, s"src_$i", "aaaabbbbcccc")) :+
+      ((99L, "src_u", "unique-text-x"))
+    val structDocs = base.toDF("k", "s", "text")
+      .select(struct(col("k"), col("s")).as("id"), col("text"))
+    val gotStruct = TextAnalysis.duplicateSpans(structDocs, "id", "text", L = 4, exact = true)
+      .collect().map { r =>
+        val id = r.getStruct(0)
+        ((id.getLong(0), id.getString(1)), r.getLong(1), r.getLong(2))
+      }.toSet
+    assert(gotStruct ==
+      (0 until 8).map(i => ((i.toLong, s"src_$i"), 1L, 12L)).toSet)
+
+    val arrayDocs = base.toDF("k", "s", "text")
+      .select(array(col("s"), concat(lit("x"), col("k"))).as("id"), col("text"))
+    val gotArray = TextAnalysis.duplicateSpans(arrayDocs, "id", "text", L = 4, exact = true)
+      .collect().map { r =>
+        (r.getSeq[String](0).toList, r.getLong(1), r.getLong(2))
+      }.toSet
+    assert(gotArray ==
+      (0 until 8).map(i => (List(s"src_$i", s"x$i"), 1L, 12L)).toSet)
+  }
 }

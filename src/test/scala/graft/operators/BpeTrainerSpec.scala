@@ -161,6 +161,26 @@ class BpeTrainerSpec extends SparkTestBase {
     }
   }
 
+  test("flat-count corpus under a cut window terminates and stays exact") {
+    // the r11 ADVICE non-termination shape: near-unique-token text where
+    // EVERY collected count ties at the horizon, so simulate() can prove
+    // nothing above it and returns an empty speculation list. Before the
+    // fix the empty-spec round reset the zero-confirm streak (it only
+    // counted when specNow.nonEmpty), re-running identical counting jobs
+    // forever; now an empty round counts toward — and an empty simulate()
+    // escalates straight to — the exact top-1 fallback. The learned list
+    // must still equal the sequential reference.
+    val rnd = new scala.util.Random(23)
+    val words = Seq.fill(80)(
+      (0 until (6 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .distinct // all word counts 1 -> all pair counts ~1: maximal ties
+    val texts = words.grouped(10).map(_.mkString(" ")).toSeq
+    val expected = reference(texts, 25)
+    BpeTrainer.collectLimitForTests = 16 // << distinct pairs: horizon = 1 every round
+    try assert(learned(texts, 25, maxVocabRows = 0L) == expected)
+    finally BpeTrainer.collectLimitForTests = BpeTrainer.CollectLimit
+  }
+
   test("fallback batches multiple merges per counting job") {
     val rnd = new scala.util.Random(7)
     val words = Seq.fill(400)(
