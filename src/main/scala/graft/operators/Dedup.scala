@@ -695,6 +695,22 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bh"))
 
+  /** Measurement seam (LshDupProbe): the raw band-join candidate stream
+    * BEFORE pair dedup — quantifies the band-duplication factor a
+    * min-band emission rule would remove. Not a query path. */
+  private[graft] def bandJoinRawForProbe(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val sigs = lshSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
+      .repartition(col("doc"))
+    val banded = dropHotBuckets(
+      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
+  }
+
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
