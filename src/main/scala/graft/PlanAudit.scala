@@ -55,6 +55,23 @@ object PlanAudit {
     }
   }
 
+  /** The r11 payload-sort anti-pattern: a SortMergeJoin whose output
+    * carries an array column — the external sorter's reservation then
+    * scales with rows × array payload (31 GiB of spill measured at x30
+    * before the r11 hash-build fix), and on corpus-derived sides the
+    * planner's alternative pick is a corpus-sized broadcast. Returns the
+    * names of array columns any SMJ in the tree would sort; empty = clean.
+    * Walks the pre-AQE physical tree (AQE can demote an SMJ at runtime on
+    * small stats, but a 100 TB plan must not rely on that). Public +
+    * unit-tested (PlanAuditDetectorSpec) because 193 audit rows hang off
+    * it. */
+  def smjArrayCols(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.output.filter(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
+    }.flatten.distinct
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
@@ -650,12 +667,6 @@ object PlanAudit {
     // pre-AQE physical tree (AQE may demote an SMJ at runtime on small
     // stats, but 100 TB plans must not rely on that). Same ratchet as the
     // window sweep: an allowlisted query must still exhibit the pattern.
-    def smjArrayCols(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      p.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-          j.output.filter(_.dataType
-            .isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
-      }.flatten.distinct
     val smjArrayAllowlist = Map.empty[String, String]
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val bad = smjArrayCols(qe(q).sparkPlan)

@@ -26,6 +26,12 @@ object Footprint {
     var shufWrite = 0L; var shufRead = 0L
     var memSpill = 0L; var diskSpill = 0L
     var peak = 0L; var tasks = 0L
+    // skew axis: the HOTTEST single task's shuffle read and wall. Totals
+    // can scale perfectly while one key concentrates — on a cluster that
+    // one task IS the straggler wall, invisible in sums and in local wall
+    // time (31 other cores hide it). Reported as maxima; the companion
+    // ratio in SCALING.md is maxTaskShufRead / (shufRead / tasks).
+    var maxTaskShufRead = 0L; var maxTaskMs = 0L
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
       val m = te.taskMetrics
       if (m != null) {
@@ -34,12 +40,14 @@ object Footprint {
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
         peak = math.max(peak, m.peakExecutionMemory)
+        maxTaskShufRead = math.max(maxTaskShufRead, m.shuffleReadMetrics.totalBytesRead)
+        maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
         tasks += 1
       }
     }
     def reset(): Unit = synchronized {
       shufWrite = 0L; shufRead = 0L; memSpill = 0L; diskSpill = 0L
-      peak = 0L; tasks = 0L
+      peak = 0L; tasks = 0L; maxTaskShufRead = 0L; maxTaskMs = 0L
     }
   }
 
@@ -68,7 +76,8 @@ object Footprint {
       .filter(n => only.isEmpty || only(n))
     val out = new StringBuilder
     println(f"${"query"}%-28s ${"shuf_write"}%12s ${"shuf_read"}%12s " +
-      f"${"spill_mem"}%12s ${"spill_disk"}%12s ${"peak_task_mem"}%14s ${"tasks"}%7s")
+      f"${"spill_mem"}%12s ${"spill_disk"}%12s ${"peak_task_mem"}%14s ${"tasks"}%7s " +
+      f"${"max_task_read"}%13s ${"max_task_ms"}%11s")
     names.foreach { name =>
       // drain pending events from the previous query, then reset — the
       // eager checkpoints some queries run during CONSTRUCTION belong to
@@ -83,9 +92,10 @@ object Footprint {
       ListenerDrain.drain(spark.sparkContext)
       if (ok) {
         println(f"$name%-28s ${acc.shufWrite}%12d ${acc.shufRead}%12d " +
-          f"${acc.memSpill}%12d ${acc.diskSpill}%12d ${acc.peak}%14d ${acc.tasks}%7d")
+          f"${acc.memSpill}%12d ${acc.diskSpill}%12d ${acc.peak}%14d ${acc.tasks}%7d " +
+          f"${acc.maxTaskShufRead}%13d ${acc.maxTaskMs}%11d")
         if (out.nonEmpty) out.append(",")
-        out.append(s""""$name":{"shuffle_write":${acc.shufWrite},"shuffle_read":${acc.shufRead},"spill_mem":${acc.memSpill},"spill_disk":${acc.diskSpill},"peak_task_mem":${acc.peak},"tasks":${acc.tasks}}""")
+        out.append(s""""$name":{"shuffle_write":${acc.shufWrite},"shuffle_read":${acc.shufRead},"spill_mem":${acc.memSpill},"spill_disk":${acc.diskSpill},"peak_task_mem":${acc.peak},"tasks":${acc.tasks},"max_task_shuffle_read":${acc.maxTaskShufRead},"max_task_ms":${acc.maxTaskMs}}""")
       }
     }
     val json = s"""{"sf":"$dir","queries":{${out.toString}}}"""
