@@ -72,6 +72,46 @@ object PlanAudit {
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
     }.flatten.distinct
 
+  /** The r12 lm-score hazard class: a broadcast JOIN BUILD whose subtree
+    * reaches a raw `Scan ExistingRDD` (a checkpointed/materialized table)
+    * without crossing an aggregate or a limit. Checkpointed RDDs carry
+    * unreliable size stats, and the tables the house checkpoints (pair
+    * occurrence tables, label tables, signature caches) are CORPUS-SIZED —
+    * a broadcast build over one scales the per-task hash relation with the
+    * corpus (q_lm_score measured 40 MiB → 1.36 GiB per task from x1 to
+    * x30 before the fix). An aggregate or limit between the build and the
+    * scan bounds the broadcast (1-row mass totals, k-row centroid/prefix
+    * gathers, top-k picks) and is not flagged. Returns one description per
+    * offending build; empty = clean. Public + unit-tested
+    * (PlanAuditDetectorSpec family) because a global sweep hangs off it. */
+  def broadcastOverRddScan(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def bounded(n: SparkPlan): Boolean = {
+      val c = n.getClass.getSimpleName
+      c.contains("Aggregate") || c.contains("Limit") || c.contains("TakeOrdered")
+    }
+    def reachesRawRddScan(n: SparkPlan): Boolean =
+      if (bounded(n)) false
+      else if (n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) true
+      else n.children.exists(reachesRawRddScan)
+    p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        if (reachesRawRddScan(build)) Seq(s"BroadcastHashJoin builds over ${build.nodeName}")
+        else Nil
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        if (reachesRawRddScan(build)) Seq(s"BroadcastNestedLoopJoin builds over ${build.nodeName}")
+        else Nil
+    }.flatten
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
@@ -665,7 +705,12 @@ object PlanAudit {
     // the slim per-doc side (`hint("shuffle_hash")`) or broadcast a
     // GENUINELY small side — both keep arrays out of any sort. Walks the
     // pre-AQE physical tree (AQE may demote an SMJ at runtime on small
-    // stats, but 100 TB plans must not rely on that). Same ratchet as the
+    // stats, but 100 TB plans must not rely on that). Known blind spot,
+    // shared with every plan-tree sweep here: subplans that execute
+    // DURING query construction (eager checkpoints, iterative driver
+    // loops) never appear in the final tree — those are covered by the
+    // RDD-lift rule in PLANS.md (expose the subplan as a seam + a
+    // dedicated audit row, as spanGramScan does). Same ratchet as the
     // window sweep: an allowlisted query must still exhibit the pattern.
     val smjArrayAllowlist = Map.empty[String, String]
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
@@ -676,6 +721,41 @@ object PlanAudit {
         case None =>
           println(f"AUDIT ${if (bad.isEmpty) "PASS" else "FAIL"}%-4s $q%-18s global sweep: no SortMergeJoin carrying array payload columns" +
             (if (bad.isEmpty) "" else s" (sorted arrays: ${bad.mkString(", ")})"))
+      }
+    }
+
+    // GLOBAL checkpoint-broadcast sweep (r12): no broadcast join may BUILD
+    // over a raw Scan ExistingRDD subtree — checkpointed tables carry
+    // unreliable stats and the ones the house checkpoints are corpus-
+    // sized, so such a build's hash relation scales with the corpus
+    // (q_lm_score's 1.36 GiB/task at x30, this sweep's motivating catch).
+    // Aggregates/limits between the build and the scan bound the
+    // broadcast and pass. Allowlist = builds bounded by an explicit
+    // branch/cap at the call site, ratchet discipline as above.
+    val bcastRddAllowlist = Map(
+      "q_window_scaled" -> ("lag self-equi-join broadcasts the materialized " +
+        "rank table only under the same bounded-input breadth-demo contract " +
+        "as its Window twin (10k rows by construction)"),
+      "q_shortest_path" -> ("the broadcast side is the checkpointed " +
+        "TRANSITION graph — aggregated to <= |event_types|^2 (= 25) rows " +
+        "BEFORE the checkpoint, so the bound sits outside the build subtree"),
+      "q_contamination_bloom" -> ("the broadcast side is the checkpointed " +
+        "EVAL gram table — bounded by the decontamination contract (eval " +
+        "sets are small; the corpus-sized train side only ever streams)"),
+      "q_kmv_overlap" -> ("the broadcast side is the checkpointed per-source " +
+        "KMV sketch table — #sources x k longs by construction"),
+      "q_ngram_colloc" -> ("the broadcast side is the k-row top-bigram table " +
+        "1:1-joined against the unigram vocab — <= k rows by construction " +
+        "(the vocab scan in the subtree never exceeds the join's k-row bound)")
+    )
+    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+      val bad = broadcastOverRddScan(qe(q).sparkPlan)
+      bcastRddAllowlist.get(q) match {
+        case Some(reason) =>
+          println(f"AUDIT ${if (bad.nonEmpty) "PASS" else "FAIL"}%-4s $q%-18s checkpoint-broadcast allowlist entry still needed ($reason)")
+        case None =>
+          println(f"AUDIT ${if (bad.isEmpty) "PASS" else "FAIL"}%-4s $q%-18s global sweep: no broadcast build over a raw checkpointed-RDD scan" +
+            (if (bad.isEmpty) "" else s" (${bad.mkString("; ")})"))
       }
     }
     spark.stop()

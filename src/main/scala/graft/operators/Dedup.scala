@@ -343,10 +343,14 @@ object Dedup {
       cands: DataFrame, docs: DataFrame, idCol: String,
       blockCols: Seq[String]): DataFrame = {
     if (blockCols.isEmpty) return cands
+    // block re-attach hash-builds on the doc-sized sides: `docs` here is
+    // the Auto route's checkpointed hot split (corpus-sized, unreliable
+    // ExistingRDD stats) — the planner's broadcast pick scales the
+    // per-task hash relation with the corpus (q_lm_score hazard class)
     val b1 = docs.select(col(idCol).as("doc1") +:
-      blockCols.map(c => col(c).as(s"__b1_$c")): _*)
+      blockCols.map(c => col(c).as(s"__b1_$c")): _*).hint("shuffle_hash")
     val b2 = docs.select(col(idCol).as("doc2") +:
-      blockCols.map(c => col(c).as(s"__b2_$c")): _*)
+      blockCols.map(c => col(c).as(s"__b2_$c")): _*).hint("shuffle_hash")
     cands.join(b1, "doc1").join(b2, "doc2")
       .filter(blockCols.map(c => col(s"__b1_$c") <=> col(s"__b2_$c")).reduce(_ && _))
       .select(col("doc1"), col("doc2"))
@@ -705,7 +709,7 @@ object Dedup {
       .repartition(col("doc"))
     val banded = dropHotBuckets(
       lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
-    banded.as("l").join(banded.as("r"),
+    banded.as("l").join(banded.as("r").hint("merge"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
@@ -731,7 +735,20 @@ object Dedup {
       .repartition(col("doc"))
     val banded = dropHotBuckets(
       lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
-    val pairs = banded.as("l").join(banded.as("r"),
+    // the band self-join is pinned SORT-MERGE: the banded table is
+    // CORPUS-SIZED (docs × bands) with misleading size estimates (Generate
+    // under-counts the explode; the Auto route's input is additionally a
+    // checkpointed ExistingRDD), so left alone the planner BROADCASTS a
+    // whole banded side — measured 277 MiB per task at x30 and linear in
+    // corpus, the q_lm_score hazard class (PlanAudit's checkpoint-
+    // broadcast sweep pins the route). Among the bounded-memory shapes,
+    // merge beats shuffle_hash here (x30 warm 4.3 vs 7.1 s measured): the
+    // sorted rows are slim 20-byte (doc, band, bh) triples — no array
+    // payload, so the SMJ-array rule doesn't apply — and the external
+    // sort costs less than hash-probing hot buckets. The broadcast shape's
+    // remaining edge (3.6 s) was its even, doc-partitioned pair emission —
+    // paid for with an unbounded per-task relation; rejected.
+    val pairs = banded.as("l").join(banded.as("r").hint("merge"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))

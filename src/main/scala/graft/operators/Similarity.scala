@@ -296,8 +296,11 @@ object Similarity {
     val pairs = lshNearDupPairs(emb, idCol, vecCol, minCosine, planes, maxBucket)
       .select(col("qid").as("src"), col("cand_id").as("dst"))
     val comp = Dedup.connectedComponents(pairs, "src", "dst")
+    // corpus-sized checkpointed label table: hash-build, never broadcast
+    // (the q_lm_score hazard class — PlanAudit checkpoint-broadcast sweep)
     val labeled = emb.select(col(idCol))
-      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .join(comp.withColumnRenamed("node", idCol).hint("shuffle_hash"),
+        Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
       .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
     val part = Window.partitionBy("component")

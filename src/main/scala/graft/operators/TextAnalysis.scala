@@ -253,11 +253,20 @@ object TextAnalysis {
     val c2 = pairs.groupBy("__pair").agg(count(lit(1)).as("__c2"))
     val c1 = c2.groupBy(substring_index(col("__pair"), " ", 1).as("__w1"))
       .agg(sum(col("__c2")).as("__c1"))
+    // hash-build BOTH model-side joins: every table here is CORPUS-DERIVED
+    // (the occurrence table is corpus-sized, c1/model are vocabulary-sized
+    // and grow with it), and the checkpointed occurrence table's
+    // ExistingRDD stats are unreliable — left alone the planner BROADCAST
+    // the whole per-occurrence pair table as the scoring join's build
+    // (measured 40 MiB -> 1.36 GiB peak task from x1 to x30, linear in
+    // corpus: the r12 footprint sweep's headline catch). A shuffle-hash
+    // build bounds each task at one partition of the vocabulary-sized
+    // side and nothing corpus-scale is ever broadcast or sorted.
     val model = c2
       .withColumn("__w1", substring_index(col("__pair"), " ", 1))
-      .join(c1, "__w1")
+      .join(c1.hint("shuffle_hash"), "__w1")
       .select(col("__pair"), expr("(__c2 * 1000000) div __c1").as("__p_ppm"))
-    pairs.join(model, "__pair")
+    pairs.join(model.hint("shuffle_hash"), "__pair")
       .groupBy(idCol).agg(
         count(lit(1)).as("n_bigrams"),
         expr("sum(__p_ppm) div count(1)").as("lm_avg_ppm"),
@@ -294,16 +303,20 @@ object TextAnalysis {
       .localCheckpoint(true)
     val c1 = c2.groupBy(substring_index(col("__pair"), " ", 1).as("__w1"))
       .agg(sum(col("__c2")).as("__c1"))
+    // same hash-build discipline as lmScore: the reference model tables
+    // are corpus-derived (vocabulary-sized) and c2 is a checkpointed
+    // ExistingRDD with unreliable stats — never let the planner broadcast
+    // or sort-merge them against the target's per-occurrence stream.
     val model = c2
       .withColumn("__w1", substring_index(col("__pair"), " ", 1))
-      .join(c1, "__w1")
+      .join(c1.hint("shuffle_hash"), "__w1")
       .select(col("__pair"), expr("(__c2 * 1000000) div __c1").as("__p_ppm"))
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(graft.functions.AdjacentJoin(
           regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)), " ")).as("__pair"))
-      .join(model, Seq("__pair"), "left")
+      .join(model.hint("shuffle_hash"), Seq("__pair"), "left")
       .groupBy(idCol).agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("__p_ppm").isNull, 1L).otherwise(0L)).as("n_unseen"),

@@ -867,7 +867,10 @@ object Relational {
         .filter(col("na") < col("nb") && levenshtein(col("na"), col("nb")) <= 3)
         .select("src", "dst")
       val comp = Dedup.connectedComponents(edges, "src", "dst")
-      names.join(comp.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+      // catalog-sized checkpointed label table: hash-build, never
+      // broadcast (the q_lm_score hazard class)
+      names.join(comp.withColumnRenamed("node", "nid").hint("shuffle_hash"),
+          Seq("nid"), "left")
         .withColumn("cluster", coalesce(col("comp"), col("nid")))
         .groupBy("cluster")
         .agg(min("p_name").as("canonical"), count(lit(1)).as("n_names"),

@@ -1305,7 +1305,13 @@ object TextQueries {
       val comp = Dedup.connectedComponents(edges, "src", "dst")
       sig.unpersist()
       d.select(col("doc_id"))
-        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        // label re-attach hash-builds on the comp side: the label table is
+        // CORPUS-SIZED (one row per clustered node) and its checkpointed
+        // ExistingRDD stats are unreliable — left alone the planner
+        // broadcasts it (the q_lm_score hazard class; PlanAudit's
+        // checkpoint-broadcast sweep pins this repo-wide)
+        .join(comp.withColumnRenamed("node", "doc_id").hint("shuffle_hash"),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
         .orderBy("doc_id")
     },

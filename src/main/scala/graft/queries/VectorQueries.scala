@@ -88,7 +88,11 @@ object VectorQueries {
         .select(col("qid").as("src"), col("cand_id").as("dst"))
       val comp = graft.operators.Dedup.connectedComponents(pairs, "src", "dst")
       emb.select(col("vec_id"))
-        .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        // corpus-sized checkpointed label table: hash-build, never
+        // broadcast (the q_lm_score hazard class — see PlanAudit's
+        // checkpoint-broadcast sweep)
+        .join(comp.withColumnRenamed("node", "vec_id").hint("shuffle_hash"),
+          Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("component"))
         .orderBy("vec_id")
     },
