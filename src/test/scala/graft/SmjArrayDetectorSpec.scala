@@ -43,4 +43,37 @@ class SmjArrayDetectorSpec extends SparkTestBase {
     val pruned = a.hint("merge").join(b.hint("merge"), "id").select("id")
     assert(cols(pruned).isEmpty)
   }
+
+  // ---- broadcastOverRddScan (the r12 checkpoint-broadcast sweep) ----
+
+  private def bcast(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    PlanAudit.broadcastOverRddScan(df.queryExecution.sparkPlan)
+
+  test("broadcast build over a raw checkpointed table is flagged") {
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+      .localCheckpoint(true)
+    val flagged = bcast(big.join(broadcast(ck), "id"))
+    assert(flagged.nonEmpty, "a broadcast build whose subtree is a bare " +
+      "ExistingRDD scan (unreliable stats, corpus-sized in house usage) must flag")
+  }
+
+  test("an aggregate between the build and the checkpointed scan bounds it (clean)") {
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+      .localCheckpoint(true)
+    val bounded = ck.groupBy("id").agg(count(lit(1)).as("n"))
+    assert(bcast(big.join(broadcast(bounded), "id")).isEmpty)
+  }
+
+  test("hash-built and plain-shuffled joins over checkpointed tables are clean") {
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+      .localCheckpoint(true)
+    assert(bcast(big.join(ck.hint("shuffle_hash"), "id")).isEmpty)
+    assert(bcast(big.join(ck.hint("merge"), "id")).isEmpty)
+  }
 }
