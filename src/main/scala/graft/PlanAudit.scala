@@ -68,7 +68,14 @@ object PlanAudit {
   def smjArrayCols(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
     p.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-        j.output.filter(_.dataType
+        // inspect the CHILDREN's outputs, not j.output: the hazard is what
+        // the external sorter sorts, and a semi/anti/existence SMJ emits
+        // only its left side — an array on the sorted right side (a join
+        // key, or referenced only in the condition) never reaches j.output
+        // yet still pays rows × payload in the sorter (r12 review fix).
+        // Children outputs are post-pruning, so an array present there IS
+        // sorted — no false positives added.
+        (j.left.output ++ j.right.output).filter(_.dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
     }.flatten.distinct
 
@@ -84,11 +91,29 @@ object PlanAudit {
     * gathers, top-k picks) and is not flagged. Returns one description per
     * offending build; empty = clean. Public + unit-tested
     * (PlanAuditDetectorSpec family) because a global sweep hangs off it. */
-  def broadcastOverRddScan(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+  def broadcastOverRddScan(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    broadcastBuildsOverRddScan(p).map { case (kind, build) =>
+      s"$kind builds over ${build.nodeName}"
+    }
+
+  /** [[broadcastOverRddScan]]'s structured twin: the actual offending
+    * build subtrees, for the BcastFlagProbe adjudication tool — one
+    * detector, two renderings (a probe with its own copy of the walk
+    * would silently diverge from the sweep it debugs). */
+  def broadcastBuildsOverRddScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[(String, org.apache.spark.sql.execution.SparkPlan)] = {
     import org.apache.spark.sql.execution.SparkPlan
-    def bounded(n: SparkPlan): Boolean = {
-      val c = n.getClass.getSimpleName
-      c.contains("Aggregate") || c.contains("Limit") || c.contains("TakeOrdered")
+    // Only a GLOBAL aggregate (no grouping keys) or a limit/top-k provably
+    // bounds the broadcast relation. A KEYED aggregate is as big as its
+    // key cardinality — lmScore's own c1 = groupBy(__w1) is vocabulary-
+    // sized and grows with the corpus, exactly the hazard this sweep
+    // exists to pin (r12 review fix: 'contains("Aggregate")' passed it).
+    def bounded(n: SparkPlan): Boolean = n match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case _ =>
+        val c = n.getClass.getSimpleName
+        c.contains("Limit") || c.contains("TakeOrdered")
     }
     def reachesRawRddScan(n: SparkPlan): Boolean =
       if (bounded(n)) false
@@ -100,15 +125,13 @@ object PlanAudit {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
           case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
         }
-        if (reachesRawRddScan(build)) Seq(s"BroadcastHashJoin builds over ${build.nodeName}")
-        else Nil
+        if (reachesRawRddScan(build)) Seq(("BroadcastHashJoin", build)) else Nil
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
         val build = j.buildSide match {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
           case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
         }
-        if (reachesRawRddScan(build)) Seq(s"BroadcastNestedLoopJoin builds over ${build.nodeName}")
-        else Nil
+        if (reachesRawRddScan(build)) Seq(("BroadcastNestedLoopJoin", build)) else Nil
     }.flatten
   }
 
@@ -184,8 +207,8 @@ object PlanAudit {
       "Exchange hashpartitioning".r.findAllIn(p).size == 1)
     check("q_vocab", "vocab head = partial agg + bounded top-k, no global sort")(p =>
       p.contains("TakeOrderedAndProject") && p.contains("HashAggregate"))
-    check("q_pipeline_e2e", "whole preprocessing pass fuses to <=3 shuffles, no nested loop")(p =>
-      "Exchange hashpartitioning".r.findAllIn(p).size <= 3 &&
+    check("q_pipeline_e2e", "whole preprocessing pass fuses to <=4 shuffles (keep-join hash-builds since r12 — +1 exchange bought the corpus-sized digest broadcast's removal), no nested loop")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 4 &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     check("q_image_headers", "header parse codegen'd; scan prunes to doc_id only")(p =>
       !p.contains("ScalaUDF") && p.contains("ReadSchema: struct<doc_id:bigint>") &&
@@ -250,8 +273,8 @@ object PlanAudit {
     check("q_canonical_url", "canonicalization is a pure projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF") &&
         p.contains("ReadSchema: struct<doc_id:bigint>"))
-    check("q_text_clean", "boilerplate set broadcast; line drop is an anti-join, no nested loop")(p =>
-      p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
+    check("q_text_clean", "boilerplate drop is a HASH-BUILT anti-join (set is corpus-derived, never broadcast since r12), no nested loop")(p =>
+      p.contains("LeftAnti") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("ScalaUDF"))
     check("q_dedup_rate", "dup-rate report = digest projection + expand-based distinct agg, no join, no UDF")(p =>
@@ -746,7 +769,11 @@ object PlanAudit {
         "KMV sketch table — #sources x k longs by construction"),
       "q_ngram_colloc" -> ("the broadcast side is the k-row top-bigram table " +
         "1:1-joined against the unigram vocab — <= k rows by construction " +
-        "(the vocab scan in the subtree never exceeds the join's k-row bound)")
+        "(the vocab scan in the subtree never exceeds the join's k-row bound)"),
+      "q_dedup_ngram_auto" -> ("the flagged builds are dropHotBuckets' " +
+        "over-cap offender lists (Filter(__n > cap) over the keyed bucket " +
+        "count) — expected-empty skew guards, <= rows/cap keys worst case; " +
+        "the documented dropHotBuckets trade")
     )
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val bad = broadcastOverRddScan(qe(q).sparkPlan)

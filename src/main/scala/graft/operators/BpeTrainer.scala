@@ -320,7 +320,21 @@ object BpeTrainer {
       vocab = next
     }
 
+    // hard round budget (the house termination-bound rule, applied to this
+    // loop after it produced TWO non-termination bugs — r11 ADVICE's
+    // flat-count streak reset, and the r12 overflow/base-only cycle the
+    // patience fix reopened): the worst legitimate schedule pays at most
+    // ~3 jobs per merge (overflow + base-only + exact fallback) plus
+    // bootstrap slack, so exceeding 4x the merge budget is a bug and must
+    // fail LOUDLY instead of re-running counting jobs forever.
+    val maxRounds = 4 * numMerges + 16
     while (rank <= numMerges && !exhausted) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"graft.BpeTrainer: $rounds counting rounds for ${rank - 1} " +
+            s"confirmed merges (budget $maxRounds for $numMerges) — the " +
+            "speculate-verify loop is not progressing; this is a bug in " +
+            "the streak/fallback guards, not a data problem")
       val depth = math.min(SpecDepth, numMerges - rank + 1)
       val specNow = spec.take(depth)
       val rows = vocab
@@ -340,7 +354,16 @@ object BpeTrainer {
       val (deltaRows, baseRows) = rows.partition(_.getInt(0) > 0)
       if (deltaRows.nonEmpty && baseRows.isEmpty) {
         // delta overflow crowded out the base table entirely: retry the
-        // round unspeculated (base-only; cannot recurse — no deltas)
+        // round unspeculated (base-only; cannot recurse — no deltas).
+        // An overflow IS a speculated zero-confirm round and must count
+        // toward the fallback streak: the retry's base-only state feeds
+        // simulate() the same inputs, so it re-derives the SAME
+        // overflowing spec — without the streak the cycle
+        // overflow -> base-only -> identical spec -> overflow never
+        // terminates (the bootstrap-rounds-don't-count patience rule
+        // alone reopened exactly that loop; caught by BpeTrainerSpec's
+        // cut-window suite hanging).
+        zeroStreak += 1
         spec = Nil
         if (debug) System.err.println(s"[bpe] round $rounds: delta overflow, retrying base-only")
       } else if (baseRows.isEmpty) {
@@ -429,13 +452,22 @@ object BpeTrainer {
           s"[bpe] round $rounds: confirmed ${confirmed.size}/${specNow.length} " +
             s"(pending ${pending.size}, horizon $horizon)")
 
-        // A zero-confirm round counts toward the fallback streak whether
-        // or not anything was speculated: an empty speculation list
-        // (simulate() starved by the horizon) would otherwise re-run an
-        // identical counting job forever with the streak resetting —
-        // non-termination on flat-count corpora where every collected
-        // count ties at the horizon (near-unique-token text).
-        if (confirmed.isEmpty) zeroStreak += 1 else zeroStreak = 0
+        // Streak bookkeeping, by round kind:
+        //  - speculated round, zero confirms  -> streak += 1
+        //  - speculated round, any confirm    -> streak = 0
+        //  - UNSPECULATED round (specNow empty: the bootstrap right after
+        //    a fallback or a delta-overflow retry) -> streak UNCHANGED.
+        //    It cannot confirm by construction, so counting it would
+        //    halve the speculation patience after every fallback (pay a
+        //    second exact job where one knownNext-seeded retry belongs);
+        //    but RESETTING on it is the r11 non-termination (the streak
+        //    never reached 2 on flat-count corpora). The termination
+        //    guarantee instead lives below: a starved simulate() (empty
+        //    spec, no known next) escalates straight to the exact
+        //    fallback, so no state can loop the identical counting job.
+        if (specNow.nonEmpty) {
+          if (confirmed.isEmpty) zeroStreak += 1 else zeroStreak = 0
+        }
         if (zeroStreak < 2 && rank <= numMerges) {
           // ---- next round's speculation: heuristic greedy simulation on
           // the verified end-state counts + (stale) base triples ----

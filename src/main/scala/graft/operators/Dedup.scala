@@ -699,14 +699,27 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bh"))
 
-  /** Measurement seam (LshDupProbe): the raw band-join candidate stream
-    * BEFORE pair dedup — quantifies the band-duplication factor a
-    * min-band emission rule would remove. Not a query path. */
-  private[graft] def bandJoinRawForProbe(
-      docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
-    val sigs = lshSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
-      .repartition(col("doc"))
+  /** The raw band-bucket candidate stream (BEFORE pair dedup), shared by
+    * [[minhashLshPairs]] and the LshDupProbe measurement seam so the probe
+    * always measures the production plan shape — a private copy here
+    * already once adjudicated an optimization (the min-band rejection)
+    * and must not drift.
+    *
+    * The band self-join is pinned SORT-MERGE: the banded table is
+    * CORPUS-SIZED (docs × bands) with misleading size estimates (Generate
+    * under-counts the explode; the Auto route's input is additionally a
+    * checkpointed ExistingRDD), so left alone the planner BROADCASTS a
+    * whole banded side — measured 277 MiB per task at x30 and linear in
+    * corpus, the q_lm_score hazard class (PlanAudit's checkpoint-
+    * broadcast sweep pins the route). Among the bounded-memory shapes,
+    * merge beats shuffle_hash here (x30 warm 4.3 vs 7.1 s measured): the
+    * sorted rows are slim 20-byte (doc, band, bh) triples — no array
+    * payload, so the SMJ-array rule doesn't apply — and the external
+    * sort costs less than hash-probing hot buckets. The broadcast shape's
+    * remaining edge (3.6 s) was its even, doc-partitioned pair emission —
+    * paid for with an unbounded per-task relation; rejected. */
+  private def bandPairsRaw(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
     val banded = dropHotBuckets(
       lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
     banded.as("l").join(banded.as("r").hint("merge"),
@@ -714,6 +727,17 @@ object Dedup {
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
   }
+
+  /** Measurement seam (LshDupProbe): [[bandPairsRaw]] over freshly built
+    * signatures — quantifies the band-duplication factor a min-band
+    * emission rule would remove. Not a query path. */
+  private[graft] def bandJoinRawForProbe(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame =
+    bandPairsRaw(
+      lshSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
+        .repartition(col("doc")),
+      bands, rowsPerBand, maxBucket)
 
   def minhashLshPairs(
       docs: DataFrame,
@@ -733,25 +757,7 @@ object Dedup {
     // extra slim shuffle is far cheaper than re-scanning the corpus.
     val sigs = lshSignatures(docs, idCol, textCol, k, perms)
       .repartition(col("doc"))
-    val banded = dropHotBuckets(
-      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
-    // the band self-join is pinned SORT-MERGE: the banded table is
-    // CORPUS-SIZED (docs × bands) with misleading size estimates (Generate
-    // under-counts the explode; the Auto route's input is additionally a
-    // checkpointed ExistingRDD), so left alone the planner BROADCASTS a
-    // whole banded side — measured 277 MiB per task at x30 and linear in
-    // corpus, the q_lm_score hazard class (PlanAudit's checkpoint-
-    // broadcast sweep pins the route). Among the bounded-memory shapes,
-    // merge beats shuffle_hash here (x30 warm 4.3 vs 7.1 s measured): the
-    // sorted rows are slim 20-byte (doc, band, bh) triples — no array
-    // payload, so the SMJ-array rule doesn't apply — and the external
-    // sort costs less than hash-probing hot buckets. The broadcast shape's
-    // remaining edge (3.6 s) was its even, doc-partitioned pair emission —
-    // paid for with an unbounded per-task relation; rejected.
-    val pairs = banded.as("l").join(banded.as("r").hint("merge"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
+    val pairs = bandPairsRaw(sigs, bands, rowsPerBand, maxBucket)
       .dropDuplicates("doc1", "doc2")
     // signatures re-attach AFTER pair dedup via two hash joins against the
     // doc-sized signature table (its exchange is built once and reused):

@@ -161,7 +161,9 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("__n"))
     val df = toks.groupBy("token").agg(countDistinct(col("__doc")).as("df"))
     val tf = toks.groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
-    val scored = tf.join(df, "token").crossJoin(n)
+    // df is VOCABULARY-sized (grows with the corpus): hash-build it on
+    // the token key, never broadcast (q_lm_score hazard class)
+    val scored = tf.join(df.hint("shuffle_hash"), "token").crossJoin(n)
       .select(col(groupCol), col("token"), col("tf"), col("df"),
         expr("tf * ((__n * 1000000) div df)").as("score_ppm"))
     scored
@@ -422,10 +424,12 @@ object TextAnalysis {
     *
     * Scale shape: the line explode is linear in corpus size; the line
     * document-frequency aggregate has map-side combine; the boilerplate
-    * set (lines with df > threshold) is TINY by construction — Zipf head —
-    * so it broadcast-anti-joins against the line table and the only
-    * corpus-sized shuffle is the per-doc reassembly. Output keeps every
-    * input document (all-boilerplate docs come back as the empty string).
+    * set (lines with df > threshold) is Zipf-head-SHAPED but still
+    * corpus-derived — at 100 TB every common sentence qualifies, so the
+    * anti-join hash-builds one partition of it per task rather than
+    * broadcasting (r12; the corpus-sized shuffles are the line table and
+    * the per-doc reassembly). Output keeps every input document
+    * (all-boilerplate docs come back as the empty string).
     *
     * Returns (idCol, text_clean, n_lines_kept, n_lines_dropped). */
   def clean(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
@@ -445,7 +449,12 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") > maxLineDf)
       .select("__line")
-    val kept = lines.join(broadcast(boiler), Seq("__line"), "left_anti")
+    // hash-build the boilerplate side, never broadcast: "tiny Zipf head"
+    // holds on a small corpus, but at 100 TB the set of lines appearing
+    // in > maxLineDf docs is itself vocabulary-scale (every common
+    // sentence qualifies) — a corpus-derived broadcast, the q_lm_score
+    // hazard class (r12 checkpoint-broadcast sweep catch)
+    val kept = lines.join(boiler.hint("shuffle_hash"), Seq("__line"), "left_anti")
     val reassembled = kept.groupBy(idCol).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
@@ -456,7 +465,9 @@ object TextAnalysis {
     // text_clean = '' with n_lines_dropped = NULL, conflating an upstream
     // decode failure with a legitimately all-boilerplate doc AND breaking
     // kept+dropped accounting (sum over a null silently skips the row)
-    norm.join(reassembled, Seq(idCol), "left")
+    // reassembled is PER-DOC with full cleaned text — corpus-sized, so the
+    // keep-every-doc join hash-builds instead of broadcasting it
+    norm.join(reassembled.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         when(col("__t").isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("__clean"), lit(""))).as("text_clean"),
@@ -607,7 +618,11 @@ object TextAnalysis {
       .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
       .select(col("__d"), col("__first").getField(idCol).as("__kid"),
         col("__first").getField("__pos").as("__kpos"))
-    val kept = lines.join(keeper, "__d")
+    // keeper is per-DISTINCT-LINE (corpus-vocabulary-sized) and
+    // reassembled is per-DOC with full deduped text (corpus-sized):
+    // hash-build both join-backs, never broadcast (the q_lm_score hazard
+    // class — r12 checkpoint-broadcast sweep catch)
+    val kept = lines.join(keeper.hint("shuffle_hash"), "__d")
       .filter(col(idCol) === col("__kid") && col("__pos") === col("__kpos"))
     val reassembled = kept.groupBy(idCol).agg(
       array_join(transform(
@@ -615,7 +630,7 @@ object TextAnalysis {
         s => s.getField("__line")), sep).as("__dedup"),
       count(lit(1)).as("__kept"))
     lines.groupBy(idCol).agg(count(lit(1)).as("__total"))
-      .join(reassembled, Seq(idCol), "left")
+      .join(reassembled.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__dedup"), lit("")).as("text_dedup"),
         coalesce(col("__kept"), lit(0L)).as("n_lines_kept"),

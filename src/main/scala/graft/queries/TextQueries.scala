@@ -510,8 +510,10 @@ object TextQueries {
         md5(col("text").cast("binary")).as("digest"))
         .localCheckpoint(true)
       val filtered = scored.filter(col("q") >= 400000L && col("lang_pred") =!= "und")
+      // keep is per-DISTINCT-DIGEST (corpus-sized): hash-build the
+      // keep-join, never broadcast (q_lm_score hazard class)
       val keep = filtered.groupBy("digest").agg(min("doc_id").as("doc_id"))
-      val kept = filtered.join(keep, Seq("digest", "doc_id"))
+      val kept = filtered.join(keep.hint("shuffle_hash"), Seq("digest", "doc_id"))
       Corpus.withSplit(kept, "doc_id")
         .groupBy("split", "lang_pred")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))

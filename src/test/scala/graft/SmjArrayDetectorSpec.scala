@@ -59,13 +59,27 @@ class SmjArrayDetectorSpec extends SparkTestBase {
       "ExistingRDD scan (unreliable stats, corpus-sized in house usage) must flag")
   }
 
-  test("an aggregate between the build and the checkpointed scan bounds it (clean)") {
+  test("a GLOBAL aggregate or a limit between the build and the checkpointed scan bounds it (clean)") {
     import spark.implicits._
     val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
       .localCheckpoint(true)
-    val bounded = ck.groupBy("id").agg(count(lit(1)).as("n"))
-    assert(bcast(big.join(broadcast(bounded), "id")).isEmpty)
+    val globalAgg = ck.agg(max("id").as("id")) // 1 row by construction
+    assert(bcast(big.join(broadcast(globalAgg), "id")).isEmpty)
+    val limited = ck.limit(5)
+    assert(bcast(big.join(broadcast(limited), "id")).isEmpty)
+  }
+
+  test("a KEYED aggregate does NOT bound the build (as big as its key cardinality)") {
+    // the r12 review's false-negative: lmScore's own c1 = groupBy(__w1)
+    // is vocabulary-sized and grows with the corpus — 'any aggregate
+    // bounds' would have blessed the exact hazard the sweep exists for
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+      .localCheckpoint(true)
+    val keyed = ck.groupBy("id").agg(count(lit(1)).as("n"))
+    assert(bcast(big.join(broadcast(keyed), "id")).nonEmpty)
   }
 
   test("hash-built and plain-shuffled joins over checkpointed tables are clean") {

@@ -23,9 +23,16 @@ object LshDupProbe {
     val docs = graft.Tables(spark, dir, "documents")
     // the auto query's hot leg: lang blocks above cap 100 -> minhash over
     // those docs with bucket cap 8*100
+    // NULL-SAFE split, matching Dedup.splitByHotBlocks' <=> semantics (a
+    // NULL lang is a real block there — a plain isin never matches NULL
+    // and would silently drop a hot null-lang block from the probe while
+    // the real Auto route LSHes it)
     val hotLangs = docs.groupBy("lang").count().filter(col("count") > 100)
-      .select("lang").collect().map(_.getString(0)).toSet
-    val hot = docs.filter(col("lang").isin(hotLangs.toSeq: _*))
+      .select("lang").collect().map(r => Option(r.getString(0))).toSet
+    val nonNull = hotLangs.flatten.toSeq
+    val base = if (nonNull.nonEmpty) col("lang").isin(nonNull: _*) else lit(false)
+    val hot = docs.filter(
+      if (hotLangs.contains(None)) base || col("lang").isNull else base)
     println(s"[probe] hot langs: ${hotLangs.size}, hot docs: ${hot.count()}")
     val raw = graft.operators.Dedup.bandJoinRawForProbe(
       hot, "doc_id", "text", k = 3, bands = 16, rowsPerBand = 4, maxBucket)
