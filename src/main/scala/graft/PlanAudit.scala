@@ -93,7 +93,12 @@ object PlanAudit {
     * (PlanAuditDetectorSpec family) because a global sweep hangs off it. */
   def broadcastOverRddScan(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
     broadcastBuildsOverRddScan(p).map { case (kind, build) =>
-      s"$kind builds over ${build.nodeName}"
+      // output column names make the description DISCRIMINATIVE: the
+      // allowlist in main() matches these against a per-entry pattern, so
+      // a NEW corpus-sized broadcast appearing in an allowlisted query
+      // fails its row instead of hiding behind the documented one (r12
+      // ADVICE — bad.nonEmpty alone masked exactly that).
+      s"$kind builds over ${build.nodeName}[${build.output.map(_.name).mkString(",")}]"
     }
 
   /** [[broadcastOverRddScan]]'s structured twin: the actual offending
@@ -735,12 +740,21 @@ object PlanAudit {
     // RDD-lift rule in PLANS.md (expose the subplan as a seam + a
     // dedicated audit row, as spanGramScan does). Same ratchet as the
     // window sweep: an allowlisted query must still exhibit the pattern.
-    val smjArrayAllowlist = Map.empty[String, String]
+    // Allowlist entries are (reason, pattern): the row passes only when
+    // the documented pattern still fires AND every flag matches it — a
+    // NEW, unrelated hazard in an allowlisted query fails the row with
+    // the unexpected flags printed, instead of hiding behind the
+    // documented one (r12 ADVICE: bad.nonEmpty alone masked that).
+    val smjArrayAllowlist = Map.empty[String, (String, String)]
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val bad = smjArrayCols(qe(q).sparkPlan)
       smjArrayAllowlist.get(q) match {
-        case Some(reason) =>
-          println(f"AUDIT ${if (bad.nonEmpty) "PASS" else "FAIL"}%-4s $q%-18s SMJ-array allowlist entry still needed ($reason)")
+        case Some((reason, pattern)) =>
+          val rx = pattern.r
+          val unexpected = bad.filterNot(c => rx.pattern.matcher(c).matches())
+          val ok = bad.nonEmpty && unexpected.isEmpty
+          println(f"AUDIT ${if (ok) "PASS" else "FAIL"}%-4s $q%-18s SMJ-array allowlist: documented pattern only ($reason)" +
+            (if (unexpected.isEmpty) "" else s" (UNEXPECTED sorted arrays: ${unexpected.mkString(", ")})"))
         case None =>
           println(f"AUDIT ${if (bad.isEmpty) "PASS" else "FAIL"}%-4s $q%-18s global sweep: no SortMergeJoin carrying array payload columns" +
             (if (bad.isEmpty) "" else s" (sorted arrays: ${bad.mkString(", ")})"))
@@ -754,32 +768,46 @@ object PlanAudit {
     // (q_lm_score's 1.36 GiB/task at x30, this sweep's motivating catch).
     // Aggregates/limits between the build and the scan bound the
     // broadcast and pass. Allowlist = builds bounded by an explicit
-    // branch/cap at the call site, ratchet discipline as above.
+    // branch/cap at the call site, ratchet discipline as above — and each
+    // entry carries the PATTERN of the documented builds (matched against
+    // the detector's nodeName[output-cols] description), so the entry
+    // blesses only the documented broadcast: a new corpus-sized build
+    // appearing in an allowlisted query fails its row (r12 ADVICE).
     val bcastRddAllowlist = Map(
-      "q_window_scaled" -> ("lag self-equi-join broadcasts the materialized " +
+      "q_window_scaled" -> (("lag self-equi-join broadcasts the materialized " +
         "rank table only under the same bounded-input breadth-demo contract " +
         "as its Window twin (10k rows by construction)"),
-      "q_shortest_path" -> ("the broadcast side is the checkpointed " +
+        """BroadcastHashJoin builds over Project\[event_type,(lv|fv|nth3)\]"""),
+      "q_shortest_path" -> (("the broadcast side is the checkpointed " +
         "TRANSITION graph — aggregated to <= |event_types|^2 (= 25) rows " +
         "BEFORE the checkpoint, so the bound sits outside the build subtree"),
-      "q_contamination_bloom" -> ("the broadcast side is the checkpointed " +
+        """BroadcastHashJoin builds over Scan ExistingRDD\[src,dst,w\]"""),
+      "q_contamination_bloom" -> (("the broadcast side is the checkpointed " +
         "EVAL gram table — bounded by the decontamination contract (eval " +
         "sets are small; the corpus-sized train side only ever streams)"),
-      "q_kmv_overlap" -> ("the broadcast side is the checkpointed per-source " +
+        """BroadcastHashJoin builds over Filter\[g\]"""),
+      "q_kmv_overlap" -> (("the broadcast side is the checkpointed per-source " +
         "KMV sketch table — #sources x k longs by construction"),
-      "q_ngram_colloc" -> ("the broadcast side is the k-row top-bigram table " +
+        """BroadcastNestedLoopJoin builds over Filter\[source,sk\]"""),
+      "q_ngram_colloc" -> (("the broadcast side is the k-row top-bigram table " +
         "1:1-joined against the unigram vocab — <= k rows by construction " +
         "(the vocab scan in the subtree never exceeds the join's k-row bound)"),
-      "q_dedup_ngram_auto" -> ("the flagged builds are dropHotBuckets' " +
+        """BroadcastHashJoin builds over Project\[bigram,c_xy,w2,c_x\]"""),
+      "q_dedup_ngram_auto" -> (("the flagged builds are dropHotBuckets' " +
         "over-cap offender lists (Filter(__n > cap) over the keyed bucket " +
         "count) — expected-empty skew guards, <= rows/cap keys worst case; " +
-        "the documented dropHotBuckets trade")
+        "the documented dropHotBuckets trade"),
+        """BroadcastHashJoin builds over Project\[band,bh\]""")
     )
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val bad = broadcastOverRddScan(qe(q).sparkPlan)
       bcastRddAllowlist.get(q) match {
-        case Some(reason) =>
-          println(f"AUDIT ${if (bad.nonEmpty) "PASS" else "FAIL"}%-4s $q%-18s checkpoint-broadcast allowlist entry still needed ($reason)")
+        case Some((reason, pattern)) =>
+          val rx = pattern.r
+          val unexpected = bad.filterNot(d => rx.pattern.matcher(d).matches())
+          val ok = bad.nonEmpty && unexpected.isEmpty
+          println(f"AUDIT ${if (ok) "PASS" else "FAIL"}%-4s $q%-18s checkpoint-broadcast allowlist: documented pattern only ($reason)" +
+            (if (unexpected.isEmpty) "" else s" (UNEXPECTED: ${unexpected.mkString("; ")})"))
         case None =>
           println(f"AUDIT ${if (bad.isEmpty) "PASS" else "FAIL"}%-4s $q%-18s global sweep: no broadcast build over a raw checkpointed-RDD scan" +
             (if (bad.isEmpty) "" else s" (${bad.mkString("; ")})"))

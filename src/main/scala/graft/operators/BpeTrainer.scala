@@ -293,6 +293,7 @@ object BpeTrainer {
     var spec: Seq[(String, String)] = Nil
     var rank = 1
     var rounds = 0
+    var overflowRounds = 0
     var actions = 0
     var zeroStreak = 0
     var exhausted = false
@@ -323,18 +324,30 @@ object BpeTrainer {
     // hard round budget (the house termination-bound rule, applied to this
     // loop after it produced TWO non-termination bugs — r11 ADVICE's
     // flat-count streak reset, and the r12 overflow/base-only cycle the
-    // patience fix reopened): the worst legitimate schedule pays at most
-    // ~3 jobs per merge (overflow + base-only + exact fallback) plus
-    // bootstrap slack, so exceeding 4x the merge budget is a bug and must
-    // fail LOUDLY instead of re-running counting jobs forever.
+    // patience fix reopened): the worst legitimate NON-overflow schedule
+    // pays at most ~4 counting rounds per merge (bootstrap + base-only +
+    // fallback's pair of jobs) plus bootstrap slack, so exceeding 4x the
+    // merge budget is a bug and must fail LOUDLY instead of re-running
+    // counting jobs forever. Delta-OVERFLOW rounds are counted SEPARATELY
+    // and excluded from the budget (r12 ADVICE): a pathological corpus
+    // whose simulate() persistently derives overflowing specs is making
+    // legitimate progress through a sustained overflow -> base-only ->
+    // confirm schedule (~6 rounds/merge) and must not trip the "this is a
+    // bug" error. Overflow rounds cannot loop unboundedly on their own:
+    // each increments the zero-confirm streak and resets spec, so two
+    // consecutive speculated non-progress rounds always escalate to the
+    // guaranteed-progress exact fallback — overflowRounds is bounded by
+    // the counted rounds + 1 (an overflow is always followed by a counted
+    // base-only round), keeping total rounds <= 2*budget + 1.
     val maxRounds = 4 * numMerges + 16
     while (rank <= numMerges && !exhausted) {
-      if (rounds >= maxRounds)
+      if (rounds - overflowRounds >= maxRounds)
         throw new IllegalStateException(
-          s"graft.BpeTrainer: $rounds counting rounds for ${rank - 1} " +
-            s"confirmed merges (budget $maxRounds for $numMerges) — the " +
-            "speculate-verify loop is not progressing; this is a bug in " +
-            "the streak/fallback guards, not a data problem")
+          s"graft.BpeTrainer: ${rounds - overflowRounds} non-overflow " +
+            s"counting rounds (+$overflowRounds overflow retries) for " +
+            s"${rank - 1} confirmed merges (budget $maxRounds for " +
+            s"$numMerges) — the speculate-verify loop is not progressing; " +
+            "this is a bug in the streak/fallback guards, not a data problem")
       val depth = math.min(SpecDepth, numMerges - rank + 1)
       val specNow = spec.take(depth)
       val rows = vocab
@@ -364,6 +377,7 @@ object BpeTrainer {
         // alone reopened exactly that loop; caught by BpeTrainerSpec's
         // cut-window suite hanging).
         zeroStreak += 1
+        overflowRounds += 1
         spec = Nil
         if (debug) System.err.println(s"[bpe] round $rounds: delta overflow, retrying base-only")
       } else if (baseRows.isEmpty) {

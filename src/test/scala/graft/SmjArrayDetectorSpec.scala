@@ -82,6 +82,20 @@ class SmjArrayDetectorSpec extends SparkTestBase {
     assert(bcast(big.join(broadcast(keyed), "id")).nonEmpty)
   }
 
+  test("flag descriptions carry the build's output columns — the allowlist patterns match on them") {
+    // PlanAudit.main's allowlists bless ONLY the documented build (r12
+    // ADVICE: a bare nonEmpty check masked new hazards); that only works
+    // while the description stays `kind builds over node[col,col,...]`.
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+      .localCheckpoint(true)
+    val flagged = bcast(big.join(broadcast(ck), "id"))
+    assert(flagged.nonEmpty &&
+      flagged.forall(_.matches("""BroadcastHashJoin builds over .*\[id,w\]""")),
+      s"description format drifted — allowlist patterns would stop matching: $flagged")
+  }
+
   test("hash-built and plain-shuffled joins over checkpointed tables are clean") {
     import spark.implicits._
     val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")

@@ -19,7 +19,9 @@ object BcastFlagProbe {
     args.drop(1).foreach { q =>
       val p = graft.SparkEntry.queries(q)(spark, args(0)).queryExecution.sparkPlan
       graft.PlanAudit.broadcastBuildsOverRddScan(p).foreach { case (kind, build) =>
-        println(s"=== $q: $kind builds:")
+        // first line = the sweep's exact description (what an allowlist
+        // pattern must match), then the subtree for adjudication
+        println(s"=== $q: $kind builds over ${build.nodeName}[${build.output.map(_.name).mkString(",")}]")
         println(build.treeString.split("\n").take(8).mkString("\n"))
       }
     }

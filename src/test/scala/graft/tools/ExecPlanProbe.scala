@@ -16,7 +16,13 @@ object ExecPlanProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(args(1))(spark, args(0))
-    df.count()
+    // Execute THIS QueryExecution, not a derived one: df.count() builds a
+    // separate QueryExecution (groupBy().count()), leaving
+    // df.queryExecution's AdaptiveSparkPlanExec un-executed — the print
+    // below would show the INITIAL adaptive plan (isFinalPlan=false),
+    // i.e. exactly what PlanProbe already shows (r12 ADVICE). Driving the
+    // plan's own toRdd forces AQE to re-plan and finalize every stage.
+    df.queryExecution.toRdd.foreachPartition(_ => ())
     val p = df.queryExecution.executedPlan.toString
     println(p.split("\n").filter(l =>
       l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate") ||
