@@ -298,6 +298,9 @@ object PlanAudit {
     check("q_dedup_ngram_auto", "Auto route: cool-block exact pairs UNION hot-block LSH-verified pairs, equi-joins only, never nested-loop")(p =>
       p.contains("Union") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
+    check("q_dedup_auto_clusters", "cluster route: linear doc->cluster output joins the truncated CC label table hash-built, never nested-loop")(p =>
+      p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     check("q_html_extract", "HTML extraction is a pure chained-regex projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))
     check("q_filter_report", "filter cascade = one kernel projection, count agg + source-share window, <=2 shuffles")(p =>

@@ -739,6 +739,114 @@ object Dedup {
         .repartition(col("doc")),
       bands, rowsPerBand, maxBucket)
 
+  /** Star-edge emission over the LSH band buckets — the LINEAR candidate
+    * shape for CLUSTER output: each doc contributes one edge per band to
+    * its bucket's MIN doc (`doc -> bucket-min`), so a bucket of n members
+    * emits n−1 edges where the pair join emits C(n,2). The star edges'
+    * transitive closure over a bucket equals the pair join's closure
+    * whenever bucket members that belong together verify against the
+    * bucket min (always true for mutual near-dup mega-clusters — the case
+    * that makes pair output quadratic); see [[autoClusters]] for the
+    * recall boundary when they don't. Same bucket-cap discipline as
+    * [[bandPairsRaw]]; the per-bucket min is a window over the capped
+    * (band, bh) key — partition size is bounded by `maxBucket`, so the
+    * in-partition sort can never become a hot-key wall. */
+  private def bandStarEdges(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = dropHotBuckets(
+      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
+    banded
+      .withColumn("__m", min(col("doc")).over(
+        Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("doc") =!= col("__m"))
+      .select(col("__m").as("doc1"), col("doc").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+  }
+
+  /** CLUSTER emission for the Auto dedup route — the output contract
+    * production dedup consumes at 100 TB. The pair routes' declared
+    * output is the full qualifying pair list, which is C(n,2) inside a
+    * mega-cluster (measured 16 GiB of x30 sorter spill on
+    * q_dedup_ngram_auto — inherent to that contract, not to the plan);
+    * keep-best only ever needs `doc -> cluster-min`, a LINEAR object.
+    * This operator never materializes all-pairs anywhere:
+    *
+    *  - cool blocks (population <= `maxBlockPopulation`) keep the exact
+    *    demo pair plan — bounded at C(cap, 2) per block by construction;
+    *  - hot blocks route through [[bandStarEdges]]: <= `bands` candidate
+    *    edges per doc (each to its band bucket's min), same-block
+    *    restricted, then EXACT-verified with the caller's k/threshold —
+    *    every edge that enters the closure is a true qualifying pair, so
+    *    clusters can never over-merge relative to the pair route;
+    *  - the union feeds [[connectedComponents]]; every input doc gets a
+    *    row, singletons labeled by themselves.
+    *
+    * Recall boundary (the one semantic difference from CC over the pair
+    * route, documented not hidden): a hot-block pair (B, C) can fail to
+    * link if in EVERY band bucket B and C share, the bucket min A is
+    * near-dup to neither (star edges (A,B), (A,C) fail verify and (B,C)
+    * is never tested). Mutual near-dup clusters — the mega-cluster case
+    * this operator exists for — always link: every member verifies
+    * against the bucket min, which is itself a member. Elsewhere the
+    * multi-band redundancy applies (a miss needs a foreign min in ALL
+    * `bands` shared buckets); the residual is the same bounded-recall
+    * trade the Auto pair route already makes inside capped buckets.
+    *
+    * Returns (doc, cluster) with cluster = min doc id of the component.
+    * Rows-only semantics (xxhash64 candidate generation + iterative CC);
+    * PipelineOpsSpec pins cluster-set equality with CC-over-pairs. */
+  def autoClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      k: Int,
+      minPpm: Long,
+      packedAscii: Boolean = true,
+      maxBlockPopulation: Long = 10000L,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    // one slim materialization for the route's many consumers — the
+    // ngramJaccardPairs Auto discipline
+    val slim = docs
+      .select((idCol +: textCol +: blockCols).distinct.map(col): _*)
+      .localCheckpoint(true)
+    val hotKeys = hotBlockKeys(slim.select(blockCols.map(col): _*),
+      blockCols, maxBlockPopulation, "autoClusters")
+    val (cool, hotDocs) = splitByHotBlocks(slim, blockCols, hotKeys)
+    // cap disabled: the split above already bounds every cool block
+    val coolPairs = ngramJaccardPairs(cool, idCol, textCol, blockCols, k,
+      minPpm, packedAscii, Long.MaxValue).select("doc1", "doc2")
+    val edges =
+      if (hotKeys.isEmpty) coolPairs
+      else {
+        // signatures over the CALLER's k (the Auto route rule: the
+        // generator must estimate the measure being verified)
+        val sigs = lshSignatures(hotDocs, idCol, textCol, k,
+          bands * rowsPerBand).repartition(col("doc"))
+        val star = sameBlockPairs(
+          bandStarEdges(sigs, bands, rowsPerBand,
+            autoBucketCap(maxBlockPopulation)),
+          hotDocs, idCol, blockCols)
+        // verification volume is LINEAR (<= bands edges per doc), so the
+        // pair route's signature-estimate prefilter buys nothing here —
+        // the exact verify runs directly on the star edges
+        coolPairs.unionByName(
+          exactVerifyPairs(hotDocs, idCol, textCol, star, k, minPpm,
+            containment = false, packedAscii = packedAscii)
+            .select("doc1", "doc2"))
+      }
+    val labels = connectedComponents(edges, "doc1", "doc2")
+    // label re-attach hash-builds: the label table is corpus-sized with
+    // unreliable checkpointed-RDD stats (the q_lm_score hazard class)
+    slim.select(col(idCol).as("doc"))
+      .join(labels.withColumnRenamed("node", "doc").hint("shuffle_hash"),
+        Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("comp"), col("doc")).as("cluster"))
+  }
+
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,

@@ -1348,6 +1348,22 @@ object TextQueries {
         .orderBy("doc1", "doc2")
     },
 
+    // The LINEAR-output twin of q_dedup_ngram_auto: production dedup
+    // consumes clusters (keep-best needs doc -> cluster-min), not the
+    // C(n,2) pair list that makes mega-cluster output quadratic (16 GiB
+    // x30 sorter spill measured on the pair contract). Hot blocks emit
+    // <= bands star edges per doc (each to its band bucket's min),
+    // exact-verified with the same k/threshold, then connected
+    // components. Same block cap as the pair twin so both legs exercise.
+    // Rows-only (xxhash64 + iterative CC); PipelineOpsSpec pins
+    // cluster-set equality with CC over the pair route's output.
+    "q_dedup_auto_clusters" -> { (s, dir) =>
+      Dedup.autoClusters(Tables(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang"), k = 3, minPpm = 800000L,
+        maxBlockPopulation = 100L)
+        .orderBy("doc")
+    },
+
     // Scale-safe exact near-dup: LSH candidates → exact Jaccard verify
     // (rows-only: xxhash64 candidate gen; PipelineOpsSpec proves the pair
     // set ⊇ the blocked-all-pairs set with identical exact scores). The

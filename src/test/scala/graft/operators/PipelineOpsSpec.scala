@@ -389,6 +389,63 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rootMsg(e).contains("maxBlockPopulation"))
   }
 
+  test("autoClusters: cluster sets equal CC over the pair route (hot mutual-dup " +
+    "mega-clusters + cool exact pairs + singletons); every doc labeled once") {
+    import org.apache.spark.sql.functions._
+    // hot block (blk=0, 60 docs > cap 20): TWO disjoint mutual near-dup
+    // groups — the mega-cluster case whose pair output is C(n,2) — plus
+    // unrelated noise docs that must stay singletons. cool block (blk=1,
+    // under cap): one exact near-dup pair + a singleton.
+    val hotA = (1L to 30L).map(i =>
+      i -> ("the quick brown fox jumps over the lazy dog again and again " +
+        s"with shared boilerplate marker ${i % 2}"))
+    val hotB = (31L to 60L).map(i =>
+      i -> ("an entirely different second mega cluster about spark physical " +
+        s"plans and shuffle exchanges variant ${i % 2}"))
+    val hotNoise = (201L to 205L).map(i =>
+      i -> s"unrelated hot-block text q$i r$i s$i t$i u$i v$i w$i x$i y$i z$i")
+    val coolTexts = Seq(
+      301L -> "completely different cool-block document about parquet files",
+      302L -> "completely different cool-block document about parquet files",
+      303L -> "a cool-block singleton matching nothing else in this corpus")
+    val docs = docsDf(hotA ++ hotB ++ hotNoise ++ coolTexts: _*)
+      .withColumn("blk", when(col("doc_id") <= 205L, lit(0)).otherwise(lit(1)))
+    // truth pairs: the uncapped demo plan (proven equal to the Auto route
+    // by the pair-route spec above); reference clusters via an
+    // INDEPENDENT driver-side union-find with min representatives
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+      k = 3, minPpm = 900000L, maxBlockPopulation = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = (hotA ++ hotB ++ hotNoise ++ coolTexts).map(_._1)
+    val parent = scala.collection.mutable.Map(allIds.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    truth.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val expected = allIds.map(i => i -> find(i)).toMap
+    assert(expected.values.toSet.size < allIds.size &&
+      expected(1L) == expected(30L) && expected(31L) == expected(60L) &&
+      expected(1L) != expected(31L) && expected(301L) == expected(302L),
+      "test corpus must produce two hot mega-clusters and one cool pair")
+    val got = Dedup.autoClusters(docs, "doc_id", "text", Seq("blk"),
+      k = 3, minPpm = 900000L, maxBlockPopulation = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == allIds.toSet, "every input doc labeled exactly once")
+    assert(got == expected,
+      s"cluster drift: ${got.toSeq.filter(kv => expected(kv._1) != kv._2).take(8)}")
+    // output contract is LINEAR: one row per doc, never a pair list
+    assert(got.size == allIds.size)
+    // the plan must stay equi-join only (the final declared tree; the
+    // construction-time CC subplans are covered by the runtime sweep)
+    val plan = Dedup.autoClusters(docs, "doc_id", "text", Seq("blk"),
+      k = 3, minPpm = 900000L, maxBlockPopulation = 20L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
   test("sub-k docs (text shorter than k) score 0 ppm and are dropped by " +
     "any positive threshold — and the division never sees union = 0") {
     import org.apache.spark.sql.functions._
