@@ -55,18 +55,46 @@ object PlanAudit {
     }
   }
 
+  /** Structural children of an EXECUTED plan node: identical to
+    * `n.children` on a pre-AQE tree (so the static sweeps are unchanged),
+    * but sees through the leaf wrappers an adaptively-executed plan
+    * introduces — AdaptiveSparkPlanExec holds its finalized plan
+    * internally (children = Nil), QueryStageExec wraps each materialized
+    * stage as a leaf, and ReusedExchangeExec points at another stage's
+    * exchange. Without this, a detector running on an executed plan (the
+    * r13 runtime sweep) would stop at the first stage boundary and sweep
+    * nothing. */
+  def execChildren(n: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      Seq(r.child)
+    case _ => n.children
+  }
+
+  /** TreeNode.collect over [[execChildren]] instead of `children` — the
+    * traversal both static and runtime sweeps share. */
+  def collectDeep[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+    pf.lift(p).toSeq ++ execChildren(p).flatMap(c => collectDeep(c)(pf))
+
   /** The r11 payload-sort anti-pattern: a SortMergeJoin whose output
     * carries an array column — the external sorter's reservation then
     * scales with rows × array payload (31 GiB of spill measured at x30
     * before the r11 hash-build fix), and on corpus-derived sides the
     * planner's alternative pick is a corpus-sized broadcast. Returns the
     * names of array columns any SMJ in the tree would sort; empty = clean.
-    * Walks the pre-AQE physical tree (AQE can demote an SMJ at runtime on
-    * small stats, but a 100 TB plan must not rely on that). Public +
+    * The static sweep feeds it the pre-AQE physical tree (AQE can demote
+    * an SMJ at runtime on small stats, but a 100 TB plan must not rely on
+    * that); the r13 runtime sweep feeds it executed plans, which
+    * [[execChildren]] traverses through stage wrappers. Public +
     * unit-tested (PlanAuditDetectorSpec) because 193 audit rows hang off
     * it. */
   def smjArrayCols(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-    p.collect {
+    collectDeep(p) {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
         // inspect the CHILDREN's outputs, not j.output: the hazard is what
         // the external sorter sorts, and a semi/anti/existence SMJ emits
@@ -123,8 +151,8 @@ object PlanAudit {
     def reachesRawRddScan(n: SparkPlan): Boolean =
       if (bounded(n)) false
       else if (n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) true
-      else n.children.exists(reachesRawRddScan)
-    p.collect {
+      else execChildren(n).exists(reachesRawRddScan)
+    collectDeep(p) {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
         val build = j.buildSide match {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
@@ -139,6 +167,63 @@ object PlanAudit {
         if (reachesRawRddScan(build)) Seq(("BroadcastNestedLoopJoin", build)) else Nil
     }.flatten
   }
+
+  /** SMJ-array allowlist shared by the static sweep in [[main]] and the
+    * r13 runtime sweep ([[RuntimeSweep]]): query → (reason, regex over the
+    * flagged column names). Currently empty — no declared query sorts an
+    * array payload through an SMJ. */
+  val smjArrayAllowlist: Map[String, (String, String)] =
+    Map.empty[String, (String, String)]
+
+  /** Checkpoint-broadcast allowlist shared by the static sweep in [[main]]
+    * and the r13 runtime sweep: query → (reason, regex over the detector's
+    * `kind builds over nodeName[cols]` description). Each entry blesses
+    * only the DOCUMENTED bounded build — a new corpus-sized broadcast in
+    * an allowlisted query still fails (r12 ADVICE). */
+  val bcastRddAllowlist: Map[String, (String, String)] = Map(
+    "q_window_scaled" -> (("lag self-equi-join broadcasts the materialized " +
+      "rank table only under the same bounded-input breadth-demo contract " +
+      "as its Window twin (10k rows by construction)"),
+      """BroadcastHashJoin builds over Project\[event_type,(lv|fv|nth3)\]"""),
+    "q_shortest_path" -> (("the broadcast side is the checkpointed " +
+      "TRANSITION graph — aggregated to <= |event_types|^2 (= 25) rows " +
+      "BEFORE the checkpoint, so the bound sits outside the build subtree"),
+      """BroadcastHashJoin builds over Scan ExistingRDD\[src,dst,w\]"""),
+    "q_contamination_bloom" -> (("the broadcast side is the checkpointed " +
+      "EVAL gram table — bounded by the decontamination contract (eval " +
+      "sets are small; the corpus-sized train side only ever streams)"),
+      """BroadcastHashJoin builds over Filter\[g\]"""),
+    "q_kmv_overlap" -> (("the broadcast side is the checkpointed per-source " +
+      "KMV sketch table — #sources x k longs by construction"),
+      """BroadcastNestedLoopJoin builds over Filter\[source,sk\]"""),
+    "q_ngram_colloc" -> (("the broadcast side is the k-row top-bigram table " +
+      "1:1-joined against the unigram vocab — <= k rows by construction " +
+      "(the vocab scan in the subtree never exceeds the join's k-row bound)"),
+      """BroadcastHashJoin builds over Project\[bigram,c_xy,w2,c_x\]"""),
+    "q_dedup_ngram_auto" -> (("the flagged builds are dropHotBuckets' " +
+      "over-cap offender lists (Filter(__n > cap) over the keyed bucket " +
+      "count) — expected-empty skew guards, <= rows/cap keys worst case; " +
+      "the documented dropHotBuckets trade"),
+      """BroadcastHashJoin builds over Project\[band,bh\]""")
+  )
+
+  /** Checkpoint-broadcast allowlist entries visible ONLY to the runtime
+    * sweep: builds that fire in construction-time subplans and never
+    * appear in a final static tree. They cannot live in
+    * [[bcastRddAllowlist]] — the static ratchet requires its entries to
+    * still fire in the static plan (a stale entry fails its row), and a
+    * construction-time-only pattern never does. Same ratchet applies at
+    * runtime: RuntimeSweep matches hits against the union, and an entry
+    * whose pattern stops firing shows up as a zero-allowlisted round
+    * (prune it then). */
+  val bcastRddAllowlistRuntimeOnly: Map[String, (String, String)] = Map(
+    "q_dedup_auto_clusters" -> (("same dropHotBuckets over-cap offender " +
+      "list as q_dedup_ngram_auto (the clusters route reuses the Auto " +
+      "route's LSH fallback) — an expected-empty skew guard, <= rows/cap " +
+      "keys worst case; fires in a CONSTRUCTION-TIME subplan, so only the " +
+      "runtime sweep sees it"),
+      """BroadcastHashJoin builds over Project\[band,bh\]""")
+  )
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -748,7 +833,6 @@ object PlanAudit {
     // NEW, unrelated hazard in an allowlisted query fails the row with
     // the unexpected flags printed, instead of hiding behind the
     // documented one (r12 ADVICE: bad.nonEmpty alone masked that).
-    val smjArrayAllowlist = Map.empty[String, (String, String)]
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val bad = smjArrayCols(qe(q).sparkPlan)
       smjArrayAllowlist.get(q) match {
@@ -776,32 +860,6 @@ object PlanAudit {
     // the detector's nodeName[output-cols] description), so the entry
     // blesses only the documented broadcast: a new corpus-sized build
     // appearing in an allowlisted query fails its row (r12 ADVICE).
-    val bcastRddAllowlist = Map(
-      "q_window_scaled" -> (("lag self-equi-join broadcasts the materialized " +
-        "rank table only under the same bounded-input breadth-demo contract " +
-        "as its Window twin (10k rows by construction)"),
-        """BroadcastHashJoin builds over Project\[event_type,(lv|fv|nth3)\]"""),
-      "q_shortest_path" -> (("the broadcast side is the checkpointed " +
-        "TRANSITION graph — aggregated to <= |event_types|^2 (= 25) rows " +
-        "BEFORE the checkpoint, so the bound sits outside the build subtree"),
-        """BroadcastHashJoin builds over Scan ExistingRDD\[src,dst,w\]"""),
-      "q_contamination_bloom" -> (("the broadcast side is the checkpointed " +
-        "EVAL gram table — bounded by the decontamination contract (eval " +
-        "sets are small; the corpus-sized train side only ever streams)"),
-        """BroadcastHashJoin builds over Filter\[g\]"""),
-      "q_kmv_overlap" -> (("the broadcast side is the checkpointed per-source " +
-        "KMV sketch table — #sources x k longs by construction"),
-        """BroadcastNestedLoopJoin builds over Filter\[source,sk\]"""),
-      "q_ngram_colloc" -> (("the broadcast side is the k-row top-bigram table " +
-        "1:1-joined against the unigram vocab — <= k rows by construction " +
-        "(the vocab scan in the subtree never exceeds the join's k-row bound)"),
-        """BroadcastHashJoin builds over Project\[bigram,c_xy,w2,c_x\]"""),
-      "q_dedup_ngram_auto" -> (("the flagged builds are dropHotBuckets' " +
-        "over-cap offender lists (Filter(__n > cap) over the keyed bucket " +
-        "count) — expected-empty skew guards, <= rows/cap keys worst case; " +
-        "the documented dropHotBuckets trade"),
-        """BroadcastHashJoin builds over Project\[band,bh\]""")
-    )
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val bad = broadcastOverRddScan(qe(q).sparkPlan)
       bcastRddAllowlist.get(q) match {

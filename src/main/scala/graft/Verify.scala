@@ -15,13 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // r13 runtime plan sweep: every executed plan this gate runs —
+    // INCLUDING construction-time checkpoint subplans the static
+    // PlanAudit tree never shows — is swept by the shared detectors.
+    // The bus drain per query keeps attribution exact.
+    RuntimeSweep.install(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
+      RuntimeSweep.label = name
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      RuntimeSweep.drain(spark)
     }
+    Files.writeString(Paths.get("RUNTIME_SWEEP.json"), RuntimeSweep.reportJson())
+    println(s"[verify] runtime sweep: ${RuntimeSweep.executionsTotal} executed " +
+      s"subplans swept, ${RuntimeSweep.unexplainedTotal} unexplained hits" +
+      (if (RuntimeSweep.unexplainedTotal == 0) "" else " — SEE RUNTIME_SWEEP.json"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -863,7 +863,12 @@ object Relational {
         .localCheckpoint(true)
       val a = names.select(col("nid").as("src"), col("p_name").as("na"), col("noun"))
       val b = names.select(col("nid").as("dst"), col("p_name").as("nb"), col("noun"))
-      val edges = a.join(b, Seq("noun"))
+      // the blocked self-join is catalog-sized on BOTH sides and executes
+      // during construction (it feeds connectedComponents), so the static
+      // sweep never sees it — the r13 runtime sweep caught the planner
+      // broadcasting the full checkpointed name table here (the q_lm_score
+      // hazard class); hash-build bounds the build at one partition
+      val edges = a.join(b.hint("shuffle_hash"), Seq("noun"))
         .filter(col("na") < col("nb") && levenshtein(col("na"), col("nb")) <= 3)
         .select("src", "dst")
       val comp = Dedup.connectedComponents(edges, "src", "dst")
