@@ -56,7 +56,13 @@ object Footprint {
     val only = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions", "32")
+      // overridable so xN runs can hold BYTES-PER-PARTITION constant
+      // instead of partition COUNT — the knob that distinguishes "a hot
+      // key grows per-task state" (real hazard) from "corpus/32 grows
+      // because 32 is pinned" (local artifact a cluster's AQE target
+      // size removes)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

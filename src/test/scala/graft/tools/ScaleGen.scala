@@ -34,15 +34,18 @@ import org.apache.spark.sql.functions._
   *    degree is constant); orders with custkey/orderkey offsets (F times
   *    the customers at the same per-customer order count).
   *
-  * Factors above 31 exhaust the disjoint-TRIPLE pool and switch to a
-  * SINGLE-letter rewrite (only `e` → replica-unique target, factor ≤ 94):
-  * ~0.2% of 50-char grams contain no `e` and stay shared across replicas,
-  * which is fine for the per-occurrence-linear span queries and
-  * irrelevant for lang-blocked or pair-free queries, but ~53% of 5-char
-  * grams survive — LSH/minhash/shingle queries are NOT scale-measurable
-  * on a single-mode corpus (the tool prints a warning). Used only for the
-  * SCALING.md x90 points of q_budget_select / q_substring_dup_fast /
-  * q_dedup_ngram.
+  * Factors that exhaust the disjoint-TRIPLE pool switch to a
+  * SINGLE-letter rewrite (only `e` → replica-unique target): ~0.2% of
+  * 50-char grams contain no `e` and stay shared across replicas, which
+  * is fine for the per-occurrence-linear span queries and irrelevant for
+  * lang-blocked or pair-free queries, but ~53% of 5-char grams survive —
+  * LSH/minhash/shingle queries are NOT scale-measurable on a single-mode
+  * corpus (the tool prints a warning). Since r13 the target pool extends
+  * into the BMP Latin letter blocks, so triple mode holds to factor ~195
+  * and single mode is no longer reachable in practice (the pre-r13 bound
+  * was 31, which forced the original x90 runs of q_budget_select /
+  * q_substring_dup_fast / q_dedup_ngram onto single mode — those three
+  * are single-mode-valid classes, so the recorded rows stand).
   *
   * Usage: Test/runMain graft.tools.ScaleGen <srcDir> <outDir> <factor> [tables]
   * `tables` = comma list of the replicated tables to actually build
@@ -83,19 +86,31 @@ object ScaleGen {
     // Sharing even one target leaves all grams without the other letters
     // equal across those replicas, and cross-replica Jaccard climbs back
     // into LSH range. Alphanumerics first (replicas <= 20 keep word-ish
-    // targets), punctuation extends the pool to 91 — factor bound 31.
+    // targets), punctuation extends the pool to 91; r13 appends the BMP
+    // Latin-1/Extended letter blocks (U+00C0-U+02AF minus the two
+    // arithmetic signs) — single UTF-16 units, absent from the ASCII
+    // corpus, 1:1 under translate, so triple mode (the only mode that
+    // preserves LINEAR pair structure for shingle/LSH queries) now holds
+    // to factor ~195 and the x90 LSH/minhash points are honestly
+    // measurable (pre-r13 the bound was 31 and x90 fell back to the
+    // single-letter rewrite, which the tool itself flags as not
+    // pair-structure-preserving). The shingle kernels are case- and
+    // locale-agnostic (raw char xxhash, no lower()), so non-ASCII
+    // targets change nothing but identity.
     val pool = (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z') ++
-      ('!' to '/') ++ (':' to '@') ++ ('[' to '`') ++ ('{' to '~'))
-      .filterNot("eta".contains(_))
-    val singleMode = factor > 31
+      ('!' to '/') ++ (':' to '@') ++ ('[' to '`') ++ ('{' to '~') ++
+      ('À' to 'ʯ'))
+      .filterNot("eta×÷".contains(_))
+    val singleMode = 3 * (factor - 1) > pool.size
     if (singleMode) {
       require(factor - 1 <= pool.size,
         s"factor $factor needs ${factor - 1} distinct single targets; the " +
           s"replica-unique pool has ${pool.size}")
-      println("[scalegen] WARNING: factor > 31 uses the SINGLE-letter (e) " +
-        "rewrite — ~53% of 5-char grams stay shared across replicas, so " +
-        "LSH/minhash/shingle queries are NOT scale-measurable on this " +
-        "corpus (valid: per-occurrence-linear, lang-blocked, pair-free).")
+      println(s"[scalegen] WARNING: factor $factor exceeds the triple pool " +
+        "and uses the SINGLE-letter (e) rewrite — ~53% of 5-char grams " +
+        "stay shared across replicas, so LSH/minhash/shingle queries are " +
+        "NOT scale-measurable on this corpus (valid: per-occurrence-" +
+        "linear, lang-blocked, pair-free).")
     } else require(3 * (factor - 1) <= pool.size,
       s"factor $factor needs ${3 * (factor - 1)} distinct targets; the " +
         s"replica-unique pool has ${pool.size}")
