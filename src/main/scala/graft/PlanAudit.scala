@@ -168,6 +168,18 @@ object PlanAudit {
     }.flatten
   }
 
+  /** Bounded-window allowlist shared by the static sweep in [[main]] and
+    * the r13 runtime sweep: queries whose single-partition window runs
+    * over a table bounded BY CONSTRUCTION (documented bound in the
+    * reason). Ratchet: the static row requires the pattern to still
+    * fire. */
+  val boundedWindowAllowlist: Map[String, String] = Map(
+    "q_chisq" -> ("marginal windows over the (priority x status) " +
+      "contingency grid — <= 15 rows after the ONE corpus-scan aggregate"),
+    "q_benford" -> ("share window over the 9 first-digit rows after the " +
+      "ONE corpus-scan aggregate")
+  )
+
   /** SMJ-array allowlist shared by the static sweep in [[main]] and the
     * r13 runtime sweep ([[RuntimeSweep]]): query → (reason, regex over the
     * flagged column names). Currently empty — no declared query sorts an
@@ -223,6 +235,17 @@ object PlanAudit {
       "keys worst case; fires in a CONSTRUCTION-TIME subplan, so only the " +
       "runtime sweep sees it"),
       """BroadcastHashJoin builds over Project\[band,bh\]""")
+  )
+
+  /** Single-partition-window allowlist entries visible ONLY to the
+    * runtime sweep (construction-time subplans; same rationale as
+    * [[bcastRddAllowlistRuntimeOnly]]): query → reason. */
+  val boundedWindowAllowlistRuntimeOnly: Map[String, String] = Map(
+    "q_ann_ivf" -> ("the IVF index-build's seed-stable sample cap — the " +
+      "single-partition sort's input is PRE-CUT to <= ~3*maxFitVectors " +
+      "rows by the hash-value threshold (count-verified, r13 fix in " +
+      "IvfIndex.build), so the one task sorts a bounded sample, never " +
+      "the corpus; fires inside KMeans.fit's construction-time subplan")
   )
 
   def main(args: Array[String]): Unit = {
@@ -785,10 +808,6 @@ object PlanAudit {
     // child is TakeOrderedAndProject, already single-partition, so no
     // Exchange SinglePartition exists for the detector to flag — the
     // runtime "No Partition Defined" warning there is the bounded case.)
-    val boundedWindowAllowlist = Map(
-      "q_chisq" -> "marginal windows over the (priority x status) contingency grid — <= 15 rows after the ONE corpus-scan aggregate",
-      "q_benford" -> "share window over the 9 first-digit rows after the ONE corpus-scan aggregate"
-    )
     for (q <- SparkEntry.queries.keys.toSeq.sorted)
       boundedWindowAllowlist.get(q) match {
         case Some(reason) =>

@@ -11,8 +11,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * that execute DURING query construction (eager localCheckpoints,
   * iterative driver loops' per-round jobs, trainer passes) never appear
   * in the tree it audits. Those were covered only by the PLANS.md
-  * RDD-lift convention. This listener runs the same two public detectors
-  * ([[PlanAudit.smjArrayCols]], [[PlanAudit.broadcastOverRddScan]]) over
+  * RDD-lift convention. This listener runs the same public detectors
+  * ([[PlanAudit.smjArrayCols]], [[PlanAudit.broadcastOverRddScan]],
+  * [[PlanAudit.windowOverSinglePartition]]) over
   * every plan Spark actually EXECUTES: each Dataset action — count,
   * collect, checkpoint, write — fires `onSuccess` with its
   * QueryExecution. The swept tree is each execution's PRE-AQE
@@ -82,7 +83,21 @@ object RuntimeSweep {
     val bc =
       try PlanAudit.broadcastOverRddScan(plan)
       catch { case _: Throwable => Nil }
-    if (smj.isEmpty && bc.isEmpty) {
+    // third detector (r13 follow-up): a Window/Sort over an Exchange
+    // SinglePartition in an executed subplan is the same one-task wall
+    // the static global sweep bans in final plans. This one CANNOT run
+    // on sparkPlan — exchanges are inserted by EnsureRequirements during
+    // preparations, so the pre-preparation tree has no Exchange nodes at
+    // all (measured: q_chisq's known pattern is invisible there). It
+    // runs on the finalized executedPlan string instead, which is safe
+    // for THIS pattern: AQE never introduces a single-partition window
+    // that the planner didn't commit (demotions affect joins), and the
+    // detector's wrapper walk is unit-tested against AQE stage nesting
+    // (PlanAuditDetectorSpec).
+    val win =
+      try PlanAudit.windowOverSinglePartition(qe.executedPlan.toString)
+      catch { case _: Throwable => false }
+    if (smj.isEmpty && bc.isEmpty && !win) {
       val rec = recs.computeIfAbsent(l, _ => new Rec)
       rec.synchronized { rec.executions += 1 }
       return
@@ -102,6 +117,12 @@ object RuntimeSweep {
             case (_, pat) => pat.r.pattern.matcher(d).matches()
           }
         (if (ok) rec.allowlisted else rec.unexplained) += s"bcast-rdd: $d"
+      }
+      if (win) {
+        val ok = PlanAudit.boundedWindowAllowlist.contains(l) ||
+          PlanAudit.boundedWindowAllowlistRuntimeOnly.contains(l)
+        (if (ok) rec.allowlisted else rec.unexplained) +=
+          "single-partition-window: Window/Sort over Exchange SinglePartition"
       }
     }
   }
@@ -135,6 +156,6 @@ object RuntimeSweep {
           s", \"unexplained\": [${r.unexplained.map(q).mkString(",")}]}"
       }
     }
-    s"""{"detectors": ["smjArrayCols", "broadcastOverRddScan"], "executions_total": $executionsTotal, "unexplained_total": $unexplainedTotal, "queries": {${rows.mkString(", ")}}}"""
+    s"""{"detectors": ["smjArrayCols", "broadcastOverRddScan", "windowOverSinglePartition"], "executions_total": $executionsTotal, "unexplained_total": $unexplainedTotal, "queries": {${rows.mkString(", ")}}}"""
   }
 }

@@ -27,21 +27,50 @@ object IvfIndex {
     * defined, never partition-layout-dependent — `sampleFraction` keeps a
     * vector iff its seeded content hash falls under the fraction (not
     * `sample()`, whose Bernoulli draw depends on partitioning), and the
-    * `maxFitVectors` cap is `orderBy(xxhash64(vec)).limit(n)`, a
-    * seed-stable top-K (TakeOrderedAndProject) — so the same corpus always
-    * fits the same centroids regardless of file splits. */
+    * `maxFitVectors` cap is a seed-stable exact top-K by content hash
+    * (hash-threshold pre-cut to ~3K rows, then `orderBy(hash).limit(K)` —
+    * see the build-body comment; K exceeds the planner's TakeOrdered
+    * fallback threshold, so the uncut form would global-sort the corpus) —
+    * so the same corpus always fits the same centroids regardless of
+    * file splits. */
   def build(
       corpus: DataFrame, vecCol: String, nlist: Int, seed: Long,
       sampleFraction: Double = 1.0, maxFitVectors: Int = 100000): IvfIndex = {
     val h = pmod(xxhash64(col(vecCol), lit(seed)), lit(1000000L))
-    val sampled =
+    val ord = xxhash64(col(vecCol), lit(seed))
+    val base =
       (if (sampleFraction < 1.0)
          corpus.filter(h < lit((sampleFraction * 1000000L).toLong))
        else corpus)
         .select(col(vecCol))
-        .orderBy(xxhash64(col(vecCol), lit(seed)))
-        .limit(maxFitVectors)
-        .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // Seed-stable PRE-CUT before the exact top-n (r13, found by the
+    // runtime plan sweep): `orderBy(hash).limit(n)` with n above the
+    // TakeOrdered fallback threshold plans as a FULL-CORPUS range-
+    // partitioned global sort feeding a single-partition limit — the
+    // most expensive possible way to pick n sample rows at 100 TB, and
+    // invisible to static audits because it executes inside the index
+    // build. xxhash64 is uniform over the Long range, so a value
+    // threshold at ~3n/total keeps a PREFIX of the ascending-hash order
+    // (any sort-key cut is a prefix) that contains the true top-n with
+    // overwhelming probability (binomial tail at n >= 10^5) — the exact
+    // same rows are then selected by the same orderBy+limit, but the
+    // sort now runs over <= ~3n rows instead of the corpus. The count
+    // guard makes identity unconditional: a pathological shortfall
+    // falls back to the uncut sort (bit-identical centroids either way,
+    // and file-split independence is preserved because the threshold is
+    // pure arithmetic, not a sketch).
+    val total = base.count()
+    val capped =
+      if (total <= 3L * maxFitVectors) base.orderBy(ord).limit(maxFitVectors)
+      else {
+        val frac = 3.0 * maxFitVectors / total
+        val thr = (-9.223372036854776e18 + frac * 1.8446744073709552e19).toLong
+        val cut = base.filter(ord <= lit(thr))
+        (if (cut.count() >= maxFitVectors) cut else base)
+          .orderBy(ord).limit(maxFitVectors)
+      }
+    val sampled = capped
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(sampled)
     IvfIndex(model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }

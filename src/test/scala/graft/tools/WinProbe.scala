@@ -1,0 +1,24 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+object WinProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        val s = try qe.executedPlan.toString catch { case _: Throwable => return }
+        if (graft.PlanAudit.windowOverSinglePartition(s))
+          println(s"=== WINDOW HIT (func=$f) ===\n" +
+            s.split("\n").take(25).mkString("\n"))
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    })
+    graft.SparkEntry.queries(args(1))(spark, args(0)).count()
+    org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+    spark.stop()
+  }
+}
