@@ -37,42 +37,43 @@ object IvfIndex {
       corpus: DataFrame, vecCol: String, nlist: Int, seed: Long,
       sampleFraction: Double = 1.0, maxFitVectors: Int = 100000): IvfIndex = {
     val h = pmod(xxhash64(col(vecCol), lit(seed)), lit(1000000L))
-    val ord = xxhash64(col(vecCol), lit(seed))
     val base =
       (if (sampleFraction < 1.0)
          corpus.filter(h < lit((sampleFraction * 1000000L).toLong))
        else corpus)
         .select(col(vecCol))
-    // Seed-stable PRE-CUT before the exact top-n (r13, found by the
-    // runtime plan sweep): `orderBy(hash).limit(n)` with n above the
-    // TakeOrdered fallback threshold plans as a FULL-CORPUS range-
-    // partitioned global sort feeding a single-partition limit — the
-    // most expensive possible way to pick n sample rows at 100 TB, and
-    // invisible to static audits because it executes inside the index
-    // build. xxhash64 is uniform over the Long range, so a value
-    // threshold at ~3n/total keeps a PREFIX of the ascending-hash order
-    // (any sort-key cut is a prefix) that contains the true top-n with
-    // overwhelming probability (binomial tail at n >= 10^5) — the exact
-    // same rows are then selected by the same orderBy+limit, but the
-    // sort now runs over <= ~3n rows instead of the corpus. The count
-    // guard makes identity unconditional: a pathological shortfall
-    // falls back to the uncut sort (bit-identical centroids either way,
-    // and file-split independence is preserved because the threshold is
-    // pure arithmetic, not a sketch).
-    val total = base.count()
-    val capped =
-      if (total <= 3L * maxFitVectors) base.orderBy(ord).limit(maxFitVectors)
-      else {
-        val frac = 3.0 * maxFitVectors / total
-        val thr = (-9.223372036854776e18 + frac * 1.8446744073709552e19).toLong
-        val cut = base.filter(ord <= lit(thr))
-        (if (cut.count() >= maxFitVectors) cut else base)
-          .orderBy(ord).limit(maxFitVectors)
-      }
-    val sampled = capped
+    val sampled = seedStableCap(base, vecCol, seed, maxFitVectors)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(sampled)
     IvfIndex(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** The exact seed-stable top-`n` rows of `df` by ascending
+    * `xxhash64(vecCol, seed)` — the fit-sample cap, package-visible so
+    * the identity claim below is unit-tested (IvfCapSpec). Returns the
+    * SAME rows as a bare `orderBy(hash).limit(n)` but never sorts more
+    * than ~3n rows: above 3n input rows, a VALUE threshold on the sort
+    * key (xxhash64 is uniform over the Long range) keeps a PREFIX of the
+    * ascending-hash order that contains the true top-n with
+    * overwhelming probability (binomial tail at n >= 10^5); a count
+    * guard falls back to the uncut sort on a pathological shortfall, so
+    * the selection is identical unconditionally and independent of file
+    * splits (the threshold is pure arithmetic, not a sketch). Without
+    * the cut, n above spark.sql.execution.topKSortFallbackThreshold
+    * plans as a FULL-CORPUS range-partitioned global sort feeding a
+    * single-partition limit — found by the r13 runtime plan sweep
+    * inside KMeans.fit's construction-time subplan. */
+  private[graft] def seedStableCap(
+      base: DataFrame, vecCol: String, seed: Long, n: Int): DataFrame = {
+    val ord = xxhash64(col(vecCol), lit(seed))
+    val total = base.count()
+    if (total <= 3L * n) base.orderBy(ord).limit(n)
+    else {
+      val frac = 3.0 * n / total
+      val thr = (-9.223372036854776e18 + frac * 1.8446744073709552e19).toLong
+      val cut = base.filter(ord <= lit(thr))
+      (if (cut.count() >= n) cut else base).orderBy(ord).limit(n)
+    }
   }
 
   /** Persist the fitted centroids as a tiny parquet (`centroid_id`,
