@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.graft.ListenerDrain
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures what the r13 IVF-cap pre-cut actually saves at a scale where
+  * it engages: shuffle bytes and wall of the seed-stable top-100k
+  * selection over an N-row synthetic vector corpus, bare
+  * `orderBy(hash).limit(n)` (the pre-r13 plan: full-corpus range
+  * partitioning) vs `IvfIndex.seedStableCap` (hash-threshold pre-cut).
+  * Bytes are the scale-honest metric — local walls understate a sort
+  * whose exchange ships the whole corpus.
+  *
+  * Usage: sbt "Test/runMain graft.tools.IvfCapBench [rows] [dim] [n]"
+  */
+object IvfCapBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.lift(0).map(_.toLong).getOrElse(3000000L)
+    val dim = args.lift(1).map(_.toInt).getOrElse(16)
+    val n = args.lift(2).map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var shufWrite = 0L
+    val acc = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+        if (te.taskMetrics != null)
+          shufWrite += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
+    }
+    spark.sparkContext.addSparkListener(acc)
+
+    val base = spark.range(rows).select(
+      array((0 until dim).map(i => (col("id") * (i + 1) % 9973)
+        .cast("float")): _*).as("vec"))
+    val ord = xxhash64(col("vec"), lit(42L))
+
+    def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      ListenerDrain.drain(spark.sparkContext)
+      synchronized { shufWrite = 0L }
+      val t0 = System.nanoTime()
+      val c = df.count()
+      ListenerDrain.drain(spark.sparkContext)
+      println(f"IVFCAP $label rows=$c%d wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"shuffle_write=${shufWrite / 1048576.0}%.1f MiB")
+    }
+
+    time("bare_sort ")(base.orderBy(ord).limit(n))
+    time("pre_cut   ")(graft.operators.IvfIndex.seedStableCap(base, "vec", 42L, n))
+    // second pass each, page-cache warm
+    time("bare_sort2")(base.orderBy(ord).limit(n))
+    time("pre_cut2  ")(graft.operators.IvfIndex.seedStableCap(base, "vec", 42L, n))
+    spark.stop()
+  }
+}
