@@ -22,7 +22,19 @@ object PlanAudit {
     * those legitimately consume a SinglePartition (scalar agg) or change
     * the partitioning before any window sees it. Public + unit-tested
     * (PlanAuditDetectorSpec) because 13 audit rows hang off it. */
-  def windowOverSinglePartition(p: String): Boolean = {
+  def windowOverSinglePartition(p: String): Boolean =
+    windowOverSinglePartitionNodes(p).nonEmpty
+
+  /** [[windowOverSinglePartition]]'s discriminative twin (r14, ADVICE):
+    * returns the offending Window/Sort NODE TEXT (truncated to 160 chars)
+    * for every hit instead of a constant Boolean, so allowlists can match
+    * a per-entry regex against the actual node — a SECOND, unrelated
+    * single-partition window appearing in an allowlisted query fails its
+    * row instead of being absorbed under the documented entry (the same
+    * masking failure mode the r12 ADVICE fixed for the broadcast
+    * allowlist). One hit per SinglePartition exchange whose effective
+    * parent is a Window/Sort. */
+  def windowOverSinglePartitionNodes(p: String): Seq[String] = {
     val ls = p.split('\n').filter(_.trim.nonEmpty)
     def depth(l: String): Int = l.indexWhere(c => !" :+-".contains(c)) match {
       case -1 => Int.MaxValue
@@ -43,13 +55,17 @@ object PlanAudit {
       while (j >= 0 && depth(ls(j)) >= d) j -= 1
       j
     }
-    ls.indices.exists { i =>
-      nodeText(ls(i)).startsWith("Exchange SinglePartition") && {
+    ls.indices.flatMap { i =>
+      if (!nodeText(ls(i)).startsWith("Exchange SinglePartition")) None
+      else {
         var j = parent(i)
         while (j >= 0 && isPassThrough(nodeText(ls(j)))) j = parent(j)
-        j >= 0 && {
+        if (j < 0) None
+        else {
           val t = nodeText(ls(j))
-          t.startsWith("Window") || t.startsWith("Sort ") || t.startsWith("Sort[")
+          if (t.startsWith("Window") || t.startsWith("Sort ") ||
+            t.startsWith("Sort[")) Some(t.take(160))
+          else None
         }
       }
     }
@@ -170,14 +186,20 @@ object PlanAudit {
 
   /** Bounded-window allowlist shared by the static sweep in [[main]] and
     * the r13 runtime sweep: queries whose single-partition window runs
-    * over a table bounded BY CONSTRUCTION (documented bound in the
-    * reason). Ratchet: the static row requires the pattern to still
+    * over a table bounded BY CONSTRUCTION. r14 (ADVICE): each entry is
+    * (reason, regex over [[windowOverSinglePartitionNodes]]' offending
+    * node text), so the entry blesses only the DOCUMENTED window — a
+    * second, unrelated single-partition window in an allowlisted query
+    * fails its row / records unexplained instead of hiding behind the
+    * entry. Ratchet: the static row requires the pattern to still
     * fire. */
-  val boundedWindowAllowlist: Map[String, String] = Map(
-    "q_chisq" -> ("marginal windows over the (priority x status) " +
+  val boundedWindowAllowlist: Map[String, (String, String)] = Map(
+    "q_chisq" -> (("marginal windows over the (priority x status) " +
       "contingency grid — <= 15 rows after the ONE corpus-scan aggregate"),
-    "q_benford" -> ("share window over the 9 first-digit rows after the " +
-      "ONE corpus-scan aggregate")
+      """Window \[sum\(obs#\d+L?\) windowspecdefinition.*"""),
+    "q_benford" -> (("share window over the 9 first-digit rows after the " +
+      "ONE corpus-scan aggregate"),
+      """Window \[sum\(n#\d+L?\) windowspecdefinition.*""")
   )
 
   /** SMJ-array allowlist shared by the static sweep in [[main]] and the
@@ -239,13 +261,16 @@ object PlanAudit {
 
   /** Single-partition-window allowlist entries visible ONLY to the
     * runtime sweep (construction-time subplans; same rationale as
-    * [[bcastRddAllowlistRuntimeOnly]]): query → reason. */
-  val boundedWindowAllowlistRuntimeOnly: Map[String, String] = Map(
-    "q_ann_ivf" -> ("the IVF index-build's seed-stable sample cap — the " +
+    * [[bcastRddAllowlistRuntimeOnly]]): query → (reason, regex over the
+    * offending node text — r14 ADVICE, discriminative like the static
+    * twin above). */
+  val boundedWindowAllowlistRuntimeOnly: Map[String, (String, String)] = Map(
+    "q_ann_ivf" -> (("the IVF index-build's seed-stable sample cap — the " +
       "single-partition sort's input is PRE-CUT to <= ~3*maxFitVectors " +
       "rows by the hash-value threshold (count-verified, r13 fix in " +
       "IvfIndex.build), so the one task sorts a bounded sample, never " +
-      "the corpus; fires inside KMeans.fit's construction-time subplan")
+      "the corpus; fires inside KMeans.fit's construction-time subplan"),
+      """Sort \[xxhash64\(.*""")
   )
 
   def main(args: Array[String]): Unit = {
@@ -810,9 +835,16 @@ object PlanAudit {
     // runtime "No Partition Defined" warning there is the bounded case.)
     for (q <- SparkEntry.queries.keys.toSeq.sorted)
       boundedWindowAllowlist.get(q) match {
-        case Some(reason) =>
-          check(q, s"bounded-window allowlist entry still needed ($reason)")(p =>
-            windowOverSinglePartition(p))
+        case Some((reason, pattern)) =>
+          // discriminative ratchet (r14 ADVICE): the documented window must
+          // still fire AND every offending node must match its pattern — a
+          // new, unrelated single-partition window fails the row
+          val nodes = windowOverSinglePartitionNodes(plan(q))
+          val rx = pattern.r
+          val unexpected = nodes.filterNot(n => rx.pattern.matcher(n).matches())
+          val ok = nodes.nonEmpty && unexpected.isEmpty
+          println(f"AUDIT ${if (ok) "PASS" else "FAIL"}%-4s $q%-18s bounded-window allowlist: documented pattern only ($reason)" +
+            (if (unexpected.isEmpty) "" else s" (UNEXPECTED windows: ${unexpected.mkString("; ")})"))
         case None =>
           check(q, "global sweep: no Window/Sort over a SinglePartition exchange")(p =>
             !windowOverSinglePartition(p))

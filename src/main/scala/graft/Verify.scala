@@ -31,8 +31,18 @@ object Verify {
     }
     Files.writeString(Paths.get("RUNTIME_SWEEP.json"), RuntimeSweep.reportJson())
     println(s"[verify] runtime sweep: ${RuntimeSweep.executionsTotal} executed " +
-      s"subplans swept, ${RuntimeSweep.unexplainedTotal} unexplained hits" +
-      (if (RuntimeSweep.unexplainedTotal == 0) "" else " — SEE RUNTIME_SWEEP.json"))
+      s"subplans swept, ${RuntimeSweep.unexplainedTotal} unexplained hits, " +
+      s"${RuntimeSweep.detectorErrorsTotal} detector errors")
+    // machine-enforced contract (r14 ADVICE): the sweep's "must be 0"
+    // rule fails loudly instead of relying on the committed JSON being
+    // re-read — stderr marker here, and tools/check.py (the local gate)
+    // fails on the report's status field. Exit stays 0 so the driver's
+    // oracle compare still runs over the parquet outputs it just wrote.
+    if (RuntimeSweep.unexplainedTotal > 0 || RuntimeSweep.detectorErrorsTotal > 0)
+      System.err.println("[verify] RUNTIME SWEEP FAIL: " +
+        s"${RuntimeSweep.unexplainedTotal} unexplained, " +
+        s"${RuntimeSweep.detectorErrorsTotal} detector errors — " +
+        "see RUNTIME_SWEEP.json (check.py fails on this)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

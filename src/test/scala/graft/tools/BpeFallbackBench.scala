@@ -50,6 +50,12 @@ object BpeFallbackBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // r14 (judge #1): the above-cap merge rounds only execute HERE (the
+    // declared q_bpe_learn at sf0.01 stays under the vocab cap), so this
+    // bench is where their per-round counting jobs meet the runtime
+    // sweep. Label = the declared query whose scale path this is.
+    graft.RuntimeSweep.install(spark)
+    graft.RuntimeSweep.label = "q_bpe_learn"
     val docs =
       if (synthTypes > 0) synthCorpus(spark, synthTypes).localCheckpoint(true)
       else Tables(spark, dir, "documents")
@@ -74,6 +80,14 @@ object BpeFallbackBench {
     // leg 2: pure batched loop (cap 0 disables recollect entirely) — the
     // fallback-of-the-fallback a never-shrinking corpus would run
     run("pure_batched", 0L)
+    graft.RuntimeSweep.drain(spark)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("RUNTIME_SWEEP_bpe.json"),
+      graft.RuntimeSweep.reportJson())
+    println(s"[bpe] runtime sweep: ${graft.RuntimeSweep.executionsTotal} " +
+      s"executed subplans, ${graft.RuntimeSweep.unexplainedTotal} unexplained, " +
+      s"${graft.RuntimeSweep.detectorErrorsTotal} detector errors -> " +
+      "RUNTIME_SWEEP_bpe.json")
     spark.stop()
   }
 }

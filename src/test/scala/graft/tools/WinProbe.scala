@@ -11,13 +11,17 @@ object WinProbe {
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
         val s = try qe.executedPlan.toString catch { case _: Throwable => return }
-        if (graft.PlanAudit.windowOverSinglePartition(s))
+        val nodes = graft.PlanAudit.windowOverSinglePartitionNodes(s)
+        if (nodes.nonEmpty)
           println(s"=== WINDOW HIT (func=$f) ===\n" +
+            nodes.map(n => s"NODE: $n").mkString("\n") + "\n" +
             s.split("\n").take(25).mkString("\n"))
       }
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     })
-    graft.SparkEntry.queries(args(1))(spark, args(0)).count()
+    // write like Verify does — count() prunes unreferenced Window columns
+    graft.SparkEntry.queries(args(1))(spark, args(0)).coalesce(1)
+      .write.mode("overwrite").parquet(s"/tmp/winprobe_${args(1)}")
     org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
     spark.stop()
   }

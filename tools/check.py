@@ -99,6 +99,21 @@ def main():
                 print(f"OK   {name} ({len(a)} rows)")
             except AssertionError as e:
                 print(f"FAIL {name}: {str(e)[:400]}"); fail += 1
+    # r14: the runtime plan sweep's "must be 0" contract is machine-
+    # enforced here (the local gate), not just printed by Verify — an
+    # unexplained executed-plan hit or a throwing detector fails the
+    # round like an oracle mismatch would.
+    if os.path.exists("RUNTIME_SWEEP.json"):
+        sweep = json.load(open("RUNTIME_SWEEP.json"))
+        unexp = sweep.get("unexplained_total", 0)
+        errs = sweep.get("detector_errors", 0)
+        if unexp or errs:
+            print(f"FAIL runtime sweep: {unexp} unexplained hits, "
+                  f"{errs} detector errors (RUNTIME_SWEEP.json)")
+            fail += 1
+        else:
+            print(f"OK   runtime sweep ({sweep.get('executions_total')} "
+                  "executed subplans, 0 unexplained, 0 detector errors)")
     print("FAILURES:", fail)
     sys.exit(1 if fail else 0)
 

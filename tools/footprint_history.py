@@ -88,6 +88,13 @@ def compare(prev, cur):
     pq, cq = prev["queries"], cur["queries"]
     print(f"footprints: {prev['label']} ({len(pq)} queries, sf={prev['sf']})"
           f" -> {cur['label']} ({len(cq)} queries, sf={cur['sf']})")
+    # coverage shrinkage needs the same adjudication as a metric
+    # regression (r13 ADVICE): a query dropped from the run list would
+    # otherwise silently exit the ratchet
+    for name in sorted(set(pq) - set(cq)):
+        print(f"WARN {name}: present in {prev['label']} but missing from "
+              f"{cur['label']} — footprint coverage shrank")
+        flags += 1
     for name in sorted(cq):
         c = cq[name]
         p = pq.get(name)
@@ -145,13 +152,22 @@ def main():
         with open(HISTORY, "w") as f:
             json.dump(history, f, indent=1, sort_keys=True)
         print(f"recorded {label}: {len(entry['queries'])} queries -> {HISTORY}")
-    if len(history) >= 2:
-        compare(history[-2], history[-1])
-    elif len(history) == 1:
-        # first entry: still enforce the absolute documented bounds
-        compare(history[-1], history[-1])
-    else:
+    if not history:
         print("no recorded entries")
+        return
+    # r14 (judge #6): the ratchet carries MULTIPLE scale families — the
+    # per-round x30 pair-family run and the x90 linear-contract row —
+    # so comparisons pair the newest entry with the previous entry of
+    # the SAME corpus (sf path); an x90 row must never ratchet against
+    # an x30 baseline.
+    cur = history[-1]
+    chain = [e for e in history if e.get("sf") == cur.get("sf")]
+    if len(chain) >= 2:
+        compare(chain[-2], chain[-1])
+    else:
+        # first entry of its family: still enforce the absolute
+        # documented bounds
+        compare(chain[-1], chain[-1])
 
 
 if __name__ == "__main__":
