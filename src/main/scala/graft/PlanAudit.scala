@@ -256,6 +256,11 @@ object PlanAudit {
       "route's LSH fallback) — an expected-empty skew guard, <= rows/cap " +
       "keys worst case; fires in a CONSTRUCTION-TIME subplan, so only the " +
       "runtime sweep sees it"),
+      """BroadcastHashJoin builds over Project\[band,bh\]"""),
+    "q_dedup_auto_keep" -> (("the keep-best composition runs autoClusters " +
+      "during construction, so the same dropHotBuckets over-cap offender " +
+      "list fires here as in q_dedup_auto_clusters — an expected-empty " +
+      "skew guard, <= rows/cap keys worst case"),
       """BroadcastHashJoin builds over Project\[band,bh\]""")
   )
 
@@ -433,6 +438,10 @@ object PlanAudit {
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     check("q_dedup_auto_clusters", "cluster route: linear doc->cluster output joins the truncated CC label table hash-built, never nested-loop")(p =>
       p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
+    check("q_dedup_auto_keep", "keep-best composition: cluster-keyed window (never single-partition), score join hash-built, equi-joins only")(p =>
+      p.contains("hashpartitioning(cluster") &&
+        !windowOverSinglePartition(p) && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"))
     check("q_html_extract", "HTML extraction is a pure chained-regex projection: no shuffle, no UDF")(p =>
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext && !p.contains("ScalaUDF"))

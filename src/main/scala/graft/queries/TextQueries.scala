@@ -1364,6 +1364,31 @@ object TextQueries {
         .orderBy("doc")
     },
 
+    // The production-dedup loop CLOSED (r14): autoClusters → keepBest —
+    // the composition the linear cluster contract exists for. Keep one
+    // survivor per near-dup cluster (highest quality_ppm, ties to the
+    // lowest doc id) over the same corpus/caps as the cluster twin, so
+    // both legs (cool exact pairs + hot star edges) exercise. End to end
+    // nothing quadratic ever materializes: star edges are <= bands per
+    // doc, labels are one row per doc, scores attach via a hash-built
+    // join (the label side is checkpoint-derived — unreliable stats, the
+    // q_lm_score hazard class), and the survivor pick is ONE window
+    // shuffle on the cluster key. Rows-only (xxhash64 + iterative CC);
+    // PipelineOpsSpec pins survivor-set equality vs an independent
+    // union-find + max-score pick over the exact pair route.
+    "q_dedup_auto_keep" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clusters = Dedup.autoClusters(docs, "doc_id", "text",
+        blockCols = Seq("lang"), k = 3, minPpm = 800000L,
+        maxBlockPopulation = 100L)
+      val scored = docs.select(col("doc_id").as("doc"),
+        TA.qualityScorePpm(col("text")).as("quality_ppm"))
+      Corpus.keepBest(clusters.join(scored.hint("shuffle_hash"), Seq("doc")),
+          "cluster", "quality_ppm", "doc")
+        .withColumnRenamed("n_group", "n_members")
+        .orderBy("doc")
+    },
+
     // Scale-safe exact near-dup: LSH candidates → exact Jaccard verify
     // (rows-only: xxhash64 candidate gen; PipelineOpsSpec proves the pair
     // set ⊇ the blocked-all-pairs set with identical exact scores). The

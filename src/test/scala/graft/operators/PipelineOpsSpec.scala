@@ -446,6 +446,74 @@ class PipelineOpsSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
 
+  test("autoClusters -> keepBest composition (q_dedup_auto_keep): survivor " +
+    "set equals an independent union-find + max-score pick over the exact " +
+    "pair route; exactly one survivor per cluster; singletons survive") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Corpus, TextAnalysis}
+    // same corpus shape as the autoClusters spec: two hot mutual-dup
+    // mega-clusters over the cap, a cool exact pair, singletons — the
+    // planted shape whose PAIR contract is quadratic and whose cluster
+    // contract is what production keep-best consumes
+    val hotA = (1L to 30L).map(i =>
+      i -> ("the quick brown fox jumps over the lazy dog again and again " +
+        s"with shared boilerplate marker ${i % 2}"))
+    val hotB = (31L to 60L).map(i =>
+      i -> ("an entirely different second mega cluster about spark physical " +
+        s"plans and shuffle exchanges variant ${i % 2}"))
+    val hotNoise = (201L to 205L).map(i =>
+      i -> s"unrelated hot-block text q$i r$i s$i t$i u$i v$i w$i x$i y$i z$i")
+    val coolTexts = Seq(
+      301L -> "completely different cool-block document about parquet files",
+      302L -> "completely different cool-block document about parquet files",
+      303L -> "a cool-block singleton matching nothing else in this corpus")
+    val all = hotA ++ hotB ++ hotNoise ++ coolTexts
+    val docs = docsDf(all: _*)
+      .withColumn("blk", when(col("doc_id") <= 205L, lit(0)).otherwise(lit(1)))
+    // reference clusters: exact pair route + driver union-find (as in the
+    // autoClusters spec)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+      k = 3, minPpm = 900000L, maxBlockPopulation = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = all.map(_._1)
+    val parent = scala.collection.mutable.Map(allIds.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    truth.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    // reference scores: the SAME quality kernel the query composes, read
+    // back per doc — the independence is in the survivor PICK, not the
+    // score definition
+    val scoreOf = docs.select(col("doc_id"),
+        TextAnalysis.qualityScorePpm(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = allIds.groupBy(find)
+    val expectedSurvivors = members.map { case (root, ids) =>
+      val best = ids.maxBy(i => (scoreOf(i), -i))
+      best -> (root, ids.size.toLong)
+    }
+    // operator composition exactly as the declared query builds it
+    val clusters = Dedup.autoClusters(docs, "doc_id", "text", Seq("blk"),
+      k = 3, minPpm = 900000L, maxBlockPopulation = 20L)
+    val scored = docs.select(col("doc_id").as("doc"),
+      TextAnalysis.qualityScorePpm(col("text")).as("quality_ppm"))
+    val kept = Corpus.keepBest(
+        clusters.join(scored.hint("shuffle_hash"), Seq("doc")),
+        "cluster", "quality_ppm", "doc")
+      .collect().map(r => (r.getAs[Long]("doc"),
+        (r.getAs[Long]("cluster"), r.getAs[Long]("n_group")))).toMap
+    assert(kept.keySet == expectedSurvivors.keySet,
+      s"survivor drift: missing=${(expectedSurvivors.keySet -- kept.keySet).take(5)} " +
+        s"extra=${(kept.keySet -- expectedSurvivors.keySet).take(5)}")
+    assert(kept == expectedSurvivors,
+      s"label/population drift: ${kept.toSeq.filter(kv => expectedSurvivors(kv._1) != kv._2).take(5)}")
+    // exactly one survivor per cluster, and every cluster is represented
+    assert(kept.values.map(_._1).toSeq.sorted ==
+      members.keys.toSeq.sorted, "one survivor per component")
+  }
+
   test("sub-k docs (text shorter than k) score 0 ppm and are dropped by " +
     "any positive threshold — and the division never sees union = 0") {
     import org.apache.spark.sql.functions._
