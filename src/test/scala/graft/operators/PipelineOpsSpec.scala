@@ -514,6 +514,42 @@ class PipelineOpsSpec extends SparkTestBase {
       members.keys.toSeq.sorted, "one survivor per component")
   }
 
+  test("autoClusters recall boundary (r14 #4): on the adversarial chain shape " +
+    "(non-mutual similarity, foreign min in shared buckets) the declared " +
+    "16-band config links every fully chain-similar triple") {
+    import org.apache.spark.sql.functions._
+    // the planted shape from StarRecallProbe (measured table in
+    // SCALING.md): per chain A < B < C with J(A,B), J(B,C) >= 0.8 but
+    // J(A,C) < 0.8 — A keeps winning bucket minima it cannot verify
+    // against C, so a (B,C) link needs some B-C bucket free of A. The
+    // full sweep (bands in {8,16,32}, pair-route comparator) is the
+    // probe; this pin keeps the declared default honest: 16 bands x 4
+    // rows gave 150/150 on the probe corpus, asserted here at 60 chains
+    // (deterministic seed) so a signature/banding regression that
+    // weakens the multi-band redundancy fails loudly.
+    val docs = graft.tools.StarRecallProbe.chainCorpus(spark, 60, seed = 7L)
+      .localCheckpoint(true)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 800000L, maxBlockPopulation = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eligible = (0 until 60).filter { c =>
+      val b = c.toLong * 10
+      exact((b + 1, b + 2)) && exact((b + 2, b + 3)) && !exact((b + 1, b + 3))
+    }
+    assert(eligible.size >= 50,
+      s"corpus must stay adversarial: only ${eligible.size}/60 eligible chains")
+    val labels = Dedup.autoClusters(docs, "doc_id", "text", Seq("blk"),
+        k = 3, minPpm = 800000L, maxBlockPopulation = 20L,
+        bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val missed = eligible.filterNot { c =>
+      val b = c.toLong * 10
+      labels(b + 1) == labels(b + 2) && labels(b + 2) == labels(b + 3)
+    }
+    assert(missed.isEmpty,
+      s"16-band star-edge recall regressed: missed chains $missed")
+  }
+
   test("sub-k docs (text shorter than k) score 0 ppm and are dropped by " +
     "any positive threshold — and the division never sees union = 0") {
     import org.apache.spark.sql.functions._
