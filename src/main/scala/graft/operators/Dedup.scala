@@ -205,7 +205,7 @@ object Dedup {
     * keeps full recall for blocks that are merely somewhat over the cap
     * (the common hot case) while bounding per-bucket pair work at
     * C(8·cap, 2) — the same trade the production paths' maxBucket makes. */
-  private def autoBucketCap(maxBlockPopulation: Long): Int =
+  private[graft] def autoBucketCap(maxBlockPopulation: Long): Int =
     math.min(Int.MaxValue.toLong / 8, maxBlockPopulation).toInt * 8
 
   /** Tag the one-global-block case so every consumer groups/joins on a
@@ -833,9 +833,8 @@ object Dedup {
         // pair route's signature-estimate prefilter buys nothing here —
         // the exact verify runs directly on the star edges
         coolPairs.unionByName(
-          exactVerifyPairs(hotDocs, idCol, textCol, star, k, minPpm,
-            containment = false, packedAscii = packedAscii)
-            .select("doc1", "doc2"))
+          verifyStarEdges(hotDocs, idCol, textCol, star, k, minPpm,
+            packedAscii))
       }
     val labels = connectedComponents(edges, "doc1", "doc2")
     // label re-attach hash-builds: the label table is corpus-sized with
@@ -846,6 +845,19 @@ object Dedup {
       .select(col("doc"),
         coalesce(col("comp"), col("doc")).as("cluster"))
   }
+
+  /** Exact verification of star-edge candidates — the shared tail of
+    * [[autoClusters]]' hot leg and its STREAMING twin
+    * ([[graft.streaming.ClusterParitySmoke]]): package-private so the
+    * incremental cluster-contract smoke verifies through the SAME exact
+    * kernel and plan shape as the batch operator (parity against a
+    * reimplementation would prove nothing). */
+  private[graft] def verifyStarEdges(docs: DataFrame, idCol: String,
+      textCol: String, star: DataFrame, k: Int, minPpm: Long,
+      packedAscii: Boolean): DataFrame =
+    exactVerifyPairs(docs, idCol, textCol, star, k, minPpm,
+      containment = false, packedAscii = packedAscii)
+      .select("doc1", "doc2")
 
   def minhashLshPairs(
       docs: DataFrame,

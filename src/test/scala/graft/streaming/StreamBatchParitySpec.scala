@@ -227,6 +227,17 @@ class StreamBatchParitySpec extends SparkTestBase {
       "MapStateSmoke reported a map-state ledger mismatch")
   }
 
+  test("cluster-contract parity (r14): incremental band-bucket state through TWS " +
+    "reassembles into BIT-EXACT autoClusters labels, cap discipline included (forked)") {
+    // the streaming twin of the linear-output production dedup path:
+    // per-bucket member state (bounded by autoBucketCap), star edges from
+    // final bucket minima, the SAME verifyStarEdges + CC tail as batch;
+    // an over-cap boilerplate group proves the dropHotBuckets discipline
+    // fires identically on both sides
+    assert(forkSmoke("graft.streaming.ClusterParitySmoke") == 0,
+      "ClusterParitySmoke reported a cluster-label mismatch")
+  }
+
   test("TWS list-state surface: the per-key ordered journal buffer reassembles into " +
     "the batch ordered sequence (P6 semantics, forked)") {
     // event types appended to a ListState in offset order across 4
