@@ -261,7 +261,31 @@ object PlanAudit {
       "during construction, so the same dropHotBuckets over-cap offender " +
       "list fires here as in q_dedup_auto_clusters — an expected-empty " +
       "skew guard, <= rows/cap keys worst case"),
-      """BroadcastHashJoin builds over Project\[band,bh\]""")
+      """BroadcastHashJoin builds over Project\[band,bh\]"""),
+    // r14 x30 sweep adjudication: the four entries below are the SAME
+    // documented bounded builds as their static-allowlist twins, rendered
+    // narrower by COUNT-shaped column pruning — Footprint/Bench execute
+    // count() while Verify writes full rows, so the count plan projects
+    // the bounded build down to its join keys (subtrees read via
+    // `BcastFlagProbe --count`, each re-verified to carry the documented
+    // bound: sk table / limit-30 TakeOrdered / <=25-row graph / 10k-row
+    // rank picks).
+    "q_kmv_overlap" -> (("count-pruned rendering of the static entry: the " +
+      "checkpointed per-source KMV sketch table (#sources x k longs by " +
+      "construction) projected to its join key"),
+      """BroadcastNestedLoopJoin builds over Project\[source\]"""),
+    "q_ngram_colloc" -> (("count-pruned rendering of the static entry: the " +
+      "k-row top-bigram table (TakeOrderedAndProject limit=30 in the build " +
+      "subtree) 1:1-joined against the vocab, projected to w2"),
+      """BroadcastHashJoin builds over Project\[w2\]"""),
+    "q_shortest_path" -> (("count-pruned rendering of the static entry: the " +
+      "checkpointed <=|event_types|^2 (= 25)-row transition graph with the " +
+      "weight column pruned; one hit per iterative round"),
+      """BroadcastHashJoin builds over Project\[src,dst\]"""),
+    "q_window_scaled" -> (("count-pruned rendering of the static entry: the " +
+      "bounded breadth-demo rank table (10k rows by construction) picks " +
+      "projected to the event_type join key"),
+      """BroadcastHashJoin builds over Project\[event_type\]""")
   )
 
   /** Single-partition-window allowlist entries visible ONLY to the

@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
   * detector as the sweep ([[graft.PlanAudit.broadcastBuildsOverRddScan]])
   * — a private copy of the walk would silently diverge from the audit it
   * debugs.
-  * Usage: Test/runMain graft.tools.BcastFlagProbe <sfDir> <query>...
+  * Usage: Test/runMain graft.tools.BcastFlagProbe <sfDir> [--count] <query>...
+  * `--count` probes the COUNT-shaped plan (`groupBy().count()` over the
+  * query) instead of the full-output plan — the shape Footprint/Bench
+  * execute, whose column pruning renders the same builds with narrower
+  * projections than Verify's write-shaped plan (r14 x30 sweep
+  * adjudication).
   */
 object BcastFlagProbe {
   def main(args: Array[String]): Unit = {
@@ -16,8 +21,11 @@ object BcastFlagProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.drop(1).foreach { q =>
-      val p = graft.SparkEntry.queries(q)(spark, args(0)).queryExecution.sparkPlan
+    val countShape = args.contains("--count")
+    args.drop(1).filterNot(_ == "--count").foreach { q =>
+      val df0 = graft.SparkEntry.queries(q)(spark, args(0))
+      val df = if (countShape) df0.groupBy().count() else df0
+      val p = df.queryExecution.sparkPlan
       graft.PlanAudit.broadcastBuildsOverRddScan(p).foreach { case (kind, build) =>
         // first line = the sweep's exact description (what an allowlist
         // pattern must match), then the subtree for adjudication
