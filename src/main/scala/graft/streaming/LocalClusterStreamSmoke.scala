@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.fold.FoldOption
+import graft.model.Record
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+
+/** Multi-executor parity for the STREAMING engine — the streaming half of
+  * the `LocalClusterParity` gate (see that tool's scaladoc for why
+  * `local-cluster` evidence matters: every other measurement is one JVM
+  * where nothing is ever really serialized to a remote process).
+  *
+  * The same [[KeyFlowTws]] pipeline — FoldOption with mid-stream deletes
+  * and revivals, RocksDB state store, at-least-once replay overlap across
+  * 4 microbatches — runs twice in this JVM:
+  *
+  *   phase A: `local[4]` (the basis every forked smoke uses)
+  *   phase B: `local-cluster[2,2,2048]` — two REAL executor JVMs: the
+  *            fold closure, the Record/FlowState/KeyOutput encoders, and
+  *            the stateful-processor instance are serialized to remote
+  *            processes; state-store partitions live in executor-side
+  *            RocksDB instances; the keyed exchange crosses process
+  *            boundaries through netty.
+  *
+  * Exits 0 iff the final changelog (last row per key: state, tombstone)
+  * is BIT-EXACT equal across the two masters and phase B actually saw
+  * >= 3 block-manager processes (driver + 2 executors) — a silent
+  * fallback to in-process execution cannot vacuously pass.
+  *
+  * Run standalone (the cluster Worker forks executor JVMs from
+  * SPARK_HOME, so sbt's fork env is not enough):
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 java ... \
+  *     graft.streaming.LocalClusterStreamSmoke
+  * The gated spec (LocalClusterSpec) passes that env itself. Executor
+  * classpath = this JVM's own `java.class.path` (class directories under
+  * sbt, jars under java -cp — same host, never stale).
+  */
+object LocalClusterStreamSmoke {
+
+  /** Per-key state: count, Long sum, last folded offset. */
+  final case class Acc(n: Long, sum: Long, lastOff: Long)
+
+  private val DeleteMarker = "DEL"
+
+  /** Deterministic feed: 4000 records over 157 keys, a delete every 311
+    * offsets (the key then revives on its next record — the
+    * delete-then-revive branch), offsets strictly increasing. */
+  private def feed: IndexedSeq[Record] = (0 until 4000).map { i =>
+    val key = "k" + java.lang.Math.floorMod(i * 0x9E3779B9L, 157L)
+    val body =
+      if (i % 311 == 0) DeleteMarker
+      else i.toString
+    Record("t", 0, i.toLong, new Timestamp(i.toLong), 0, key,
+      body.getBytes("UTF-8"), Map.empty)
+  }
+
+  private def runOnce(master: String): (String, Long, Int) = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val cluster = master.startsWith("local-cluster")
+    val b = SparkSession.builder().master(master)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val b2 =
+      if (!cluster) b
+      else b
+        .config("spark.executor.memory", "1536m")
+        // absolutized: the executor JVM's cwd is the Worker's app work
+        // dir, so a relative sbt classes-dir entry would silently drop
+        // the application classes there
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path").split(":").map { e =>
+            if (e.endsWith("/*"))
+              new java.io.File(e.dropRight(2)).getAbsolutePath + "/*"
+            else new java.io.File(e).getAbsolutePath
+          }.mkString(":"))
+        .config("spark.executor.extraJavaOptions", Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar",
+        ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+    val spark = b2.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val fold = FoldOption[Acc, Record] { (st, r) =>
+      val body = new String(r.value, "UTF-8")
+      if (body == DeleteMarker) None
+      else {
+        val v = body.toLong
+        Some(st.fold(Acc(1L, v, r.offset))(s =>
+          Acc(s.n + 1L, s.sum + v, r.offset)))
+      }
+    }
+
+    val input = MemoryStream[Record]
+    val sink = if (cluster) "lcs_cluster" else "lcs_local"
+    val q = KeyFlowTws.flow(input.toDS(), fold)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lcsmoke").toString)
+      .start()
+
+    // 4 microbatches; batch 2 replays the tail of batch 1 (at-least-once)
+    val all = feed
+    val cuts = (1 to 3).map(i => all.length * i / 4)
+    val b1 = all.slice(0, cuts(0))
+    val batches = Seq(
+      b1,
+      b1.takeRight(97) ++ all.slice(cuts(0), cuts(1)),
+      all.slice(cuts(1), cuts(2)),
+      all.slice(cuts(2), all.length))
+    batches.foreach { batch => input.addData(batch); q.processAllAvailable() }
+
+    val rows = spark.table(sink).as[KeyOutput[Acc]].collect()
+    val executors = spark.sparkContext.getExecutorMemoryStatus.size
+    q.stop()
+
+    // final changelog row per key, canonicalized and order-insensitively
+    // hashed (same discipline as LocalClusterParity)
+    val finals = rows.groupBy(_.key).toSeq.map { case (k, rs) =>
+      val last = rs.maxBy(_.offset)
+      s"$k|${last.offset}|${last.tombstone}|" +
+        last.state.map(a => s"${a.n},${a.sum},${a.lastOff}").getOrElse("-")
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    finals.foreach { l => md.update(l.getBytes("UTF-8")); md.update('\n'.toByte) }
+    val hash = md.digest().map("%02x".format(_)).mkString
+
+    spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    (hash, finals.length.toLong, executors)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(sys.env.contains("SPARK_HOME"),
+      "SPARK_HOME must point at the Spark distro (executor launch)")
+    val (hLocal, nLocal, _) = runOnce("local[4]")
+    val (hClus, nClus, executors) = runOnce("local-cluster[2,2,2048]")
+    val multiProc = executors >= 3
+    val ok = hLocal == hClus && nLocal == nClus && multiProc
+    println(s"LOCAL_CLUSTER_STREAM_OK=$ok keys=$nLocal/$nClus " +
+      s"hash=${hLocal.take(12)}/${hClus.take(12)} executors=$executors " +
+      s"(multi-process ${if (multiProc) "PROVEN" else "NOT PROVEN"})")
+    sys.exit(if (ok) 0 else 1)
+  }
+}

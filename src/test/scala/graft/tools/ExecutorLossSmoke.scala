@@ -1,0 +1,175 @@
+package graft.tools
+
+import org.apache.spark.Success
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Executor-LOSS recovery gate (test scope) — the third leg of the
+  * multi-executor evidence (LocalClusterParity = batch parity,
+  * LocalClusterStreamSmoke = streaming parity, this = fault tolerance).
+  *
+  * On a `local-cluster[2,4,3072]` (two REAL executor JVMs), a
+  * shuffle-heavy declared query runs to a baseline checksum; then the
+  * same query is re-run while this process `kill -9`s one executor JVM
+  * mid-flight. Losing an executor without an external shuffle service
+  * loses its shuffle files too, so the scheduler must both retry the
+  * dead tasks AND resubmit parent stages on FetchFailed — the exact
+  * recovery path a 1000-executor job exercises weekly. The smoke
+  * asserts:
+  *
+  *   1. the interrupted run completes and its checksum is BIT-EXACT
+  *      equal to the baseline (no lost or double-counted partition);
+  *   2. an executor was genuinely removed mid-job (listener-counted) —
+  *      if the kill landed after completion the attempt is VOID and
+  *      retried, so the pass cannot be vacuous;
+  *   3. the standalone Worker replaced the dead executor (the cluster
+  *      heals back to 2).
+  *
+  * Run via java -cp with SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+  * (see LocalClusterParity's scaladoc for why sbt's fork env is not
+  * enough). Executor pids are found as this JVM's direct children
+  * running CoarseGrainedExecutorBackend (the in-process Workers fork
+  * them), so the kill targets exactly one victim process.
+  */
+object ExecutorLossSmoke {
+
+  /** Live executor JVM pids. `pgrep -f` rather than ProcessHandle
+    * children: the executor argv exceeds the kernel's cmdline snapshot
+    * that ProcessHandle.info exposes in this container, so the child
+    * filter came back empty there. */
+  private def executorPids(): Seq[Long] = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    Seq("pgrep", "-f", "CoarseGrainedExecutorBackend")
+      .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
+    out.toString.linesIterator.flatMap(_.trim.toLongOption).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val queryName = args.lift(1).getOrElse("q_minhash_lsh")
+    require(sys.env.contains("SPARK_HOME"),
+      "SPARK_HOME must point at the Spark distro (executor launch)")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,4,3072]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.default.parallelism", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "2g")
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path").split(":").map { e =>
+          if (e.endsWith("/*"))
+            new java.io.File(e.dropRight(2)).getAbsolutePath + "/*"
+          else new java.io.File(e).getAbsolutePath
+        }.mkString(":"))
+      .config("spark.executor.extraJavaOptions", Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val removed = new AtomicInteger(0)
+    val failedTasks = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+        removed.incrementAndGet(); ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.reason != Success) { failedTasks.incrementAndGet() }; ()
+      }
+    })
+
+    def checksum(): String = {
+      val df = graft.SparkEntry.queries(queryName)(spark, sfDir)
+      val r = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+        .agg(expr("count(*)").as("n"), expr("bit_xor(__h)").as("x")).head()
+      s"${r.get(0)}:${r.get(1)}"
+    }
+
+    // warm + baseline (also waits out executor registration)
+    val baseline = checksum()
+    println(s"[execloss] baseline $queryName = $baseline " +
+      s"(executor pids: ${executorPids().mkString(",")})")
+
+    var verdict: Option[Boolean] = None
+    var attempt = 0
+    while (verdict.isEmpty && attempt < 5) {
+      attempt += 1
+      // the Worker respawns a replacement after a kill; wait for 2 live
+      // executor JVMs so every attempt starts from the healed cluster
+      var waited = 0
+      while (executorPids().size < 2 && waited < 120) {
+        Thread.sleep(1000); waited += 1
+      }
+      val pids = executorPids()
+      require(pids.size >= 2, s"cluster did not heal: executors=$pids")
+      val removedBefore = removed.get()
+      val failedBefore = failedTasks.get()
+
+      @volatile var result: Option[String] = None
+      @volatile var error: Option[Throwable] = None
+      val t = new Thread(() =>
+        try result = Some(checksum())
+        catch { case e: Throwable => error = Some(e) })
+      t.start()
+      // kill one executor only while tasks are ACTUALLY RUNNING — an
+      // idle-victim kill proves nothing about task retry / FetchFailed
+      val tracker = spark.sparkContext.statusTracker
+      var polls = 0
+      def runningTasks(): Int =
+        tracker.getExecutorInfos.map(_.numRunningTasks()).sum
+      while (runningTasks() < 4 && polls < 600 && t.isAlive) {
+        Thread.sleep(10); polls += 1
+      }
+      val victim = pids.head
+      Runtime.getRuntime.exec(Array("kill", "-9", victim.toString)).waitFor()
+      t.join(300000)
+      val removedDuring = removed.get() - removedBefore
+      val failedDuring = failedTasks.get() - failedBefore
+
+      (result, error) match {
+        case (Some(r), _) if removedDuring > 0 && failedDuring > 0 =>
+          val ok = r == baseline
+          println(s"[execloss] attempt $attempt: killed pid $victim mid-job " +
+            s"(executors removed: $removedDuring, tasks failed+retried: " +
+            s"$failedDuring); checksum ${if (ok) "MATCHES" else
+              s"MISMATCH got $r want $baseline"}")
+          verdict = Some(ok)
+        case (Some(_), _) =>
+          println(s"[execloss] attempt $attempt: kill landed " +
+            s"${if (removedDuring == 0) "after completion"
+              else "on an idle victim (no in-flight tasks lost)"} — " +
+            "void, retrying")
+        case (None, Some(e)) =>
+          println(s"[execloss] attempt $attempt: query FAILED after kill — " +
+            s"recovery broken: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+          verdict = Some(false)
+        case (None, None) =>
+          println(s"[execloss] attempt $attempt: query hung after kill")
+          verdict = Some(false)
+      }
+    }
+
+    // healing check: the Worker must have replaced the victim
+    var waited = 0
+    while (executorPids().size < 2 && waited < 60) { Thread.sleep(1000); waited += 1 }
+    val healed = executorPids().size >= 2
+    val ok = verdict.contains(true) && healed
+    println(s"EXECUTOR_LOSS_OK=$ok (verdict=${verdict.getOrElse("void")}, " +
+      s"healed=$healed, totalExecutorsRemoved=${removed.get()}, " +
+      s"failedTasks=${failedTasks.get()})")
+    spark.stop()
+    sys.exit(if (ok) 0 else 1)
+  }
+}
