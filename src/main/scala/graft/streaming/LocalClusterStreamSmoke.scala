@@ -24,6 +24,14 @@ import java.sql.Timestamp
   *            RocksDB instances; the keyed exchange crosses process
   *            boundaries through netty.
   *
+  * Phase B additionally `kill -9`s one executor JVM between
+  * microbatches 2 and 3 (default on; arg "nokill" isolates plain
+  * parity): the dead executor's state-store partitions must be
+  * reloaded from the checkpoint by whichever executor inherits them,
+  * so the final compare also proves STATE SURVIVES EXECUTOR LOSS —
+  * a stale or lost reload folds batches 3-4 from the wrong snapshot
+  * and diverges the changelog.
+  *
   * Exits 0 iff the final changelog (last row per key: state, tombstone)
   * is BIT-EXACT equal across the two masters and phase B actually saw
   * >= 3 block-manager processes (driver + 2 executors) — a silent
@@ -42,6 +50,20 @@ object LocalClusterStreamSmoke {
   /** Per-key state: count, Long sum, last folded offset. */
   final case class Acc(n: Long, sum: Long, lastOff: Long)
 
+  /** Live executor JVM pids OF THIS DRIVER — `-P <own pid>` scopes the
+    * match to our children, so a concurrently running local-cluster
+    * tool on the same host can never become the kill victim (pgrep
+    * rather than ProcessHandle.children because the executor argv
+    * exceeds the cmdline snapshot ProcessHandle.info exposes here). */
+  private def executorPids(): Seq[Long] = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    Seq("pgrep", "-P", ProcessHandle.current().pid().toString,
+        "-f", "CoarseGrainedExecutorBackend")
+      .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
+    out.toString.linesIterator.flatMap(_.trim.toLongOption).toSeq
+  }
+
   private val DeleteMarker = "DEL"
 
   /** Deterministic feed: 4000 records over 157 keys, a delete every 311
@@ -56,7 +78,7 @@ object LocalClusterStreamSmoke {
       body.getBytes("UTF-8"), Map.empty)
   }
 
-  private def runOnce(master: String): (String, Long, Int) = {
+  private def runOnce(master: String, killMidStream: Boolean): (String, Long, Int) = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val cluster = master.startsWith("local-cluster")
     val b = SparkSession.builder().master(master)
@@ -120,7 +142,23 @@ object LocalClusterStreamSmoke {
       b1.takeRight(97) ++ all.slice(cuts(0), cuts(1)),
       all.slice(cuts(1), cuts(2)),
       all.slice(cuts(2), all.length))
-    batches.foreach { batch => input.addData(batch); q.processAllAvailable() }
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      // the resilience leg: after microbatch 2 commits, kill -9 one
+      // executor JVM. Its state-store partitions MUST be reloaded from
+      // the checkpoint on whichever executor picks them up for batch 3
+      // — a lost or stale reload shows up as a changelog divergence
+      // (counts/sums fold from the wrong snapshot), which the bit-exact
+      // compare below catches.
+      if (killMidStream && i == 2) {
+        val pids = executorPids()
+        require(pids.size >= 2, s"expected 2 executors before kill: $pids")
+        Runtime.getRuntime.exec(
+          Array("kill", "-9", pids.head.toString)).waitFor()
+        println(s"[lcsmoke] killed executor pid ${pids.head} " +
+          "between microbatches 2 and 3")
+      }
+      input.addData(batch); q.processAllAvailable()
+    }
 
     val rows = spark.table(sink).as[KeyOutput[Acc]].collect()
     val executors = spark.sparkContext.getExecutorMemoryStatus.size
@@ -145,12 +183,17 @@ object LocalClusterStreamSmoke {
   def main(args: Array[String]): Unit = {
     require(sys.env.contains("SPARK_HOME"),
       "SPARK_HOME must point at the Spark distro (executor launch)")
-    val (hLocal, nLocal, _) = runOnce("local[4]")
-    val (hClus, nClus, executors) = runOnce("local-cluster[2,2,2048]")
+    // default ON: the kill leg makes the parity claim strictly stronger
+    // (state survives executor loss); pass "nokill" to isolate plain
+    // parity when debugging a divergence
+    val kill = !args.contains("nokill")
+    val (hLocal, nLocal, _) = runOnce("local[4]", killMidStream = false)
+    val (hClus, nClus, executors) = runOnce("local-cluster[2,2,2048]", kill)
     val multiProc = executors >= 3
     val ok = hLocal == hClus && nLocal == nClus && multiProc
     println(s"LOCAL_CLUSTER_STREAM_OK=$ok keys=$nLocal/$nClus " +
       s"hash=${hLocal.take(12)}/${hClus.take(12)} executors=$executors " +
+      s"killLeg=$kill " +
       s"(multi-process ${if (multiProc) "PROVEN" else "NOT PROVEN"})")
     sys.exit(if (ok) 0 else 1)
   }

@@ -36,14 +36,17 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object ExecutorLossSmoke {
 
-  /** Live executor JVM pids. `pgrep -f` rather than ProcessHandle
-    * children: the executor argv exceeds the kernel's cmdline snapshot
-    * that ProcessHandle.info exposes in this container, so the child
-    * filter came back empty there. */
+  /** Live executor JVM pids OF THIS DRIVER. `pgrep -f` rather than
+    * ProcessHandle children because the executor argv exceeds the
+    * kernel's cmdline snapshot ProcessHandle.info exposes in this
+    * container (the child filter came back empty); `-P <own pid>`
+    * scopes to our children so a concurrent local-cluster tool on the
+    * same host can never become the kill victim. */
   private def executorPids(): Seq[Long] = {
     import scala.sys.process._
     val out = new StringBuilder
-    Seq("pgrep", "-f", "CoarseGrainedExecutorBackend")
+    Seq("pgrep", "-P", ProcessHandle.current().pid().toString,
+        "-f", "CoarseGrainedExecutorBackend")
       .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
     out.toString.linesIterator.flatMap(_.trim.toLongOption).toSeq
   }
@@ -91,7 +94,7 @@ object ExecutorLossSmoke {
 
     def checksum(): String = {
       val df = graft.SparkEntry.queries(queryName)(spark, sfDir)
-      val r = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      val r = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
         .agg(expr("count(*)").as("n"), expr("bit_xor(__h)").as("x")).head()
       s"${r.get(0)}:${r.get(1)}"
     }
