@@ -50,19 +50,7 @@ object LocalClusterStreamSmoke {
   /** Per-key state: count, Long sum, last folded offset. */
   final case class Acc(n: Long, sum: Long, lastOff: Long)
 
-  /** Live executor JVM pids OF THIS DRIVER — `-P <own pid>` scopes the
-    * match to our children, so a concurrently running local-cluster
-    * tool on the same host can never become the kill victim (pgrep
-    * rather than ProcessHandle.children because the executor argv
-    * exceeds the cmdline snapshot ProcessHandle.info exposes here). */
-  private def executorPids(): Seq[Long] = {
-    import scala.sys.process._
-    val out = new StringBuilder
-    Seq("pgrep", "-P", ProcessHandle.current().pid().toString,
-        "-f", "CoarseGrainedExecutorBackend")
-      .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
-    out.toString.linesIterator.flatMap(_.trim.toLongOption).toSeq
-  }
+  private def executorPids(): Seq[Long] = graft.LocalClusterEnv.executorPids()
 
   private val DeleteMarker = "DEL"
 
@@ -91,24 +79,10 @@ object LocalClusterStreamSmoke {
       if (!cluster) b
       else b
         .config("spark.executor.memory", "1536m")
-        // absolutized: the executor JVM's cwd is the Worker's app work
-        // dir, so a relative sbt classes-dir entry would silently drop
-        // the application classes there
         .config("spark.executor.extraClassPath",
-          System.getProperty("java.class.path").split(":").map { e =>
-            if (e.endsWith("/*"))
-              new java.io.File(e.dropRight(2)).getAbsolutePath + "/*"
-            else new java.io.File(e).getAbsolutePath
-          }.mkString(":"))
-        .config("spark.executor.extraJavaOptions", Seq(
-          "java.base/java.lang", "java.base/java.lang.invoke",
-          "java.base/java.lang.reflect", "java.base/java.io",
-          "java.base/java.net", "java.base/java.nio",
-          "java.base/java.util", "java.base/java.util.concurrent",
-          "java.base/java.util.concurrent.atomic",
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar",
-        ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+          graft.LocalClusterEnv.absoluteClasspath)
+        .config("spark.executor.extraJavaOptions",
+          graft.LocalClusterEnv.executorAddOpens)
     val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -142,6 +116,11 @@ object LocalClusterStreamSmoke {
       b1.takeRight(97) ++ all.slice(cuts(0), cuts(1)),
       all.slice(cuts(1), cuts(2)),
       all.slice(cuts(2), all.length))
+    // max across batches, not a single end-of-run sample: after the kill
+    // the replacement executor may not have re-registered yet, so a final
+    // snapshot could read 2 and fail the >=3-process assertion even
+    // though both executors demonstrably ran batches 1-2
+    var executors = 0
     batches.zipWithIndex.foreach { case (batch, i) =>
       // the resilience leg: after microbatch 2 commits, kill -9 one
       // executor JVM. Its state-store partitions MUST be reloaded from
@@ -158,10 +137,11 @@ object LocalClusterStreamSmoke {
           "between microbatches 2 and 3")
       }
       input.addData(batch); q.processAllAvailable()
+      executors = math.max(executors,
+        spark.sparkContext.getExecutorMemoryStatus.size)
     }
 
     val rows = spark.table(sink).as[KeyOutput[Acc]].collect()
-    val executors = spark.sparkContext.getExecutorMemoryStatus.size
     q.stop()
 
     // final changelog row per key, canonicalized and order-insensitively

@@ -18,16 +18,7 @@ class LocalClusterSpec extends SparkTestBase {
       s"no Spark distro at $sparkHome — multi-executor smoke skipped")
     import scala.sys.process._
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+    val cmd = Seq(javaBin) ++ graft.LocalClusterEnv.addOpensArgs ++ Seq(
       "-Xmx4g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.streaming.LocalClusterStreamSmoke")

@@ -36,20 +36,7 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object ExecutorLossSmoke {
 
-  /** Live executor JVM pids OF THIS DRIVER. `pgrep -f` rather than
-    * ProcessHandle children because the executor argv exceeds the
-    * kernel's cmdline snapshot ProcessHandle.info exposes in this
-    * container (the child filter came back empty); `-P <own pid>`
-    * scopes to our children so a concurrent local-cluster tool on the
-    * same host can never become the kill victim. */
-  private def executorPids(): Seq[Long] = {
-    import scala.sys.process._
-    val out = new StringBuilder
-    Seq("pgrep", "-P", ProcessHandle.current().pid().toString,
-        "-f", "CoarseGrainedExecutorBackend")
-      .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
-    out.toString.linesIterator.flatMap(_.trim.toLongOption).toSeq
-  }
+  private def executorPids(): Seq[Long] = graft.LocalClusterEnv.executorPids()
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -64,20 +51,9 @@ object ExecutorLossSmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.executor.memory", "2g")
       .config("spark.executor.extraClassPath",
-        System.getProperty("java.class.path").split(":").map { e =>
-          if (e.endsWith("/*"))
-            new java.io.File(e.dropRight(2)).getAbsolutePath + "/*"
-          else new java.io.File(e).getAbsolutePath
-        }.mkString(":"))
-      .config("spark.executor.extraJavaOptions", Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar",
-      ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+        graft.LocalClusterEnv.absoluteClasspath)
+      .config("spark.executor.extraJavaOptions",
+        graft.LocalClusterEnv.executorAddOpens)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -168,8 +144,18 @@ object ExecutorLossSmoke {
     var waited = 0
     while (executorPids().size < 2 && waited < 60) { Thread.sleep(1000); waited += 1 }
     val healed = executorPids().size >= 2
+    if (verdict.isEmpty) {
+      // every attempt was void (kill never landed on in-flight tasks) —
+      // NOTHING WAS TESTED. Exit 2, not 1: automation must distinguish
+      // "recovery broken" from "query too fast for the kill to land;
+      // rerun with a heavier query or bigger sfDir"
+      println("EXECUTOR_LOSS_OK=void (all attempts void — no mid-job " +
+        "kill landed; use a longer-running query)")
+      spark.stop()
+      sys.exit(2)
+    }
     val ok = verdict.contains(true) && healed
-    println(s"EXECUTOR_LOSS_OK=$ok (verdict=${verdict.getOrElse("void")}, " +
+    println(s"EXECUTOR_LOSS_OK=$ok (verdict=${verdict.get}, " +
       s"healed=$healed, totalExecutorsRemoved=${removed.get()}, " +
       s"failedTasks=${failedTasks.get()})")
     spark.stop()

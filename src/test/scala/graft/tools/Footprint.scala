@@ -79,16 +79,23 @@ object Footprint {
     // The IVF prebuild is q_ann_ivf's construction-time subplan (its
     // bounded sample-cap sort is the allowlisted q_ann_ivf pattern), so
     // it sweeps under that label; the other prebuilds are clean scans.
+    // drain BETWEEN the label switches too: listener callbacks are
+    // asynchronous, so without a drain the IVF prebuild's allowlisted
+    // window subplan can be delivered under the NEXT label (which has
+    // no matching allowlist entry) and fail the scale gate spuriously
     graft.RuntimeSweep.label = "q_topk"
     try SparkEntry.queries.get("q_topk").foreach(_(spark, dir).count())
     catch { case _: Throwable => () }
+    graft.RuntimeSweep.drain(spark)
     graft.RuntimeSweep.label = "q_ann_ivf"
     try graft.operators.IvfIndex.getOrBuild(dir,
       Tables(spark, dir, "embeddings"), "embedding", nlist = 16, seed = 42L)
     catch { case _: Throwable => () }
+    graft.RuntimeSweep.drain(spark)
     graft.RuntimeSweep.label = "q_journal_decode"
     try graft.queries.JournalFixture.encoded(spark, dir).count()
     catch { case _: Throwable => () }
+    graft.RuntimeSweep.drain(spark)
 
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
@@ -126,7 +133,11 @@ object Footprint {
     // named by the corpus, merged into RUNTIME_SWEEP_x30.json by
     // tools/merge_sweeps.py at close-out
     graft.RuntimeSweep.drain(spark)
-    val corpus = dir.replaceAll(".*/", "")
+    // getFileName, not a regex over the raw string: a trailing slash
+    // (tab completion) would otherwise name the artifact
+    // RUNTIME_SWEEP_footprint_.json and the close-out merge would read
+    // the previous round's committed file instead
+    val corpus = java.nio.file.Paths.get(dir).getFileName.toString
     val sweepPath = s"RUNTIME_SWEEP_footprint_$corpus.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sweepPath), graft.RuntimeSweep.reportJson())

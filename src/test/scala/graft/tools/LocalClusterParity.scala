@@ -48,18 +48,7 @@ import org.apache.spark.sql.SparkSession
   */
 object LocalClusterParity {
 
-  /** Same list as build.sbt's jdk17AddOpens — executors are separate JDK 17
-    * JVMs and the standalone Worker does not inject spark-submit's module
-    * options for us. */
-  private val executorAddOpens: String = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+  private def executorAddOpens: String = graft.LocalClusterEnv.executorAddOpens
 
   private def fmtDouble(d: Double): String =
     if (d.isNaN) "NaN"

@@ -102,18 +102,28 @@ def main():
     # r14: the runtime plan sweep's "must be 0" contract is machine-
     # enforced here (the local gate), not just printed by Verify — an
     # unexplained executed-plan hit or a throwing detector fails the
-    # round like an oracle mismatch would.
-    if os.path.exists("RUNTIME_SWEEP.json"):
-        sweep = json.load(open("RUNTIME_SWEEP.json"))
+    # round like an oracle mismatch would. The gate reads the RUN-BOUND
+    # copy Verify writes into outDir: the committed cwd RUNTIME_SWEEP.json
+    # is always-green by construction, so gating on it would let an
+    # aborted run (or a check from the wrong directory) pass on stale
+    # data. A missing run-bound report is itself a FAIL — a sweep that
+    # did not run is not a sweep that passed.
+    sweep_path = os.path.join(out, "runtime_sweep.json")
+    if os.path.exists(sweep_path):
+        sweep = json.load(open(sweep_path))
         unexp = sweep.get("unexplained_total", 0)
         errs = sweep.get("detector_errors", 0)
         if unexp or errs:
             print(f"FAIL runtime sweep: {unexp} unexplained hits, "
-                  f"{errs} detector errors (RUNTIME_SWEEP.json)")
+                  f"{errs} detector errors ({sweep_path})")
             fail += 1
         else:
             print(f"OK   runtime sweep ({sweep.get('executions_total')} "
                   "executed subplans, 0 unexplained, 0 detector errors)")
+    else:
+        print(f"FAIL runtime sweep: no run-bound report at {sweep_path} "
+              "(Verify aborted before the sweep, or outDir predates r14)")
+        fail += 1
     print("FAILURES:", fail)
     sys.exit(1 if fail else 0)
 
