@@ -29,12 +29,12 @@ object Verify {
       }
       RuntimeSweep.drain(spark)
     }
-    Files.writeString(Paths.get("RUNTIME_SWEEP.json"), RuntimeSweep.reportJson())
+    val sweepReport = RuntimeSweep.reportJson()
+    Files.writeString(Paths.get("RUNTIME_SWEEP.json"), sweepReport)
     // run-bound copy: check.py gates on THIS one (outDir ties the report
     // to the verify outputs it validates), so a cwd mismatch or an
     // aborted run can never pass the gate on a stale committed artifact
-    Files.writeString(Paths.get(s"$outDir/runtime_sweep.json"),
-      RuntimeSweep.reportJson())
+    Files.writeString(Paths.get(s"$outDir/runtime_sweep.json"), sweepReport)
     println(s"[verify] runtime sweep: ${RuntimeSweep.executionsTotal} executed " +
       s"subplans swept, ${RuntimeSweep.unexplainedTotal} unexplained hits, " +
       s"${RuntimeSweep.detectorErrorsTotal} detector errors")

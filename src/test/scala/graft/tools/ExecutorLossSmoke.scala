@@ -70,7 +70,20 @@ object ExecutorLossSmoke {
 
     def checksum(): String = {
       val df = graft.SparkEntry.queries(queryName)(spark, sfDir)
-      val r = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
+      // canonicalize float/double columns to 9 significant digits before
+      // hashing (same slack as LocalClusterParity.fmtDouble): a kill
+      // reorders shuffle-fetch arrival, so a float aggregate's last-ulp
+      // reassociation difference must not read as "recovery broken"
+      val cols = df.schema.fields.toIndexedSeq.map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType =>
+            org.apache.spark.sql.functions.format_string(
+              "%.9e", col(f.name).cast("double"))
+          case _ => col(f.name)
+        }
+      }
+      val r = df.select(xxhash64(cols: _*).as("__h"))
         .agg(expr("count(*)").as("n"), expr("bit_xor(__h)").as("x")).head()
       s"${r.get(0)}:${r.get(1)}"
     }
@@ -92,6 +105,12 @@ object ExecutorLossSmoke {
       }
       val pids = executorPids()
       require(pids.size >= 2, s"cluster did not heal: executors=$pids")
+      // drain the async listener bus before AND after the attempt: a
+      // straggler event from the previous kill otherwise lands inside
+      // this attempt's delta (validating a post-completion kill), and a
+      // just-finished attempt's events may not have been delivered yet
+      // (voiding a genuinely valid one)
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val removedBefore = removed.get()
       val failedBefore = failedTasks.get()
 
@@ -113,6 +132,7 @@ object ExecutorLossSmoke {
       val victim = pids.head
       Runtime.getRuntime.exec(Array("kill", "-9", victim.toString)).waitFor()
       t.join(300000)
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val removedDuring = removed.get() - removedBefore
       val failedDuring = failedTasks.get() - failedBefore
 

@@ -190,10 +190,27 @@ object LocalClusterParity {
           s"${c.err.getOrElse("")})")
       n -> status
     }
-    val bad = statuses.filter(s => s._2 == "MISMATCH" || s._2 == "cluster_error")
+    // ANY non-ok status fails: a query that errors in either phase (or
+    // both) established no parity, and a gate that greens on shrunken
+    // coverage is the vacuous-pass failure mode this tool exists to
+    // avoid. Same reason an empty name filter (typo'd query) is a hard
+    // error rather than a 0-query "pass".
+    require(names.nonEmpty, s"no queries matched the filter $only")
+    val bad = statuses.filterNot(_._2 == "ok")
     val multiProc = executors >= 3 // driver + 2 executor JVMs
 
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full escaper (same contract as Verify.q): a multi-line Spark
+    // exception message in an error field would otherwise make the
+    // committed artifact unparseable JSON
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json = new StringBuilder()
     json ++= "{\n"
     json ++= s"""  "sf_dir": ${q(sfDir)},\n"""
@@ -203,7 +220,9 @@ object LocalClusterParity {
     json ++= s"""  "queries_total": ${names.size},\n"""
     json ++= s"""  "ok": ${statuses.count(_._2 == "ok")},\n"""
     json ++= s"""  "both_error": ${statuses.count(_._2 == "both_error")},\n"""
-    json ++= s"""  "mismatch_or_cluster_error": ${bad.size},\n"""
+    json ++= s"""  "local_error": ${statuses.count(_._2 == "local_error")},\n"""
+    json ++= s"""  "cluster_error": ${statuses.count(_._2 == "cluster_error")},\n"""
+    json ++= s"""  "not_ok": ${bad.size},\n"""
     json ++= s"""  "queries": {\n"""
     json ++= statuses.map { case (n, s) =>
       val c = clus(n)
@@ -211,9 +230,13 @@ object LocalClusterParity {
         c.err.map(e => s""", "error": ${q(e)}""").getOrElse("")}}"""
     }.mkString(",\n")
     json ++= "\n  }\n}\n"
-    // the planted-control run must not clobber the committed gate artifact
+    // only the FULL default run may write the committed gate artifact: a
+    // quick subset re-validation or the planted control would otherwise
+    // silently downgrade the round's headline 195-query evidence (this
+    // exact clobber happened once — caught by the r14 self-review)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       if (negativeControl) "LOCAL_CLUSTER_PARITY_negative.json"
+      else if (only.nonEmpty) "LOCAL_CLUSTER_PARITY_partial.json"
       else "LOCAL_CLUSTER_PARITY.json"), json.toString)
 
     println(s"[parity] ${names.size} queries | ok=${statuses.count(_._2 == "ok")} " +
