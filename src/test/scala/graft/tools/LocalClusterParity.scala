@@ -35,13 +35,14 @@ import org.apache.spark.sql.SparkSession
   * slack against float-sum reassociation if AQE coalesces differently; a
   * genuine serialization bug does not survive 9 digits.
   *
-  * Usage (java -cp with the packaged jars — sbt's fork env lacks
-  * SPARK_HOME, which the cluster Worker needs to spawn executor JVMs):
+  * Usage (SPARK_HOME must be in the env — the cluster Worker forks
+  * executor JVMs from it; executor classpath is this JVM's own,
+  * absolutized, so class directories and jars both work and can never
+  * be stale):
   *
-  *   sbt -batch package Test/package
-  *   SPARK_HOME=/opt/spark java -Xmx8g $ADD_OPENS \
-  *     -cp "the two packaged jars + the spark jars dir glob" \
-  *     graft.tools.LocalClusterParity /root/testdata/sf0.001 [query ...]
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 java -Xmx8g \
+  *     $ADD_OPENS -cp "<classes or jars>:<spark jars glob>" \
+  *     graft.tools.LocalClusterParity /root/testdata/sf0.01 [query ...]
   *
   * Writes LOCAL_CLUSTER_PARITY.json (per-query status) and exits 1 on any
   * mismatch or phase-B-only error.
@@ -101,8 +102,7 @@ object LocalClusterParity {
   private def runPhase(
       master: String, names: Seq[String],
       queryFns: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-      sfDir: String,
-      jars: Seq[String]): (Map[String, Res], Int) = {
+      sfDir: String): (Map[String, Res], Int) = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val cluster = master.startsWith("local-cluster")
     val b = SparkSession.builder()
@@ -115,7 +115,8 @@ object LocalClusterParity {
       if (!cluster) b
       else b
         .config("spark.executor.memory", "3g")
-        .config("spark.executor.extraClassPath", jars.mkString(":"))
+        .config("spark.executor.extraClassPath",
+          graft.LocalClusterEnv.absoluteClasspath)
         .config("spark.executor.extraJavaOptions", executorAddOpens)
     val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -164,17 +165,11 @@ object LocalClusterParity {
       .filter(n => only.isEmpty || only(n))
     require(sys.env.contains("SPARK_HOME"),
       "SPARK_HOME must point at the Spark distro — the local-cluster " +
-        "Worker forks executor JVMs from it (run via java -cp, not sbt)")
-    val jarDir = new java.io.File("target/scala-2.13")
-    val jars = Option(jarDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".jar")).map(_.getAbsolutePath).toSeq
-    require(jars.nonEmpty, "no jars under target/scala-2.13 — run " +
-      "`sbt -batch package Test/package` first (executors need jar files, " +
-      "not class directories)")
+        "Worker forks executor JVMs from it")
 
-    val (base, _) = runPhase("local[8]", names, queryFns, sfDir, jars)
+    val (base, _) = runPhase("local[8]", names, queryFns, sfDir)
     val (clus, executors) =
-      runPhase("local-cluster[2,4,4096]", names, queryFns, sfDir, jars)
+      runPhase("local-cluster[2,4,4096]", names, queryFns, sfDir)
 
     val statuses = names.map { n =>
       val (b, c) = (base(n), clus(n))
