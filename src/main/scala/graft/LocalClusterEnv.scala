@@ -38,7 +38,10 @@ object LocalClusterEnv {
     * silently drop the application classes there (glob entries keep
     * their trailing wildcard). */
   def absoluteClasspath: String =
-    System.getProperty("java.class.path").split(":").map { e =>
+    absolutize(System.getProperty("java.class.path"))
+
+  private[graft] def absolutize(cp: String): String =
+    cp.split(":").map { e =>
       if (e.endsWith("/*"))
         new java.io.File(e.dropRight(2)).getAbsolutePath + "/*"
       else new java.io.File(e).getAbsolutePath
