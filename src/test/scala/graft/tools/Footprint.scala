@@ -54,8 +54,9 @@ object Footprint {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val only = args.drop(1).toSet
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val b = SparkSession.builder()
+      .master(master)
       // overridable so xN runs can hold BYTES-PER-PARTITION constant
       // instead of partition COUNT — the knob that distinguishes "a hot
       // key grows per-task state" (real hazard) from "corpus/32 grows
@@ -65,7 +66,20 @@ object Footprint {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_MASTER=local-cluster[n,c,m] measures per-task metrics
+    // on REAL forked executor JVMs (needs SPARK_HOME + the heap the
+    // workers were sized for; see LocalClusterParity). The TaskEnd
+    // metrics the Acc listener reads arrive identically — they ride the
+    // driver's listener bus regardless of where the task ran.
+    val spark = (if (!master.startsWith("local-cluster")) b
+      else b
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+        .config("spark.executor.extraClassPath",
+          graft.LocalClusterEnv.absoluteClasspath)
+        .config("spark.executor.extraJavaOptions",
+          graft.LocalClusterEnv.executorAddOpens)
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // r14 (judge #1): the runtime plan sweep runs here too — the x30/x90
     // scale corpora execute cap-gated legs (hot-bucket guards, engaged
@@ -138,7 +152,11 @@ object Footprint {
     // RUNTIME_SWEEP_footprint_.json and the close-out merge would read
     // the previous round's committed file instead
     val corpus = java.nio.file.Paths.get(dir).getFileName.toString
-    val sweepPath = s"RUNTIME_SWEEP_footprint_$corpus.json"
+    // cluster-mode runs get their own artifact name: a 2-query
+    // local-cluster probe must never clobber the committed full-set
+    // sweep file the close-out merge reads
+    val modeSuffix = if (master.startsWith("local-cluster")) "_cluster" else ""
+    val sweepPath = s"RUNTIME_SWEEP_footprint_$corpus$modeSuffix.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sweepPath), graft.RuntimeSweep.reportJson())
     println(s"[footprint] runtime sweep: ${graft.RuntimeSweep.executionsTotal} " +
