@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
+import graft.operators.Lineage.LineageOps
 
 /** Distributed BPE merge LEARNING (Sennrich, Haddow, Birch 2016) — the
   * training-side twin of `functions.BpeTokenCount`'s merge-applying
@@ -76,7 +77,7 @@ object BpeTrainer {
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(split(col("w"), "").as("sym"), col("n"))
-      .localCheckpoint(true) // the ONLY corpus-sized step
+      .lineageCut() // the ONLY corpus-sized step
     val nTypes = vocab0.count()
     val merges =
       if (nTypes <= maxVocabRows) {
@@ -315,7 +316,7 @@ object BpeTrainer {
           graft.functions.MergePair(e, a, b)
         }.as("sym"), col("n"))
       }
-      val next = next0.filter(size(col("sym")) > 1).localCheckpoint(true)
+      val next = next0.filter(size(col("sym")) > 1).lineageCut()
       actions += 1
       vocab.unpersist()
       vocab = next

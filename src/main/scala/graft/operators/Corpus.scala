@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.LineageOps
 
 /** Corpus-management operators for training-data pipelines: reproducible
   * splitting, sequence packing, and eval-set decontamination. No reference
@@ -520,7 +521,7 @@ object Corpus {
     import graft.functions.{BloomKernels, BloomMightContain, BloomPositions}
     // eval grams feed the filter build AND the verify join: materialize
     // once (the clean()/connectedComponents checkpoint discipline)
-    val evalGrams = distinctEvalGrams(eval, textCol, k).localCheckpoint(true)
+    val evalGrams = distinctEvalGrams(eval, textCol, k).lineageCut()
     val words = BloomKernels.emptyWords(bits, hashes)
     evalGrams
       .select(explode(BloomPositions(col("g"), bits, hashes)).as("p"))

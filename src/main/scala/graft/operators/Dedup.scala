@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.LineageOps
 
 /** Deduplication operators for training-data pipelines, designed so every
   * variant scales: candidate generation is always a bucket equi-join (hash
@@ -94,9 +95,9 @@ object Dedup {
     * checkpoint: lineage-free (no recompute cascade through the unpersisted
     * rounds), not an entry in the SQL cache manager, and its blocks are
     * reclaimed by the ContextCleaner once the caller drops the reference —
-    * so a session running many clusterings leaks nothing. (At cluster
-    * scale swap localCheckpoint for checkpoint() against a reliable dir,
-    * same as the per-round rebase note below.)
+    * so a session running many clusterings leaks nothing. (Set
+    * `spark.graft.checkpoint.dir` to switch every cut to reliable
+    * checkpoint() — executor-loss-safe; see [[Lineage]].)
     *
     * Skew: a hub node (one root referenced by millions of edges — the
     * shape star-edge inputs produce) concentrates the neighbor-min join on
@@ -114,8 +115,8 @@ object Dedup {
     // exponentially-growing plan (analysis itself OOMs around 8-10
     // rounds). Rebasing on the materialized RDD keeps each round's plan
     // constant-size; persist + unpersist bounds memory to two label
-    // tables. (At cluster scale swap the rebase for checkpoint() against
-    // a reliable dir — same shape, executor-loss-safe.)
+    // tables. (spark.graft.checkpoint.dir switches the final cut to
+    // reliable checkpoint() — executor-loss-safe; see Lineage.)
     def materialize(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema).persist()
     // labels sum: comp ids only ever DECREASE, so the label table changed
@@ -165,7 +166,7 @@ object Dedup {
     // Hand back a pinned copy and release the loop's cache entry: the
     // checkpoint reads the still-cached labels (cheap), owns its own
     // blocks afterwards, and never registers with the cache manager.
-    val out = labels.localCheckpoint(true)
+    val out = labels.lineageCut()
     labels.unpersist()
     out
   }
@@ -462,10 +463,10 @@ object Dedup {
       // anti/semi splits, LSH signatures, block re-attachment twice,
       // verify shingles) — against an expensive upstream plan each would
       // recompute the lot (the eager-checkpoint-before-self-joins house
-      // rule; at cluster scale swap for checkpoint())
+      // rule; spark.graft.checkpoint.dir makes it reliable — see Lineage)
       val slim = docs
         .select((idCol +: textCol +: blockCols).distinct.map(col): _*)
-        .localCheckpoint(true)
+        .lineageCut()
       val hotKeys = hotBlockKeys(slim.select(blockCols.map(col): _*),
         blockCols, maxBlockPopulation, "ngramJaccardPairs")
       if (hotKeys.isEmpty)
@@ -554,7 +555,7 @@ object Dedup {
       // ngramJaccardPairs discipline
       val slim = docs
         .select((idCol +: textCol +: blockCols).distinct.map(col): _*)
-        .localCheckpoint(true)
+        .lineageCut()
       val hotKeys = hotBlockKeys(slim.select(blockCols.map(col): _*),
         blockCols, maxBlockPopulation, "ngramContainmentPairs")
       if (hotKeys.isEmpty)
@@ -811,7 +812,7 @@ object Dedup {
     // ngramJaccardPairs Auto discipline
     val slim = docs
       .select((idCol +: textCol +: blockCols).distinct.map(col): _*)
-      .localCheckpoint(true)
+      .lineageCut()
     val hotKeys = hotBlockKeys(slim.select(blockCols.map(col): _*),
       blockCols, maxBlockPopulation, "autoClusters")
     val (cool, hotDocs) = splitByHotBlocks(slim, blockCols, hotKeys)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.LineageOps
 
 /** Distributed graph analytics beyond connected components (Dedup): the
   * iterative-DataFrame discipline (per-round lineage rebase, bounded
@@ -75,7 +76,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     val deg = e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // direct from lower (deg, id) to higher; carry the head's (deg, id) so
@@ -88,7 +89,7 @@ object Graph {
         when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"),
         when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint(true)
+      .lineageCut()
     val wedge = oriented.as("e1").join(oriented.as("e2"), "src")
       .filter(col("e1.ddeg") < col("e2.ddeg") ||
         (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst")))
@@ -189,7 +190,7 @@ object Graph {
       done = delta < tol
     }
     e.unpersist(); frac.unpersist(); nodes.unpersist(); dangling.unpersist()
-    val out = ranks.localCheckpoint(true)
+    val out = ranks.lineageCut()
     ranks.unpersist()
     out
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import graft.operators.Lineage.LineageOps
 
 /** Distributed global order statistics — row_number / running sum / NTILE
   * over a TOTAL order — with NO single-partition stage anywhere.
@@ -117,7 +118,7 @@ object Ranks {
       else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = df.repartitionByRange(nb, order: _*)
       .withColumn(BucketCol, spark_partition_id())
-      .localCheckpoint(true)
+      .lineageCut()
     val aggs = count(lit(1)).cast("long").as("__n") +:
       valueCols.map(v => sum(col(v)).cast("long").as(s"__s_$v"))
     // bounded driver gather: one row per non-empty bucket
@@ -199,7 +200,7 @@ object Ranks {
       else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = df.repartitionByRange(nb, col(groupCol) +: order: _*)
       .withColumn(BucketCol, spark_partition_id())
-      .localCheckpoint(true)
+      .lineageCut()
     // bounded gather: #buckets + #groups - 1 rows (staircase incidence)
     val aggs = count(lit(1)).cast("long").as("__n") +:
       valueCols.map(v => sum(col(v)).cast("long").as(s"__s_$v"))

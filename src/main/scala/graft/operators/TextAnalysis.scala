@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.LineageOps
 
 /** Text-analysis primitives for large-scale corpus pipelines: token
   * counting, quality scoring, language ID, fingerprinting. All pure Column
@@ -119,7 +120,7 @@ object TextAnalysis {
         .select(explode(regexp_extract_all(col(textCol),
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("token"))
         .groupBy("token").agg(count(lit(1)).as(n))
-        .localCheckpoint(true)
+        .lineageCut()
     val oldC = counts(oldDocs, "old_n")
     val newC = counts(newDocs, "new_n")
     val oldT = oldC.agg(greatest(sum("old_n"), lit(1L)).as("__ot"))
@@ -155,7 +156,7 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("__doc"), col(groupCol),
         explode(regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0))).as("token"))
       .filter(length(col("token")) >= minLen)
-      .localCheckpoint(true)
+      .lineageCut()
     // N = TOTAL corpus docs (not token-bearing docs — the oracle's df
     // semantics); a count(*) scan is parquet-footer metadata, not data
     val n = docs.agg(count(lit(1)).as("__n"))
@@ -195,10 +196,10 @@ object TextAnalysis {
                    idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val t = docs.select(
         regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)).as("__toks"))
-      .localCheckpoint(true)
+      .lineageCut()
     val uni = t.select(explode(col("__toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds the total and both probe joins
+      .lineageCut() // feeds the total and both probe joins
     val tot = uni.agg(sum(col("c")).as("__n"))
     val top = t.select(
         explode(graft.functions.AdjacentJoin(col("__toks"), " ")).as("bigram"))
@@ -251,7 +252,7 @@ object TextAnalysis {
       .select(col(idCol),
         explode(graft.functions.AdjacentJoin(
           regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)), " ")).as("__pair"))
-      .localCheckpoint(true)
+      .lineageCut()
     val c2 = pairs.groupBy("__pair").agg(count(lit(1)).as("__c2"))
     val c1 = c2.groupBy(substring_index(col("__pair"), " ", 1).as("__w1"))
       .agg(sum(col("__c2")).as("__c1"))
@@ -302,7 +303,7 @@ object TextAnalysis {
       .select(explode(graft.functions.AdjacentJoin(
         regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0)), " ")).as("__pair"))
     val c2 = refPairs.groupBy("__pair").agg(count(lit(1)).as("__c2"))
-      .localCheckpoint(true)
+      .lineageCut()
     val c1 = c2.groupBy(substring_index(col("__pair"), " ", 1).as("__w1"))
       .agg(sum(col("__c2")).as("__c1"))
     // same hash-build discipline as lmScore: the reference model tables
@@ -438,11 +439,12 @@ object TextAnalysis {
     // (the line-df aggregate, the anti-join's line table, and the final
     // keep-every-doc left join), so materialize it eagerly — the
     // connectedComponents / q_pipeline_e2e checkpoint discipline (owns
-    // its blocks, frees them with the reference; swap for checkpoint()
-    // on a cluster). Without it each consumer re-runs the regex-heavy
+    // its blocks, frees them with the reference; spark.graft.checkpoint
+    // .dir makes it reliable — see Lineage). Without it each consumer
+    // re-runs the regex-heavy
     // normalize over the full corpus.
     val norm = docs.select(col(idCol), normalize(col(textCol)).as("__t"))
-      .localCheckpoint(true)
+      .lineageCut()
     val lines = norm.select(col(idCol),
       posexplode(split(col("__t"), "\n")).as(Seq("__pos", "__line")))
     val boiler = lines.groupBy("__line")
@@ -613,7 +615,7 @@ object TextAnalysis {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__line")))
       .withColumn("__d", md5(col("__line").cast("binary")))
-      .localCheckpoint(true)
+      .lineageCut()
     val keeper = lines.groupBy("__d")
       .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
       .select(col("__d"), col("__first").getField(idCol).as("__kid"),
@@ -715,7 +717,7 @@ object TextAnalysis {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       occurrences(col(textCol), t).as(s"__tf$i")
     }
-    val tf = docs.select(Seq(col(idCol)) ++ tfCols: _*).localCheckpoint(true)
+    val tf = docs.select(Seq(col(idCol)) ++ tfCols: _*).lineageCut()
     val dfAgg = tf.agg(
       count(lit(1)).as("__n"),
       terms.indices.map(i =>
@@ -764,7 +766,7 @@ object TextAnalysis {
     }
     val tf = docs.select(Seq(col(idCol)) ++ tfCols ++
         Seq(tokenCount(col(textCol)).as("__dl")): _*)
-      .localCheckpoint(true)
+      .lineageCut()
     val dfAgg = tf.agg(
       count(lit(1)).as("__n"),
       Seq(sum(col("__dl")).as("__total")) ++ terms.indices.map(i =>

@@ -7,6 +7,7 @@ import graft.model.Snapshot
 import graft.operators.{AsOfJoin, RangeJoin, Ranks, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.LineageOps
 
 /** Batch-parity queries for the fold algebra (SURVEY.md §2.1 O1–O12 and
   * §2.3 P9) over the `events` table playing the role of the Kafka log:
@@ -578,7 +579,7 @@ object FoldQueries {
       val b = Ranks.groupedBucketRange(base, "event_type",
         Seq(col("value").asc, col("event_id").asc))
       val ranked = b.withRowNumber("__r").withGroupCount("__n").result
-        .localCheckpoint(true) // branches below reuse + self-join (house rule)
+        .lineageCut() // branches below reuse + self-join (house rule)
       def pick(r: Column, as: String) = ranked.filter(col("__r") === r)
         .select(col("event_type"), col("value").as(as))
       // presence flag, not coalesce on the value: lag's default applies
@@ -978,7 +979,7 @@ object FoldQueries {
         .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
         .agg(count(lit(1)).as("n"))
         .selectExpr("src", "dst", "1000000 div n AS w")
-        .localCheckpoint(true)
+        .lineageCut()
       var dist = edges.sparkSession.range(1)
         .selectExpr("'view' AS node", "CAST(0 AS BIGINT) AS cost")
       for (_ <- 1 to 4) {

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{Dedup, Ranks}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.LineageOps
 
 /** Relational operator coverage (SURVEY.md §2.8: categories the reference has
   * no implementation for — joins, aggregates, windows, rollup, set ops,
@@ -645,7 +646,7 @@ object Relational {
         .agg(max("o_orderdate").as("last_date"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-        .localCheckpoint(true)
+        .lineageCut()
       def quintile(df: DataFrame, out: String, order: Column*): DataFrame =
         Ranks.bucketRange(df, order)
           .withRowNumber("__i").withNtile("__i", 5, out)
@@ -860,7 +861,7 @@ object Relational {
         .groupBy("p_name")
         .agg(min("p_partkey").as("nid"), count(lit(1)).as("n_parts"))
         .withColumn("noun", expr("split_part(p_name, ' ', 2)"))
-        .localCheckpoint(true)
+        .lineageCut()
       val a = names.select(col("nid").as("src"), col("p_name").as("na"), col("noun"))
       val b = names.select(col("nid").as("dst"), col("p_name").as("nb"), col("noun"))
       // the blocked self-join is catalog-sized on BOTH sides and executes

@@ -6,6 +6,7 @@ import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis => T
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.LineageOps
 
 /** Text-analysis / dedup / multimodal queries over the `documents` table
   * (north-star pipeline operators). Hash-based candidates (MinHash, SimHash)
@@ -508,7 +509,7 @@ object TextQueries {
         TA.langId(col("text")).as("lang_pred"),
         TA.bpeTokenCount(col("text")).as("n_tokens"),
         md5(col("text").cast("binary")).as("digest"))
-        .localCheckpoint(true)
+        .lineageCut()
       val filtered = scored.filter(col("q") >= 400000L && col("lang_pred") =!= "und")
       // keep is per-DISTINCT-DIGEST (corpus-sized): hash-build the
       // keep-join, never broadcast (q_lm_score hazard class)
@@ -863,7 +864,7 @@ object TextQueries {
         .filter(length(col("token")) >= 3)
         .groupBy("source")
         .agg(KmvSketch(xxhash64(col("token")), k).as("sk"))
-        .localCheckpoint(true)
+        .lineageCut()
       sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
           KmvJaccardPpm(col("a.sk"), col("b.sk"), k).as("jacc_est_ppm"),

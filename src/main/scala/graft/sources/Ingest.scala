@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
+import graft.operators.Lineage.LineageOps
 
 /** Schema-explicit text-format ingestion with an explicit reject leg —
   * the route/reject discipline (media parsers, `q_media_quality`) applied
@@ -27,7 +28,7 @@ object Ingest {
   private val CORRUPT = "_corrupt_record"
 
   private def withRejects(df: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
-    val parsed = df.localCheckpoint(true)
+    val parsed = df.lineageCut()
     val good = parsed.filter(col(CORRUPT).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = parsed.filter(col(CORRUPT).isNotNull)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
+import graft.operators.Lineage.LineageOps
 
 /** Stream↔batch parity for INCREMENTAL DECONTAMINATION
   * ([[graft.operators.Dedup.exactAgainst]]) — the web-crawl shape: a new
@@ -70,7 +71,7 @@ object ExactAgainstParitySmoke {
       Dedup.exactAgainst(bDf, seenDf, "doc_id", "digest")
         .select("digest", "doc_id")
         .collect().foreach(r => kept(r.getString(0)) = r.getLong(1))
-      seenDf = seenDf.union(bDf.select("digest")).distinct().localCheckpoint(true)
+      seenDf = seenDf.union(bDf.select("digest")).distinct().lineageCut()
     }
 
     // ---- streaming: first-writer-wins fold keyed by digest

@@ -41,10 +41,19 @@ object ExecutorLossSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val queryName = args.lift(1).getOrElse("q_minhash_lsh")
+    // optional 3rd arg: reliable checkpoint dir (Lineage.ConfKey). With
+    // it, iterative queries (connected components, BPE) survive the
+    // kill even when the victim held mid-iteration checkpoint blocks —
+    // the executor-loss story for the lineage-cut seam; without it,
+    // local-checkpoint blocks on the victim are unrecoverable by
+    // design (Spark's documented localCheckpoint caveat).
+    val ckptDir = args.lift(2)
     require(sys.env.contains("SPARK_HOME"),
       "SPARK_HOME must point at the Spark distro (executor launch)")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local-cluster[2,4,3072]")
+    val spark = ckptDir.fold(b0)(d =>
+        b0.config(graft.operators.Lineage.ConfKey, d))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.default.parallelism", "8")
       .config("spark.sql.session.timeZone", "UTC")
