@@ -29,11 +29,17 @@ object WarmBench {
       val qs = pos.drop(2).toSeq
       if (qs.nonEmpty) qs else Seq("q_offset_dedup", "q_simhash", "q_minhash_lsh")
     }
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — extra session confs, e.g.
+    // spark.graft.checkpoint.dir to A/B the reliable-lineage trade
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extraConf.foldLeft(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions.{col, expr, xxhash64}
     def evaluate(q: String): Unit = {
