@@ -34,15 +34,28 @@ object Lineage {
   /** Session conf key; empty/absent = localCheckpoint. */
   val ConfKey = "spark.graft.checkpoint.dir"
 
+  /** The conf value we last pointed the context at — an exact-string
+    * memo, NOT a substring probe against `sc.getCheckpointDir` (whose
+    * qualified `file:/dir/<uuid>` form both false-matches a re-point to
+    * a prefix dir and false-misses a scheme-carrying conf value, which
+    * would mint a fresh UUID dir on every cut). */
+  @volatile private var pointedAt: String = null
+
   def cut[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
-        // setCheckpointDir is sticky per context; honor a re-pointed conf
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
-        ds.checkpoint(eager = true)
+        if (pointedAt != dir || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir); pointedAt = dir
+        }
+        // persist -> checkpoint -> unpersist: Dataset.checkpoint(eager)
+        // runs a count job AND a separate write job, so an unpersisted
+        // expensive subplan would be COMPUTED TWICE per cut (Spark's own
+        // RDD.checkpoint doc recommends exactly this persist)
+        val pinned = ds.persist()
+        try pinned.checkpoint(eager = true)
+        finally { pinned.unpersist(); () }
       case _ => ds.localCheckpoint(eager = true)
     }
   }

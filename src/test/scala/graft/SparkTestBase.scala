@@ -19,26 +19,24 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   /** [[forkSmoke]] with extra classpath entries appended to the child JVM
     * (a directory entry gets a jar-glob suffix — the JVM expands it). Used
     * by the env-gated Kafka broker IT to add the connector + broker jars
-    * the compile classpath deliberately lacks. */
-  def forkSmoke(mainClass: String, extraClasspath: Seq[String]): Int = {
+    * the compile classpath deliberately lacks. `env` entries are exported
+    * to the child and `args` follow the main class — the local-cluster
+    * smokes pass SPARK_HOME this way. ONE fork recipe (module opens from
+    * [[graft.LocalClusterEnv]], the same list build.sbt forks with), so
+    * the copies cannot drift. */
+  def forkSmoke(mainClass: String, extraClasspath: Seq[String],
+                env: Seq[(String, String)] = Nil,
+                args: Seq[String] = Nil,
+                jvmArgs: Seq[String] = Nil): Int = {
     import scala.sys.process._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val extras = extraClasspath.map { p =>
       if (new java.io.File(p).isDirectory) s"$p/*" else p
     }
     val cp = (System.getProperty("java.class.path") +: extras).mkString(":")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++
-      Seq("-Dspark.ui.enabled=false", "-cp", cp, mainClass)
-    Process(cmd).!
+    val cmd = Seq(javaBin) ++ graft.LocalClusterEnv.addOpensArgs ++
+      jvmArgs ++ Seq("-Dspark.ui.enabled=false", "-cp", cp, mainClass) ++ args
+    Process(cmd, cwd = None, env: _*).!
   }
 
   /** Deterministic pseudo-random text (xorshift64) — high-entropy by

@@ -13,15 +13,10 @@ class LocalClusterSpec extends SparkTestBase {
 
   private val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
 
-  private def forkWithSparkHome(mainAndArgs: String*): Int = {
-    import scala.sys.process._
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cmd = Seq(javaBin) ++ graft.LocalClusterEnv.addOpensArgs ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path")) ++ mainAndArgs
-    Process(cmd, cwd = None,
-      "SPARK_HOME" -> sparkHome, "SPARK_SCALA_VERSION" -> "2.13").!
-  }
+  private def forkWithSparkHome(main: String, args: String*): Int =
+    forkSmoke(main, Nil,
+      env = Seq("SPARK_HOME" -> sparkHome, "SPARK_SCALA_VERSION" -> "2.13"),
+      args = args, jvmArgs = Seq("-Xmx4g"))
 
   test("KeyFlowTws changelog is bit-exact on a 2-executor local-cluster") {
     assume(new java.io.File(s"$sparkHome/jars").isDirectory,

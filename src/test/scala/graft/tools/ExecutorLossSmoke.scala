@@ -82,14 +82,27 @@ object ExecutorLossSmoke {
       // canonicalize float/double columns to 9 significant digits before
       // hashing (same slack as LocalClusterParity.fmtDouble): a kill
       // reorders shuffle-fetch arrival, so a float aggregate's last-ulp
-      // reassociation difference must not read as "recovery broken"
+      // reassociation difference must not read as "recovery broken".
+      // Top-level and array<float/double> are handled; a float nested
+      // deeper (struct/map) is hashed raw — warn so a MISMATCH on such
+      // a query is read as possible reassociation, not broken recovery.
+      import org.apache.spark.sql.types._
       val cols = df.schema.fields.toIndexedSeq.map { f =>
         f.dataType match {
-          case org.apache.spark.sql.types.DoubleType |
-               org.apache.spark.sql.types.FloatType =>
+          case DoubleType | FloatType =>
             org.apache.spark.sql.functions.format_string(
               "%.9e", col(f.name).cast("double"))
-          case _ => col(f.name)
+          case ArrayType(DoubleType | FloatType, _) =>
+            org.apache.spark.sql.functions.transform(col(f.name),
+              x => org.apache.spark.sql.functions.format_string(
+                "%.9e", x.cast("double")))
+          case dt =>
+            if (dt.sql.toUpperCase.contains("DOUBLE") ||
+                dt.sql.toUpperCase.contains("FLOAT"))
+              System.err.println(s"[execloss] WARN: column ${f.name} " +
+                s"(${dt.sql}) nests floats beyond canonicalization — a " +
+                "MISMATCH here may be float reassociation, not recovery")
+            col(f.name)
         }
       }
       val r = df.select(xxhash64(cols: _*).as("__h"))

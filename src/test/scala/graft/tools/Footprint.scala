@@ -55,6 +55,11 @@ object Footprint {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val only = args.drop(1).toSet
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    require(!master.startsWith("local-cluster") ||
+      sys.env.contains("SPARK_HOME"),
+      "SPARK_HOME must point at the Spark distro for local-cluster " +
+        "masters (executor launch) — without it every query stalls and " +
+        "fails opaquely inside the per-query catch")
     val b = SparkSession.builder()
       .master(master)
       // overridable so xN runs can hold BYTES-PER-PARTITION constant
@@ -141,8 +146,16 @@ object Footprint {
       }
     }
     val json = s"""{"sf":"$dir","queries":{${out.toString}}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("FOOTPRINT.json"), json + "\n")
-    println(s"FOOTPRINT.json written (${names.size} queries, sf=$dir)")
+    // cluster-mode runs write FOOTPRINT_cluster.json: peak_task_mem
+    // carries the executor-heap page quantum (CLAUDE.md's -Xmx8g rule),
+    // so a small-heap cluster probe must never become the ratchet basis
+    // footprint_history.py records — the same clobber class as the
+    // sweep artifact below
+    val fpPath =
+      if (master.startsWith("local-cluster")) "FOOTPRINT_cluster.json"
+      else "FOOTPRINT.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fpPath), json + "\n")
+    println(s"$fpPath written (${names.size} queries, sf=$dir)")
     // scale-mode sweep artifact: one file per Footprint invocation,
     // named by the corpus, merged into RUNTIME_SWEEP_x30.json by
     // tools/merge_sweeps.py at close-out

@@ -163,6 +163,10 @@ object LocalClusterParity {
       }
     val names = queryFns.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // input-validity checks BEFORE the phases: a typo'd query filter
+    // must not first spin up two sessions (and two executor JVMs) over
+    // zero queries
+    require(names.nonEmpty, s"no queries matched the filter $only")
     require(sys.env.contains("SPARK_HOME"),
       "SPARK_HOME must point at the Spark distro — the local-cluster " +
         "Worker forks executor JVMs from it")
@@ -188,9 +192,7 @@ object LocalClusterParity {
     // ANY non-ok status fails: a query that errors in either phase (or
     // both) established no parity, and a gate that greens on shrunken
     // coverage is the vacuous-pass failure mode this tool exists to
-    // avoid. Same reason an empty name filter (typo'd query) is a hard
-    // error rather than a 0-query "pass".
-    require(names.nonEmpty, s"no queries matched the filter $only")
+    // avoid.
     val bad = statuses.filterNot(_._2 == "ok")
     val multiProc = executors >= 3 // driver + 2 executor JVMs
 

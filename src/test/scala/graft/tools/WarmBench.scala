@@ -30,10 +30,20 @@ object WarmBench {
       if (qs.nonEmpty) qs else Seq("q_offset_dedup", "q_simhash", "q_minhash_lsh")
     }
     // SPARK_GRAFT_CONF="k=v;k2=v2" — extra session confs, e.g.
-    // spark.graft.checkpoint.dir to A/B the reliable-lineage trade
+    // spark.graft.checkpoint.dir to A/B the reliable-lineage trade.
+    // FAIL LOUDLY on a malformed entry: a silently-dropped typo makes
+    // the A/B measure the default configuration and record a
+    // fabricated delta — worse than no measurement.
     val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        val Array(k, v) = kv.split("=", 2)
+        require(k.trim.nonEmpty && v.trim.nonEmpty,
+          s"SPARK_GRAFT_CONF entry '$kv' has an empty key or value")
+        (k.trim, v.trim)
+      }
     val spark = extraConf.foldLeft(SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
         .config("spark.sql.shuffle.partitions", "32")
