@@ -34,28 +34,44 @@ object Lineage {
   /** Session conf key; empty/absent = localCheckpoint. */
   val ConfKey = "spark.graft.checkpoint.dir"
 
-  /** The conf value we last pointed the context at — an exact-string
-    * memo, NOT a substring probe against `sc.getCheckpointDir` (whose
-    * qualified `file:/dir/<uuid>` form both false-matches a re-point to
-    * a prefix dir and false-misses a scheme-carrying conf value, which
-    * would mint a fresh UUID dir on every cut). */
-  @volatile private var pointedAt: String = null
+  /** A SparkContext has ONE checkpoint dir: concurrent sessions on the
+    * same context with DIFFERENT ConfKey values contend (last set wins
+    * for in-flight cuts) — point all sessions of a context at one
+    * reliable dir. The check below is derived from the context's actual
+    * state (not a JVM memo), so it survives context restarts and
+    * third-party setCheckpointDir calls, and it compares the qualified
+    * PARENT of the context's `<dir>/<uuid>` to the qualified conf value
+    * — exact, so a stable conf never re-mints a UUID dir per cut. */
+  private def pointContextAt(
+      sc: org.apache.spark.SparkContext, dir: String): Unit = synchronized {
+    val wanted = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+    }
+    val currentParent = sc.getCheckpointDir
+      .map(d => new org.apache.hadoop.fs.Path(d).getParent)
+    if (!currentParent.contains(wanted)) sc.setCheckpointDir(dir)
+  }
 
   def cut[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
-        val sc = spark.sparkContext
-        if (pointedAt != dir || sc.getCheckpointDir.isEmpty) {
-          sc.setCheckpointDir(dir); pointedAt = dir
-        }
+        pointContextAt(spark.sparkContext, dir)
         // persist -> checkpoint -> unpersist: Dataset.checkpoint(eager)
         // runs a count job AND a separate write job, so an unpersisted
         // expensive subplan would be COMPUTED TWICE per cut (Spark's own
-        // RDD.checkpoint doc recommends exactly this persist)
-        val pinned = ds.persist()
-        try pinned.checkpoint(eager = true)
-        finally { pinned.unpersist(); () }
+        // RDD.checkpoint doc recommends exactly this persist). If the
+        // CALLER already persisted, leave their cache alone — Spark
+        // caching is not reference-counted, and an unpersist here would
+        // be a mode-dependent perf cliff on their later actions.
+        if (ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          ds.checkpoint(eager = true)
+        else {
+          val pinned = ds.persist()
+          try pinned.checkpoint(eager = true)
+          finally { pinned.unpersist(); () }
+        }
       case _ => ds.localCheckpoint(eager = true)
     }
   }

@@ -44,15 +44,8 @@ class LineageSpec extends SparkTestBase {
         s"reliable mode must write checkpoint files under $dir")
     } finally {
       spark.conf.unset(Lineage.ConfKey)
-      // files first, then directories deepest-first — rListFiles alone
-      // left the tree skeleton behind on every run
-      def rDeleteTree(d: java.io.File): Unit = {
-        Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-          if (f.isDirectory) rDeleteTree(f) else { f.delete(); () }
-        }
-        d.delete(); ()
-      }
-      rDeleteTree(dir)
+      // whole tree, not just files (the FlushBench cleanup idiom)
+      scala.reflect.io.Path(dir).deleteRecursively()
     }
   }
 }

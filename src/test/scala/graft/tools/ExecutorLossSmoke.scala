@@ -97,8 +97,16 @@ object ExecutorLossSmoke {
               x => org.apache.spark.sql.functions.format_string(
                 "%.9e", x.cast("double")))
           case dt =>
-            if (dt.sql.toUpperCase.contains("DOUBLE") ||
-                dt.sql.toUpperCase.contains("FLOAT"))
+            // exact type-tree walk, not a dt.sql substring grep (a field
+            // NAMED float_ratio must not trip the warning)
+            def hasFloat(t: DataType): Boolean = t match {
+              case DoubleType | FloatType => true
+              case ArrayType(e, _) => hasFloat(e)
+              case MapType(k, v, _) => hasFloat(k) || hasFloat(v)
+              case s: StructType => s.fields.exists(x => hasFloat(x.dataType))
+              case _ => false
+            }
+            if (hasFloat(dt))
               System.err.println(s"[execloss] WARN: column ${f.name} " +
                 s"(${dt.sql}) nests floats beyond canonicalization — a " +
                 "MISMATCH here may be float reassociation, not recovery")
