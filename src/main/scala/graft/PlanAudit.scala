@@ -320,10 +320,16 @@ object PlanAudit {
     def plan(name: String): String = planCache.getOrElseUpdate(name,
       qe(name).executedPlan.toString)
 
-    def check(name: String, what: String)(cond: String => Boolean): Unit = {
-      val p = plan(name)
-      println(f"AUDIT ${if (cond(p)) "PASS" else "FAIL"}%-4s $name%-18s $what")
-    }
+    // single AUDIT-row printer (r15 ADVICE): every row — predicate checks
+    // AND the precomputed allowlist verdicts below — goes through here,
+    // so the output format and any future failure accounting cannot
+    // drift between the two code paths
+    def verdict(name: String, what: String, ok: Boolean,
+        extra: String = ""): Unit =
+      println(f"AUDIT ${if (ok) "PASS" else "FAIL"}%-4s $name%-18s $what$extra")
+
+    def check(name: String, what: String)(cond: String => Boolean): Unit =
+      verdict(name, what, cond(plan(name)))
 
     def windowOverSinglePartition(p: String): Boolean =
       PlanAudit.windowOverSinglePartition(p)
@@ -876,8 +882,8 @@ object PlanAudit {
           val rx = pattern.r
           val unexpected = nodes.filterNot(n => rx.pattern.matcher(n).matches())
           val ok = nodes.nonEmpty && unexpected.isEmpty
-          println(f"AUDIT ${if (ok) "PASS" else "FAIL"}%-4s $q%-18s bounded-window allowlist: documented pattern only ($reason)" +
-            (if (unexpected.isEmpty) "" else s" (UNEXPECTED windows: ${unexpected.mkString("; ")})"))
+          verdict(q, s"bounded-window allowlist: documented pattern only ($reason)", ok,
+            if (unexpected.isEmpty) "" else s" (UNEXPECTED windows: ${unexpected.mkString("; ")})")
         case None =>
           check(q, "global sweep: no Window/Sort over a SinglePartition exchange")(p =>
             !windowOverSinglePartition(p))
@@ -924,11 +930,11 @@ object PlanAudit {
           val rx = pattern.r
           val unexpected = bad.filterNot(c => rx.pattern.matcher(c).matches())
           val ok = bad.nonEmpty && unexpected.isEmpty
-          println(f"AUDIT ${if (ok) "PASS" else "FAIL"}%-4s $q%-18s SMJ-array allowlist: documented pattern only ($reason)" +
-            (if (unexpected.isEmpty) "" else s" (UNEXPECTED sorted arrays: ${unexpected.mkString(", ")})"))
+          verdict(q, s"SMJ-array allowlist: documented pattern only ($reason)", ok,
+            if (unexpected.isEmpty) "" else s" (UNEXPECTED sorted arrays: ${unexpected.mkString(", ")})")
         case None =>
-          println(f"AUDIT ${if (bad.isEmpty) "PASS" else "FAIL"}%-4s $q%-18s global sweep: no SortMergeJoin carrying array payload columns" +
-            (if (bad.isEmpty) "" else s" (sorted arrays: ${bad.mkString(", ")})"))
+          verdict(q, "global sweep: no SortMergeJoin carrying array payload columns", bad.isEmpty,
+            if (bad.isEmpty) "" else s" (sorted arrays: ${bad.mkString(", ")})")
       }
     }
 
@@ -951,11 +957,11 @@ object PlanAudit {
           val rx = pattern.r
           val unexpected = bad.filterNot(d => rx.pattern.matcher(d).matches())
           val ok = bad.nonEmpty && unexpected.isEmpty
-          println(f"AUDIT ${if (ok) "PASS" else "FAIL"}%-4s $q%-18s checkpoint-broadcast allowlist: documented pattern only ($reason)" +
-            (if (unexpected.isEmpty) "" else s" (UNEXPECTED: ${unexpected.mkString("; ")})"))
+          verdict(q, s"checkpoint-broadcast allowlist: documented pattern only ($reason)", ok,
+            if (unexpected.isEmpty) "" else s" (UNEXPECTED: ${unexpected.mkString("; ")})")
         case None =>
-          println(f"AUDIT ${if (bad.isEmpty) "PASS" else "FAIL"}%-4s $q%-18s global sweep: no broadcast build over a raw checkpointed-RDD scan" +
-            (if (bad.isEmpty) "" else s" (${bad.mkString("; ")})"))
+          verdict(q, "global sweep: no broadcast build over a raw checkpointed-RDD scan", bad.isEmpty,
+            if (bad.isEmpty) "" else s" (${bad.mkString("; ")})")
       }
     }
     spark.stop()

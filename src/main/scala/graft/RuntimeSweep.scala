@@ -72,20 +72,33 @@ object RuntimeSweep {
   private val recs =
     new java.util.concurrent.ConcurrentHashMap[String, Rec]()
 
-  private val listenerRef =
-    new java.util.concurrent.atomic.AtomicReference[RuntimeSweepListener](null)
+  // r15 ADVICE: keyed PER SESSION, not one JVM-global ref — with the
+  // global ref, the first session to install won the slot and an install
+  // on a different (or restarted) SparkSession was a silent no-op: that
+  // session's sweep recorded nothing and reportJson() showed PASS with
+  // ~0 executions, the vacuous-pass failure mode the r14 hardening
+  // targets elsewhere. Each session gets (at most) one listener; recs
+  // stay shared so multi-session tools still merge into one report.
+  private val listeners = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, RuntimeSweepListener]()
 
-  /** Idempotent (r14 ADVICE): a second install on the same session is a
-    * no-op — double-registered listeners double-counted executions. */
-  def install(spark: SparkSession): Unit =
-    if (listenerRef.compareAndSet(null, new RuntimeSweepListener))
-      spark.listenerManager.register(listenerRef.get)
+  /** Idempotent PER SESSION: a second install on the same session is a
+    * no-op (double-registered listeners double-counted executions, r14
+    * ADVICE); a first install on a NEW session registers normally. */
+  def install(spark: SparkSession): Unit = {
+    listeners.computeIfAbsent(spark, { s =>
+      val l = new RuntimeSweepListener
+      s.listenerManager.register(l)
+      l
+    })
+    ()
+  }
 
-  /** Test hygiene (r14 ADVICE): unregister the listener and clear all
-    * recorded state, so a spec on a shared session doesn't leave later
-    * suites' actions accumulating under its stale label. */
+  /** Test hygiene (r14 ADVICE): unregister this session's listener and
+    * clear all recorded state, so a spec on a shared session doesn't
+    * leave later suites' actions accumulating under its stale label. */
   def uninstall(spark: SparkSession): Unit = {
-    val l = listenerRef.getAndSet(null)
+    val l = listeners.remove(spark)
     if (l != null) spark.listenerManager.unregister(l)
     recs.clear()
     label = "(init)"

@@ -79,6 +79,32 @@ class RuntimeSweepSpec extends SparkTestBase {
     } finally RuntimeSweep.uninstall(s)
   }
 
+  test("install on a SECOND session registers there too — no vacuous-pass no-op (r15 ADVICE)") {
+    // ExecutionListenerManager is per-SparkSession: with the old JVM-global
+    // install guard, the second session's install was a silent no-op, its
+    // actions were never swept, and reportJson() showed PASS with ~0
+    // executions. The per-session registry must sweep both.
+    val s1 = spark
+    val s2 = spark.newSession()
+    try {
+      RuntimeSweep.install(s1)
+      RuntimeSweep.install(s2)
+      RuntimeSweep.install(s2) // still idempotent per session
+
+      RuntimeSweep.label = "rs_spec_second_session"
+      s2.range(100).count()
+      RuntimeSweep.drain(s2)
+      val json = RuntimeSweep.reportJson()
+      val row = json.split("\"rs_spec_second_session\"")
+      assert(row.length > 1, s"second session's action not swept: $json")
+      assert(row(1).takeWhile(_ != '}').contains("\"executions\": 1"),
+        s"second session's action not counted exactly once: $json")
+    } finally {
+      RuntimeSweep.uninstall(s2)
+      RuntimeSweep.uninstall(s1)
+    }
+  }
+
   test("label (off) suppresses recording — the deliberate-baseline seam for A/B tools") {
     val s = spark
     import s.implicits._

@@ -87,15 +87,22 @@ object ExecutorLossSmoke {
       // deeper (struct/map) is hashed raw — warn so a MISMATCH on such
       // a query is read as possible reassociation, not broken recovery.
       import org.apache.spark.sql.types._
+      // `+ 0.0` before formatting: IEEE -0.0 + 0.0 = +0.0 (NaN/Inf pass
+      // through), so negative zero canonicalizes to "0.000000000e+00" —
+      // matching LocalClusterParity.fmtDouble; without it a -0.0 vs 0.0
+      // divergence between baseline and kill run would read as a
+      // recovery MISMATCH (r15 ADVICE)
       val cols = df.schema.fields.toIndexedSeq.map { f =>
         f.dataType match {
           case DoubleType | FloatType =>
             org.apache.spark.sql.functions.format_string(
-              "%.9e", col(f.name).cast("double"))
+              "%.9e", col(f.name).cast("double") +
+                org.apache.spark.sql.functions.lit(0.0))
           case ArrayType(DoubleType | FloatType, _) =>
             org.apache.spark.sql.functions.transform(col(f.name),
               x => org.apache.spark.sql.functions.format_string(
-                "%.9e", x.cast("double")))
+                "%.9e", x.cast("double") +
+                  org.apache.spark.sql.functions.lit(0.0)))
           case dt =>
             // exact type-tree walk, not a dt.sql substring grep (a field
             // NAMED float_ratio must not trip the warning)

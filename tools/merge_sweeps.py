@@ -10,10 +10,21 @@ error lists unioned, totals recomputed. Exit 1 when the merged report
 has unexplained hits or detector errors (the same machine-enforced
 contract check.py applies to Verify's sweep).
 
+r15 ADVICE hardening: duplicate inputs are a usage error (the same file
+twice double-counts executions while hits dedupe, silently inflating the
+evidence base — exit 2), and each source's mtime is recorded in the
+report with a WARN when the spread exceeds 24h (a stale prior-round
+artifact left on disk would otherwise merge silently as current-round
+evidence; the close-out steps all run same-day).
+
 Usage: python3 tools/merge_sweeps.py OUT.json IN1.json [IN2.json ...]
 """
 import json
+import os
 import sys
+import time
+
+STALE_SPREAD_S = 24 * 3600
 
 
 def main():
@@ -21,6 +32,22 @@ def main():
         print(__doc__)
         sys.exit(2)
     out_path, ins = sys.argv[1], sys.argv[2:]
+    real = [os.path.realpath(p) for p in ins]
+    dupes = sorted({p for p in real if real.count(p) > 1})
+    if dupes:
+        print(f"merge_sweeps: duplicate input(s) {dupes} — the same "
+              "artifact merged twice double-counts executions; pass each "
+              "sweep file once")
+        sys.exit(2)
+    mtimes = {p: os.path.getmtime(p) for p in ins}
+    spread = max(mtimes.values()) - min(mtimes.values())
+    stale = spread > STALE_SPREAD_S
+    if stale:
+        oldest = min(mtimes, key=mtimes.get)
+        print(f"WARN merge_sweeps: source mtimes spread "
+              f"{spread / 3600:.1f}h (> {STALE_SPREAD_S // 3600}h) — "
+              f"{oldest} looks like a stale prior-round artifact; re-run "
+              "its tool or adjudicate in tools/bench_history.md")
     merged = {}
     detectors = None
     sources = []
@@ -28,7 +55,8 @@ def main():
         with open(path) as f:
             rep = json.load(f)
         detectors = detectors or rep.get("detectors")
-        sources.append(path)
+        sources.append({"path": path, "mtime": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(mtimes[path]))})
         for label, row in rep.get("queries", {}).items():
             m = merged.setdefault(label, {
                 "executions": 0, "allowlisted": [], "unexplained": [],
@@ -45,6 +73,7 @@ def main():
         "detectors": detectors,
         "status": "PASS" if unexplained == 0 and errors == 0 else "FAIL",
         "sources": sources,
+        "stale_sources": stale,
         "executions_total": executions,
         "unexplained_total": unexplained,
         "detector_errors": errors,
