@@ -164,10 +164,29 @@ object PlanAudit {
         val c = n.getClass.getSimpleName
         c.contains("Limit") || c.contains("TakeOrdered")
     }
+    // r15 refinement (reliable-lineage mode parity): the hazard is the
+    // planner trusting an UNMEASURED estimate on a checkpointed table.
+    // A localCheckpoint LogicalRDD inherits the original plan's
+    // size-only estimate (measured: 76.3 GiB reported for q_triangles'
+    // 3.6k-row oriented edge table — garbage, though conservative), so a
+    // broadcast over it is stats-blind and banned. A reliable
+    // `Lineage.cut` (persist -> checkpoint) captures the cache's EXACT
+    // materialized statistics — sizeInBytes AND rowCount (85.3 KiB /
+    // rowCount=3.6E+3 for the same table) — and with CBO off nothing
+    // else ever sets rowCount on a LogicalRDD. A broadcast chosen from
+    // those measured sizes re-makes itself correctly at any scale (at
+    // 100 TB the same table measures big and plans a shuffle join) —
+    // the same measured-stats adaptivity class the runtime sweep
+    // already declines to punish in AQE demotions. So: flag only scans
+    // WITHOUT a rowCount; a missing logicalLink reads as unmeasured
+    // (safe direction — it flags).
     def reachesRawRddScan(n: SparkPlan): Boolean =
       if (bounded(n)) false
-      else if (n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) true
-      else execChildren(n).exists(reachesRawRddScan)
+      else n match {
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          !r.logicalLink.exists(_.stats.rowCount.isDefined)
+        case _ => execChildren(n).exists(reachesRawRddScan)
+      }
     collectDeep(p) {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
         val build = j.buildSide match {

@@ -21,10 +21,15 @@ object Verify {
     // is unconditional, Persistence.scala:178-198, so ours must hash
     // identically in both modes). tools/closeout.py runs this leg and
     // writes RELIABLE_LINEAGE_PARITY.json from the check output.
-    val spark = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
-      .filter(_.nonEmpty)
+    val reliableDir = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+    val spark = reliableDir
       .fold(b0)(d => b0.config(graft.operators.Lineage.ConfKey, d))
       .getOrCreate()
+    // printed marker + artifact line so tools/reliable_parity.py can
+    // refuse to mint a parity artifact from a run where the conf never
+    // took effect
+    reliableDir.foreach(d => println(
+      s"[verify] reliable-lineage mode: ${graft.operators.Lineage.ConfKey}=$d"))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // r13 runtime plan sweep: every executed plan this gate runs —

@@ -49,14 +49,52 @@ class SmjArrayDetectorSpec extends SparkTestBase {
   private def bcast(df: org.apache.spark.sql.DataFrame): Seq[String] =
     PlanAudit.broadcastOverRddScan(df.queryExecution.sparkPlan)
 
+  /** A checkpointed table whose LogicalRDD carries a size-only ESTIMATE
+    * (no rowCount) — the production shape: corpus checkpoints descend
+    * from parquet scans / joins / aggregates, whose size-only stats
+    * visitor never sets rowCount. A bare LocalRelation checkpoint would
+    * carry an exact rowCount (driver literals know their size) and
+    * correctly read as measured under the r15 refinement — useless as a
+    * planted unmeasured-stats hazard. */
+  private def estCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ck = df.distinct().localCheckpoint(true)
+    assert(ck.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+      "fixture must model estimate-only checkpoint stats")
+    ck
+  }
+
   test("broadcast build over a raw checkpointed table is flagged") {
     import spark.implicits._
     val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
-      .localCheckpoint(true)
+    val ck = estCheckpoint(
+      (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w"))
     val flagged = bcast(big.join(broadcast(ck), "id"))
     assert(flagged.nonEmpty, "a broadcast build whose subtree is a bare " +
       "ExistingRDD scan (unreliable stats, corpus-sized in house usage) must flag")
+  }
+
+  test("a broadcast build over an EXACT-stats checkpoint scan is measured-size adaptivity (clean, r15)") {
+    // the reliable Lineage.cut path (persist -> checkpoint) stamps the
+    // LogicalRDD with the cache's measured statistics — rowCount
+    // included, which nothing else sets with CBO off. A broadcast the
+    // planner picks from a MEASURED size re-makes itself correctly at
+    // any scale (a 100 TB table measures big and shuffles), so the
+    // detector must not flag it; the localCheckpoint twin above (size
+    // estimate only, no rowCount) must still flag.
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("bcast-exact").toString
+    spark.conf.set(graft.operators.Lineage.ConfKey, dir)
+    try {
+      val ck = graft.operators.Lineage.cut(
+        (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w"))
+      assert(ck.queryExecution.optimizedPlan.stats.rowCount.isDefined,
+        "precondition: reliable cut must carry measured rowCount stats")
+      assert(bcast(big.join(broadcast(ck), "id")).isEmpty,
+        "a broadcast over measured-exact checkpoint stats is scale-safe " +
+          "adaptivity and must not flag")
+    } finally spark.conf.unset(graft.operators.Lineage.ConfKey)
   }
 
   test("a GLOBAL aggregate or a limit between the build and the checkpointed scan bounds it (clean)") {
@@ -76,8 +114,8 @@ class SmjArrayDetectorSpec extends SparkTestBase {
     // bounds' would have blessed the exact hazard the sweep exists for
     import spark.implicits._
     val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
-      .localCheckpoint(true)
+    val ck = estCheckpoint(
+      (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w"))
     val keyed = ck.groupBy("id").agg(count(lit(1)).as("n"))
     assert(bcast(big.join(broadcast(keyed), "id")).nonEmpty)
   }
@@ -88,8 +126,8 @@ class SmjArrayDetectorSpec extends SparkTestBase {
     // while the description stays `kind builds over node[col,col,...]`.
     import spark.implicits._
     val big = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-    val ck = (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w")
-      .localCheckpoint(true)
+    val ck = estCheckpoint(
+      (1 to 500).map(i => (i.toLong, s"w$i")).toDF("id", "w"))
     val flagged = bcast(big.join(broadcast(ck), "id"))
     assert(flagged.nonEmpty &&
       flagged.forall(_.matches("""BroadcastHashJoin builds over .*\[id,w\]""")),

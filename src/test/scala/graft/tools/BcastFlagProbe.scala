@@ -17,9 +17,14 @@ import org.apache.spark.sql.SparkSession
   */
 object BcastFlagProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val b0 = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // same reliable-lineage passthrough as Verify: probe the plan shapes
+    // the conf actually produces (r15 mode-parity adjudication)
+    val spark = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .fold(b0)(d => b0.config(graft.operators.Lineage.ConfKey, d))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val countShape = args.contains("--count")
     args.drop(1).filterNot(_ == "--count").foreach { q =>
