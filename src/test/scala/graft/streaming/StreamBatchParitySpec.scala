@@ -165,6 +165,18 @@ class StreamBatchParitySpec extends SparkTestBase {
       "BootstrapSmoke reported a cross-job recovery mismatch")
   }
 
+  test("state-schema evolution across a checkpoint restart: graceful under avro " +
+    "encoding, loud failure + ExternalSnapshots migration under unsaferow (forked)") {
+    // the user state S gains an Option field between two runs on ONE
+    // checkpoint: avro encoding must decode old state with the field
+    // defaulted and continue the fold exactly; default unsaferow must
+    // refuse the restart with a schema error (never silently misread),
+    // after which the documented store-drain -> lift -> seed migration
+    // converges to the same truth with the replay guard still armed
+    assert(forkSmoke("graft.streaming.StateEvolutionSmoke") == 0,
+      "StateEvolutionSmoke: a state-evolution contract leg failed (see stdout)")
+  }
+
   test("incrementally maintained SCD2 dimension equals the batch q_scd2 build " +
     "row for row (forked)") {
     // events replayed keyed by user in (ms, event_id) order across 4
