@@ -13,6 +13,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scan fan-out for unsplittable KERNEL-HEAVY inputs (r15). The driver
+    * ships each table as ONE parquet file with ONE row group, and a row
+    * group is read by exactly one task — so every scan-stage computation
+    * ran single-threaded regardless of core count. For the relational
+    * tables that is immaterial (the first shuffle parallelizes the work
+    * and an extra exchange measurably LOSES — A/B'd at sf0.1:
+    * q_market_basket 1.5→2.3 s, q_pagerank 6→8 s warm-best), but the
+    * text/vector tables feed per-row kernels (min-shingle fingerprints,
+    * MinHash signatures, quality scores, dot products) that cost ~0.5 s
+    * single-threaded per pass at sf0.1 — there the standard remedy for an
+    * unsplittable input (spark_optimization_guide §2.5, repartition
+    * immediately after the read) wins. SCALE-ADAPTIVE, not local tuning:
+    * when the scan already yields the session's default parallelism (any
+    * real multi-file / multi-row-group layout — the 100 TB case) it is a
+    * no-op. Filters and pruning still push through the round-robin
+    * exchange to the scan. */
+  private val kernelTables = Set("documents", "embeddings")
+  private def fanOut(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    if (!kernelTables.contains(name)) return df
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
@@ -38,6 +61,6 @@ object Tables {
         case other =>
           throw new IllegalStateException(s"events.ts unsupported type: $other")
       }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else fanOut(spark, name, spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 }

@@ -16,6 +16,9 @@ import graft.operators.Lineage.LineageOps
   */
 object Dedup {
 
+  /** Round-trace for the CC loop (perf diagnostics; stderr only). */
+  private val ccDebug = sys.props.contains("graft.cc.debug")
+
   /** Exact duplicate groups by md5(text): (digest, n_dups, keep_id). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
@@ -127,9 +130,20 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    val bi = materialize(
+    // bi: rebase on the RDD FIRST (constant tiny plan — the caller's edge
+    // subtree is analyzed once, not once per round), THEN hash-partition on
+    // the join key and persist as a Dataset: InMemoryRelation preserves the
+    // partitioning, so the per-round neighbor-min join re-shuffles only the
+    // slim label table while the edge table — the big side at 100 TB —
+    // moves ONCE, at build (the pageRank frac discipline; the former
+    // bare-RDD materialize erased the partitioning metadata and
+    // re-exchanged 2|E| rows every round).
+    val biRaw =
       edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-        .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v"))))
+        .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+    val bi = spark.createDataFrame(biRaw.rdd, biRaw.schema)
+      .repartition(col("v"))
+      .persist()
     // initial label = min(self, min neighbor): the first neighbor-min round
     // folded into initialization
     var labels = materialize(
@@ -158,6 +172,8 @@ object Dedup {
       labels.unpersist()
       labels = jumped
       it += 1
+      if (ccDebug) System.err.println(
+        s"[cc] round $it sum=$s converged=$converged")
     }
     bi.unpersist()
     if (!converged)

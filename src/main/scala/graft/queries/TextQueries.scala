@@ -1281,12 +1281,18 @@ object TextQueries {
           concat(lit("HTTPS://WWW.EXAMPLE.ORG:443/p/"), pid,
             lit("?utm_source=feed&utm_medium=rss#sec")))
         .otherwise(concat(lit("https://example.org/u/"), id))
+      // EAGER cut, not a lazy persist (r15): the edge union fans into six
+      // concurrent window branches (3 signals x 2 directions inside CC's
+      // bi-union), and concurrent stages racing an unmaterialized cache
+      // each recompute the signature pass — measured 6x duplicate kernel
+      // work at sf0.1. One eager materialization runs the expensive
+      // md5/min-shingle/canonical-url sweep exactly once.
       val sig = d.select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("s_text"),
         TA.minShingleFingerprint(col("text"), 8).as("s_shingle"),
         Corpus.canonicalUrl(url).as("s_url"))
-        .persist()
+        .lineageCut()
       // star edges via a window min — one shuffle per signal and NO join
       // back (the former groupBy-roots + equi-join shape paid the same
       // shuffle plus a join per signal; window A/B'd a wash, kept for the
