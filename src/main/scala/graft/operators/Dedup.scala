@@ -19,6 +19,23 @@ object Dedup {
   /** Round-trace for the CC loop (perf diagnostics; stderr only). */
   private val ccDebug = sys.props.contains("graft.cc.debug")
 
+  /** Pin a CPU-dense exchange to the session's configured shuffle width.
+    *
+    * AQE's partition coalescing is BYTE-based (advisoryPartitionSizeInBytes)
+    * and cannot see compute density: a candidate-pair stream is a few MB of
+    * (long, long) rows, so AQE coalesces its exchange to ONE partition —
+    * and the per-pair verify kernel downstream (sorted-intersect, dot
+    * product) then runs single-threaded (measured: a 4.1 s one-task stage
+    * inside q_dedup_ngram_auto at sf0.1 holding 4.0 s of pure kernel CPU).
+    * An explicit-width repartition is exempt from AQE coalescing by
+    * Spark's own rule (user-specified repartitions are preserved), costs
+    * no extra exchange (it IS the join's required distribution), and the
+    * width tracks `spark.sql.shuffle.partitions` — the same scale knob
+    * every other exchange follows, so cluster configs keep governing. */
+  private[graft] def pinWidth(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
   /** Exact duplicate groups by md5(text): (digest, n_dups, keep_id). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
@@ -295,9 +312,15 @@ object Dedup {
     val shingleExpr =
       if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
       else TextAnalysis.shingles(col(textCol), k)
-    val sh = docs
+    // ONE pinned exchange on doc feeds both re-attach builds (the
+    // minhashLshPairs sigs pattern): alias-aware partitioning propagates
+    // hashpartitioning(doc) through the doc1/doc2 renames, so the shingle
+    // kernel + sort runs ONCE and the arrays shuffle once — the former
+    // per-side projections computed the kernel twice and shuffled the
+    // arrays twice (measured as two ~6 s taskSum map stages at sf0.1)
+    val sh = pinWidth(docs
       .join(pairDocs, col(idCol) === col("__pdoc"), "left_semi")
-      .select(col(idCol).as("doc"), shingleExpr.as("sh"))
+      .select(col(idCol).as("doc"), shingleExpr.as("sh")), col("doc"))
     // shuffle-HASH builds on the shingle side, not sort-merge: SMJ sorts
     // the candidate stream WITH its attached shingle arrays (~9 KB/row),
     // so the external sorter's reservation scales with candidates x
@@ -305,9 +328,14 @@ object Dedup {
     // q_dedup_ngram_auto at x30 (SCALING.md footprint table). A hash
     // build bounds peak memory at one PARTITION of the slim per-doc
     // shingle table instead, and the array-carrying candidate stream is
-    // never sorted.
-    val withSh = cands
+    // never sorted. pinWidth on the candidate stream before each join:
+    // the exchanges carry only id pairs (bytes-tiny), so AQE coalesces
+    // them to one partition and the per-pair intersect kernels in the
+    // join stages run single-threaded (measured 4.1 s one-task stage at
+    // sf0.1; see pinWidth).
+    val withSh = pinWidth(cands, col("doc1"))
       .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")).hint("shuffle_hash"), "doc1")
+      .transform(pinWidth(_, col("doc2")))
       .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")).hint("shuffle_hash"), "doc2")
     val inter =
       if (packedAscii) graft.functions.SortedIntersectCount(col("sh1"), col("sh2"))
@@ -427,10 +455,41 @@ object Dedup {
     val shingleExpr =
       if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
       else TextAnalysis.shingles(col(textCol), k)
-    val withShingles = guardBlockPopulation(
+    // ONE pinned exchange on the block key feeds BOTH join sides (the
+    // minhashLshPairs sigs pattern): alias-aware partitioning propagates
+    // through the per-side renames, so the shingle kernel + per-doc sort
+    // runs ONCE and the arrays cross the wire once — the former per-side
+    // projections recomputed the kernel and re-shuffled the arrays per
+    // side. The join is NULL-SAFE, and Spark rewrites <=> keys to
+    // (coalesce(k, default), isnull(k)) pairs — the pin must use exactly
+    // those expressions in that order or EnsureRequirements stacks a
+    // second exchange on top (verified in the executed plan). Empty
+    // blockCols (global block) or a type with no default literal here
+    // keeps the unpinned shape.
+    val guarded = guardBlockPopulation(
       docs.select(
         (col(idCol) +: blockCols.map(col)) :+ shingleExpr.as("__sh"): _*),
       blockCols, maxBlockPopulation, caller)
+    import org.apache.spark.sql.types._
+    def defaultLit(dt: DataType): Option[Column] = dt match {
+      case StringType  => Some(lit(""))
+      case LongType    => Some(lit(0L))
+      case IntegerType => Some(lit(0))
+      case ShortType   => Some(lit(0.toShort))
+      case ByteType    => Some(lit(0.toByte))
+      case BooleanType => Some(lit(false))
+      case DoubleType  => Some(lit(0.0))
+      case FloatType   => Some(lit(0.0f))
+      case _           => None
+    }
+    val pinKeys = blockCols.map { c =>
+      defaultLit(guarded.schema(c).dataType)
+        .map(d => Seq(coalesce(col(c), d), isnull(col(c))))
+    }
+    val withShingles =
+      if (blockCols.nonEmpty && pinKeys.forall(_.isDefined))
+        pinWidth(guarded, pinKeys.flatMap(_.get): _*)
+      else guarded
     val a = withShingles.select(
       col(idCol).as("doc1") +: col("__sh").as("sh1") +: blockCols.map(col): _*)
     // hash-build on the right side: left to itself the planner sort-merges
@@ -737,8 +796,15 @@ object Dedup {
     * paid for with an unbounded per-task relation; rejected. */
   private def bandPairsRaw(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
-    val banded = dropHotBuckets(
-      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
+    // pinWidth: the banded table is slim 20-byte triples, so AQE coalesces
+    // the self-join's exchange to ONE partition and the C(bucket,2) pair
+    // emission — the join's real cost — runs single-threaded (measured as
+    // a 3.2 s one-task stage inside q_dedup_ngram_auto at sf0.1). Pinning
+    // keeps the per-bucket emission spread across the session's shuffle
+    // width; both join sides read the SAME pinned exchange (reused).
+    val banded = pinWidth(dropHotBuckets(
+      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket),
+      col("band"), col("bh"))
     banded.as("l").join(banded.as("r").hint("merge"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc") < col("r.doc"))
@@ -771,8 +837,10 @@ object Dedup {
   private def bandStarEdges(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = dropHotBuckets(
-      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
+    // pinWidth for the window exchange — the bandPairsRaw rationale
+    val banded = pinWidth(dropHotBuckets(
+      lshBanded(sigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket),
+      col("band"), col("bh"))
     banded
       .withColumn("__m", min(col("doc")).over(
         Window.partitionBy(col("band"), col("bh"))))
@@ -906,8 +974,12 @@ object Dedup {
     // memory/spill — the r11 footprint harness measured 31 GiB of this
     // at x30), while a hash build holds only one PARTITION of the slim
     // doc-sized sig table.
-    pairs
+    // pinWidth: id-pair exchanges are bytes-tiny, so AQE coalesces them
+    // to one partition and the per-pair PositionalEqCount kernel runs
+    // single-threaded (see pinWidth)
+    pinWidth(pairs, col("doc1"))
       .join(sigs.select(col("doc").as("doc1"), col("sig").as("sig1")).hint("shuffle_hash"), "doc1")
+      .transform(pinWidth(_, col("doc2")))
       .join(sigs.select(col("doc").as("doc2"), col("sig").as("sig2")).hint("shuffle_hash"), "doc2")
       .select(col("doc1"), col("doc2"),
         // per-pair agreement via the native kernel (the zip_with+filter
@@ -1071,9 +1143,10 @@ object Dedup {
         array_sort(TextAnalysis.shinglesPacked(col(textCol), k)).as("sh"): _*)
     val cands = prefixCandidates(sh, blockCols, minPpm)
     // exact verification — same shape as [[lshVerifiedPairs]]
-    // same shuffle-hash-build rationale as exactVerifyPairs
-    val withSh = cands
+    // same shuffle-hash-build + pinWidth rationale as exactVerifyPairs
+    val withSh = pinWidth(cands, col("doc1"))
       .join(sh.select(col("doc").as("doc1"), col("sh").as("sh1")).hint("shuffle_hash"), "doc1")
+      .transform(pinWidth(_, col("doc2")))
       .join(sh.select(col("doc").as("doc2"), col("sh").as("sh2")).hint("shuffle_hash"), "doc2")
     val sizeGuard =
       size(col("sh1")).cast("long") * lit(1000000L) >= lit(minPpm) * size(col("sh2")).cast("long") &&

@@ -203,10 +203,14 @@ object Similarity {
     // shuffle-HASH builds on the vector side (the exactVerifyPairs
     // rationale): SMJ would sort the candidate stream with an attached
     // float vector per row; a hash build holds one PARTITION of the slim
-    // doc-sized vector table and never sorts candidates
-    cand
+    // doc-sized vector table and never sorts candidates. pinWidth before
+    // each re-attach join: the id-pair exchanges are bytes-tiny, so AQE
+    // coalesces them to one partition and the per-pair dot-product kernel
+    // in the join stages runs single-threaded (Dedup.pinWidth rationale).
+    Dedup.pinWidth(cand, col("qid"))
       .join(base.select(col("id").as("qid"), col("vec").as("qvec"), col("n").as("qn"))
         .hint("shuffle_hash"), Seq("qid"))
+      .transform(Dedup.pinWidth(_, col("cand_id")))
       .join(base.select(col("id").as("cand_id"), col("vec").as("cvec"), col("n").as("cn"))
         .hint("shuffle_hash"), Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
@@ -256,7 +260,10 @@ object Similarity {
       // the optimizer's broadcast is the right plan, no hint
       .join(slim(queries, "qid", "qvec", "qn"), Seq("qid"))
       // corpus side: doc-sized — shuffle-hash build, never sort the
-      // candidate stream with attached vectors (exactVerifyPairs rationale)
+      // candidate stream with attached vectors (exactVerifyPairs
+      // rationale); pinWidth so the bytes-tiny candidate exchange is not
+      // AQE-coalesced under the per-pair cosine kernel (Dedup.pinWidth)
+      .transform(Dedup.pinWidth(_, col("cand_id")))
       .join(slim(corpus, "cand_id", "cvec", "cn").hint("shuffle_hash"), Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
         safeSim(dot(col("qvec"), col("cvec")), col("qn") * col("cn")).as("sim"))
