@@ -36,6 +36,22 @@ object Tables {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** Query-level fan-out seam for an unsplittable relational scan feeding
+    * an expensive SELF-JOIN (pair generation): hash-repartition on the
+    * join key — no round-robin pre-sort, and the exchange IS the join's
+    * required distribution, so nothing extra moves — but only when the
+    * scan yields fewer partitions than the session's parallelism (the
+    * single-row-group case; a no-op on any real multi-file layout, so the
+    * 100 TB plan shape is untouched). A Tables-level variant for ALL
+    * relational reads was measured and REJECTED in r15: it broke the
+    * one-slim-shuffle / pruning plan audits of eleven scan-aggregate
+    * queries for a win that only exists at local file sizes. */
+  def fanOutOn(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {

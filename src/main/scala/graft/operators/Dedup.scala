@@ -162,7 +162,9 @@ object Dedup {
       .repartition(col("v"))
       .persist()
     // initial label = min(self, min neighbor): the first neighbor-min round
-    // folded into initialization
+    // folded into initialization. (An r15 A/B additionally folded one
+    // pointer-jump into the init — round counts did not drop on any
+    // declared query's graph, so the extra |V| self-join was reverted.)
     var labels = materialize(
       bi.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
@@ -177,7 +179,10 @@ object Dedup {
       val stepped = labels.union(nbr)
         .groupBy("node").agg(min("comp").as("comp"))
       // (2) pointer jumping: comp(u) ← comp(comp(u)); comp ids are always
-      // node ids, so the lookup side is stepped itself
+      // node ids, so the lookup side is stepped itself. (r15 A/B: a DOUBLE
+      // jump per round cut q_embedding_cluster from 5 rounds to 4 but left
+      // q_dedup_cluster's propagation-bound graph at 5 while taxing every
+      // round with an extra |V| self-join — net loss, reverted.)
       val jumped = materialize(stepped.as("l")
         .join(stepped.select(col("node").as("cnode"), col("comp").as("ccomp")).as("r"),
           col("l.comp") === col("r.cnode"), "left")
@@ -819,7 +824,7 @@ object Dedup {
       k: Int, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame =
     bandPairsRaw(
       lshSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
-        .repartition(col("doc")),
+        .transform(pinWidth(_, col("doc"))),
       bands, rowsPerBand, maxBucket)
 
   /** Star-edge emission over the LSH band buckets — the LINEAR candidate
@@ -909,7 +914,7 @@ object Dedup {
         // signatures over the CALLER's k (the Auto route rule: the
         // generator must estimate the measure being verified)
         val sigs = lshSignatures(hotDocs, idCol, textCol, k,
-          bands * rowsPerBand).repartition(col("doc"))
+          bands * rowsPerBand).transform(pinWidth(_, col("doc")))
         val star = sameBlockPairs(
           bandStarEdges(sigs, bands, rowsPerBand,
             autoBucketCap(maxBlockPopulation)),
@@ -961,7 +966,7 @@ object Dedup {
     // of once per consumer — the sig table is ~2 longs/KB of text, so the
     // extra slim shuffle is far cheaper than re-scanning the corpus.
     val sigs = lshSignatures(docs, idCol, textCol, k, perms)
-      .repartition(col("doc"))
+      .transform(pinWidth(_, col("doc")))
     val pairs = bandPairsRaw(sigs, bands, rowsPerBand, maxBucket)
       .dropDuplicates("doc1", "doc2")
     // signatures re-attach AFTER pair dedup via two hash joins against the
@@ -1016,7 +1021,7 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val perms = bands * rowsPerBand
     val tSigs = lshSignatures(train, trainIdCol, trainTextCol, k, perms)
-      .repartition(col("doc"))
+      .transform(pinWidth(_, col("doc")))
     val eSigs = lshSignatures(eval, evalIdCol, evalTextCol, k, perms)
     val tBand = dropHotBuckets(
       lshBanded(tSigs, bands, rowsPerBand), Seq("band", "bh"), maxBucket)

@@ -140,7 +140,13 @@ object Graph {
       .filter(col("w") > 0.0))
     // contribution fractions, normalized once: frac = w(u,v) / W(u).
     // Pre-partitioned by src so the per-round rank join never re-shuffles
-    // the edge side (the big table moves ONCE, at build).
+    // the edge side (the big table moves ONCE, at build). An r15 A/B of
+    // keeping the partitioning METADATA visible (persisting a
+    // Repartition-over-LogicalRDD plan instead of rebasing) measured
+    // SLOWER locally (+1-2 s on q_pagerank) with no per-round exchange
+    // to remove — maybeB broadcasts the rank side on small graphs, and on
+    // big graphs the physical layout is already src-clustered — so the
+    // bare-RDD rebase stays.
     val outW = e.groupBy("src").agg(sum("w").as("tw"))
     val frac = materialize(
       e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("tw")).as("frac"))
@@ -157,40 +163,55 @@ object Graph {
     // shuffled joins on the pre-partitioned frac, the correct 100 TB shape.
     val small = n <= 5000000L
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    // dangling = nodes with no out-edges; slim static table
-    val dangling = materialize(
-      nodes.join(frac.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
-
-    var ranks = materialize(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    // The dangling flag rides a STATIC node table and the dangling mass is
+    // a driver scalar carried round to round: the round's ONE action
+    // computes the L1 delta AND the next round's dangling mass in the same
+    // aggregate over the freshly materialized table (which doubles as its
+    // materializing action — the connectedComponents labelSum shape). The
+    // former loop paid a separate dangling⋈ranks broadcast job plus a
+    // next⋈ranks delta join EVERY round. `next` must keep STREAMING from
+    // the static table with ranks entering only through maybeB: a version
+    // that streamed from the previous round's table built an unbroken
+    // narrow-dependency RDD chain across rounds and task serialization
+    // StackOverflowed after ~30 rounds (caught by PageRankSpec's
+    // early-convergence chain test).
+    val nodesD = materialize(nodes
+      .join(frac.select(col("src").as("node")).distinct()
+        .withColumn("__o", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("__o").isNull.as("dang")))
+    var ranks = materialize(nodesD.select(col("node"), lit(1.0 / n).as("rank")))
+    var dmass = Option(nodesD
+      .agg(sum(when(col("dang"), lit(1.0 / n))).as("dm"))
+      .head().getAs[java.lang.Double]("dm")).map(_.doubleValue).getOrElse(0.0)
     var it = 0
     var done = false
     while (it < iters && !done) {
-      // the dangling mass stays a 1-row broadcast DataFrame (never
-      // collected), so the whole round — dangling agg, contribution join,
-      // rank update, L1 delta — resolves through one driver action plus
-      // its broadcast builds. On a small graph the round cost is pure
-      // scheduling overhead (~0.6 s/round at local[32] regardless of join
-      // strategy); at real |E| the same shape amortizes, which is why the
-      // loop optimizes for shuffle shape, not local-mode job count.
-      val dMassDf = broadcast(dangling.join(maybeB(ranks), "node")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass")))
-      val contrib = frac.join(maybeB(ranks.withColumnRenamed("node", "src")), "src")
+      // ranks is slimmed to (node, rank) on every use: after round 1 the
+      // persisted table also carries (dang, prev), which must not ride
+      // the broadcasts or collide with the prev rename
+      val contrib = frac
+        .join(maybeB(ranks.select(col("node").as("src"), col("rank"))), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("frac")).as("c"))
       val next = materialize(
-        nodes.join(maybeB(contrib), Seq("node"), "left").crossJoin(dMassDf)
+        nodesD.join(maybeB(contrib), Seq("node"), "left")
+          .join(maybeB(ranks.select(col("node"), col("rank").as("prev"))), Seq("node"))
           .select(col("node"),
-            (lit((1.0 - alpha) / n) + lit(alpha) * col("dmass") / n
-              + lit(alpha) * coalesce(col("c"), lit(0.0))).as("rank")))
-      val delta = next.as("a").join(maybeB(ranks.as("b")), "node")
-        .agg(sum(abs(col("a.rank") - col("b.rank")))).head().getDouble(0)
+            (lit((1.0 - alpha) / n) + lit(alpha) * lit(dmass) / n
+              + lit(alpha) * coalesce(col("c"), lit(0.0))).as("rank"),
+            col("dang"), col("prev")))
+      val row = next.agg(
+        sum(abs(col("rank") - col("prev"))).as("d"),
+        coalesce(sum(when(col("dang"), col("rank"))), lit(0.0)).as("dm")).head()
+      val delta = row.getDouble(0)
+      dmass = row.getDouble(1)
       ranks.unpersist()
       ranks = next
       it += 1
       done = delta < tol
     }
-    e.unpersist(); frac.unpersist(); nodes.unpersist(); dangling.unpersist()
-    val out = ranks.lineageCut()
+    e.unpersist(); frac.unpersist(); nodes.unpersist(); nodesD.unpersist()
+    val out = ranks.select(col("node"), col("rank")).lineageCut()
     ranks.unpersist()
     out
   }

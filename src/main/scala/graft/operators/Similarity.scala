@@ -191,8 +191,10 @@ object Similarity {
       }: _*)).as("cc"))
       .select(col("id"), col("cc.chunk"), col("cc.cv")),
       Seq("chunk", "cv"), maxBucket)
-      // one exchange for both sides of the bucket self-join (sig once)
-      .repartition(col("chunk"), col("cv"))
+      // one PINNED exchange for both sides of the bucket self-join (sig
+      // once; explicit width so AQE cannot coalesce the bytes-tiny bucket
+      // table to one partition under the pair emission — Dedup.pinWidth)
+      .transform(Dedup.pinWidth(_, col("chunk"), col("cv")))
     val l = chunked.select(col("id").as("qid"), col("chunk"), col("cv"))
     val r = chunked.select(col("id").as("cand_id"), col("chunk").as("chunk_r"),
       col("cv").as("cv_r"))

@@ -457,7 +457,11 @@ object Relational {
     // twin); PageRankSpec proves the operator against a dense local
     // power iteration. Ranks reported as floor-scaled ppb.
     "q_pagerank" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      // fan out the unsplittable scan on the self-join key (Tables.fanOutOn
+      // scaladoc): the co-supply pair join is the query's heavy stage and
+      // otherwise runs single-threaded at local file sizes
+      val li = Tables.fanOutOn(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"), "l_orderkey")
       val pairs = li.as("a").join(li.as("b"), "l_orderkey")
         .filter(col("a.l_suppkey") < col("b.l_suppkey"))
         .groupBy(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
@@ -558,7 +562,9 @@ object Relational {
     // set-identical and the oracle hash still pins it exactly). The
     // threshold keeps co-purchase edges, not co-occurrence noise.
     "q_triangles" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      // unsplittable-scan fan-out on the self-join key (Tables.fanOutOn)
+      val li = Tables.fanOutOn(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey"), "l_orderkey")
       val e = li.as("x").join(li.as("y"), "l_orderkey")
         .filter(col("x.l_partkey") < col("y.l_partkey"))
         .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
@@ -576,8 +582,11 @@ object Relational {
     // a 1-row broadcast — the raw basket table is joined once, never the
     // rule table against raw data.
     "q_market_basket" -> { (s, dir) =>
-      val b = Tables(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
+      // unsplittable-scan fan-out on the basket key (Tables.fanOutOn): the
+      // per-basket distinct and the pair self-join both cluster on it
+      val b = Tables.fanOutOn(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey"), "l_orderkey")
+        .distinct()
       val nB = b.agg(countDistinct("l_orderkey").as("nb"))
       val ic = b.groupBy("l_partkey").agg(count(lit(1)).as("n_i"))
       val pc = b.as("x").join(b.as("y"), "l_orderkey")
