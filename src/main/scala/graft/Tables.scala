@@ -13,42 +13,65 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Scan fan-out for unsplittable KERNEL-HEAVY inputs (r15). The driver
-    * ships each table as ONE parquet file with ONE row group, and a row
-    * group is read by exactly one task — so every scan-stage computation
-    * ran single-threaded regardless of core count. For the relational
-    * tables that is immaterial (the first shuffle parallelizes the work
-    * and an extra exchange measurably LOSES — A/B'd at sf0.1:
-    * q_market_basket 1.5→2.3 s, q_pagerank 6→8 s warm-best), but the
-    * text/vector tables feed per-row kernels (min-shingle fingerprints,
-    * MinHash signatures, quality scores, dot products) that cost ~0.5 s
-    * single-threaded per pass at sf0.1 — there the standard remedy for an
-    * unsplittable input (spark_optimization_guide §2.5, repartition
-    * immediately after the read) wins. SCALE-ADAPTIVE, not local tuning:
-    * when the scan already yields the session's default parallelism (any
-    * real multi-file / multi-row-group layout — the 100 TB case) it is a
-    * no-op. Filters and pruning still push through the round-robin
-    * exchange to the scan. */
-  private val kernelTables = Set("documents", "embeddings")
-  private def fanOut(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
-    if (!kernelTables.contains(name)) return df
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  /** How many independently-readable units a DataFrame's input offers —
+    * the guard every fan-out seam shares. For a parquet-scan-backed plan
+    * this is the TOTAL ROW-GROUP count across its files, not the split
+    * count: Spark byte-splits one large file into ~parallelism
+    * FilePartitions, but a row group is read by exactly ONE task, so a
+    * single-row-group file runs single-threaded no matter how it splits
+    * (the r15 Tables-level guard used `rdd.getNumPartitions` and silently
+    * no-op'd on exactly the large single-file corpora where the serial
+    * wall is largest). Footers are only opened when the file count alone
+    * cannot prove splittability (fewer files than `target`), so a real
+    * multi-file layout — the 100 TB case — never pays a footer read.
+    * Non-file-backed inputs (checkpointed RDDs, in-memory relations) fall
+    * back to the RDD partition count. */
+  private def splittableUnits(df: DataFrame, target: Int): Int = {
+    val files = df.inputFiles
+    if (files.isEmpty) df.rdd.getNumPartitions
+    else if (files.length >= target) files.length
+    else {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      files.iterator.map { f =>
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        } catch { case _: Throwable => 1 } // non-parquet / unreadable: count as one unit
+      }.sum
+    }
+  }
+
+  /** Fan-out seam for an unsplittable scan feeding an expensive PER-ROW
+    * KERNEL (shingle arrays, MinHash signatures, gram digests, quality
+    * scores): round-robin repartition to the session's parallelism, ONLY
+    * when the input offers fewer splittable units (row groups / RDD
+    * partitions — see [[splittableUnits]]) than the session's default
+    * parallelism. A no-op on any real multi-file / multi-row-group layout,
+    * so the 100 TB plan shape is untouched. Applied INSIDE the
+    * kernel-heavy operators, never at the table read: the r15 blanket
+    * variant on every documents/embeddings read taxed ~14 light
+    * text queries 20–100% (driver-measured at both 8 and 32 cores) for
+    * wins that only the kernel paths collect. */
+  def fanOutKernel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (splittableUnits(df, target) >= target) df else df.repartition(target)
   }
 
   /** Query-level fan-out seam for an unsplittable relational scan feeding
     * an expensive SELF-JOIN (pair generation): hash-repartition on the
     * join key — no round-robin pre-sort, and the exchange IS the join's
     * required distribution, so nothing extra moves — but only when the
-    * scan yields fewer partitions than the session's parallelism (the
-    * single-row-group case; a no-op on any real multi-file layout, so the
-    * 100 TB plan shape is untouched). A Tables-level variant for ALL
-    * relational reads was measured and REJECTED in r15: it broke the
+    * scan offers fewer splittable units than the session's parallelism
+    * (the single-row-group case; a no-op on any real multi-file layout,
+    * so the 100 TB plan shape is untouched). A Tables-level variant for
+    * ALL relational reads was measured and REJECTED in r15: it broke the
     * one-slim-shuffle / pruning plan audits of eleven scan-aggregate
     * queries for a win that only exists at local file sizes. */
   def fanOutOn(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    if (splittableUnits(df, target) >= target) df
     else df.repartition(target, org.apache.spark.sql.functions.col(key))
   }
 
@@ -77,6 +100,6 @@ object Tables {
         case other =>
           throw new IllegalStateException(s"events.ts unsupported type: $other")
       }
-    } else fanOut(spark, name, spark.read.parquet(s"$sfDir/$name.parquet"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

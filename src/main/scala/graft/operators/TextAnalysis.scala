@@ -888,7 +888,14 @@ object TextAnalysis {
                    textCol: String, L: Int,
                    exact: Boolean): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
-    val eligible = docs.select(col(idCol), t).filter(length(t) >= L)
+    // fanOutKernel: the per-position gram digest (md5 or GramDigests) is
+    // this operator's dominant map cost and runs single-threaded on an
+    // unsplittable scan (guide §2.5; no-op on real layouts) — the
+    // driver-confirmed 2.09x on q_substring_dup in r15 came from exactly
+    // this fan-out (then applied blanket at the table read; now scoped
+    // here where the kernel is).
+    val eligible = graft.Tables.fanOutKernel(
+      docs.select(col(idCol), t).filter(length(t) >= L))
     val grams =
       if (exact)
         eligible

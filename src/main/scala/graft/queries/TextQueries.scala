@@ -1286,12 +1286,15 @@ object TextQueries {
       // bi-union), and concurrent stages racing an unmaterialized cache
       // each recompute the signature pass — measured 6x duplicate kernel
       // work at sf0.1. One eager materialization runs the expensive
-      // md5/min-shingle/canonical-url sweep exactly once.
-      val sig = d.select(
-        col("doc_id"),
-        md5(col("text").cast("binary")).as("s_text"),
-        TA.minShingleFingerprint(col("text"), 8).as("s_shingle"),
-        Corpus.canonicalUrl(url).as("s_url"))
+      // md5/min-shingle/canonical-url sweep exactly once — fanned out
+      // first so the sweep parallelizes on an unsplittable scan
+      // (Tables.fanOutKernel; guide §2.5, no-op on real layouts).
+      val sig = Tables.fanOutKernel(d.select(col("doc_id"), col("text")))
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("s_text"),
+          TA.minShingleFingerprint(col("text"), 8).as("s_shingle"),
+          Corpus.canonicalUrl(url).as("s_url"))
         .lineageCut()
       // star edges via a window min — one shuffle per signal and NO join
       // back (the former groupBy-roots + equi-join shape paid the same
@@ -1308,11 +1311,10 @@ object TextQueries {
           .filter(col("src") =!= col("dst"))
       }
       val edges = star("s_text").union(star("s_shingle")).union(star("s_url"))
-      // connectedComponents materializes its labels eagerly (lineage is
-      // truncated per round), so the signature cache is consumed by the
-      // time it returns — release it before assembling the output
+      // sig is an eager checkpoint, not a cache-manager entry: its blocks
+      // are reclaimed by the ContextCleaner once this reference drops
+      // (Dataset.unpersist would be a no-op on it — r15 advice)
       val comp = Dedup.connectedComponents(edges, "src", "dst")
-      sig.unpersist()
       d.select(col("doc_id"))
         // label re-attach hash-builds on the comp side: the label table is
         // CORPUS-SIZED (one row per clustered node) and its checkpointed

@@ -15,7 +15,13 @@ import scala.collection.mutable
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // both args required (the StageProfile convention): a missing arg must
+    // print usage, not an ArrayIndexOutOfBoundsException (r15 advice)
+    if (args.length < 2) {
+      System.err.println("usage: JobProfile <sfDir> <query> [runs]")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
     val q = args(1)
     val runs = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
