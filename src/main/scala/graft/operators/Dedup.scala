@@ -28,13 +28,27 @@ object Dedup {
     * product) then runs single-threaded (measured: a 4.1 s one-task stage
     * inside q_dedup_ngram_auto at sf0.1 holding 4.0 s of pure kernel CPU).
     * An explicit-width repartition is exempt from AQE coalescing by
-    * Spark's own rule (user-specified repartitions are preserved), costs
-    * no extra exchange (it IS the join's required distribution), and the
-    * width tracks `spark.sql.shuffle.partitions` — the same scale knob
-    * every other exchange follows, so cluster configs keep governing. */
-  private[graft] def pinWidth(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+    * Spark's own rule (user-specified repartitions are preserved) and
+    * costs no extra exchange (it IS the join's required distribution).
+    *
+    * Width (r16): these exchanges exist for COMPUTE density, so the width
+    * tracks the cluster's compute — `defaultParallelism` as the floor, at
+    * most 2x it for wave balance — rather than pinning flat at
+    * `spark.sql.shuffle.partitions`, which is tuned for byte-heavy
+    * exchanges (a 2000-partition shuffle knob would schedule 2000 tasks
+    * under a 56-row candidate set; a CPU-dense kernel stage can never use
+    * more than the core count productively). The knob still CAPS the
+    * width when it is the smaller bound, so sessions that deliberately
+    * run narrow stay narrow. (A candidate-COUNT-aware width would need an
+    * extra action in the query path — rejected; the r15/r16 local bench
+    * sets shuffle.partitions = cores, so this is bit-identical locally.) */
+  private[graft] def pinWidth(df: DataFrame, cols: Column*): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+    val width = math.max(sc.defaultParallelism,
+      math.min(conf, 2 * sc.defaultParallelism))
+    df.repartition(width, cols: _*)
+  }
 
   /** Exact duplicate groups by md5(text): (digest, n_dups, keep_id). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -121,74 +135,121 @@ object Dedup {
     *
     * Skew: a hub node (one root referenced by millions of edges — the
     * shape star-edge inputs produce) concentrates the neighbor-min join on
-    * one key; AQE's skew-join splitting absorbs it (the label side is one
-    * row per key, so replicating it across the split partitions is free).
-    * Pointer jumping also collapses hub components in one round, so hot
-    * keys never persist across rounds.
+    * one key; the per-round label attach is a STREAMING partition-local
+    * probe against a bounded (|V|/P) label map, so a hub's adjacency is
+    * never buffered per key (the hazard of a cogroup-style join; the old
+    * DF loop relied on AQE's skew split for the same guarantee). Pointer
+    * jumping also collapses hub components in one round, so hot keys
+    * never persist across rounds.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
-    // Iterative DataFrames MUST cut lineage every round: the self-join
-    // doubles the Catalyst tree, so an un-truncated loop builds an
-    // exponentially-growing plan (analysis itself OOMs around 8-10
-    // rounds). Rebasing on the materialized RDD keeps each round's plan
-    // constant-size; persist + unpersist bounds memory to two label
-    // tables. (spark.graft.checkpoint.dir switches the final cut to
-    // reliable checkpoint() — executor-loss-safe; see Lineage.)
-    def materialize(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema).persist()
-    // labels sum: comp ids only ever DECREASE, so the label table changed
-    // this round iff Σcomp strictly dropped — one cheap agg over the
-    // freshly-persisted table (which doubles as its materializing action),
-    // instead of a compare-join against the previous table. Decimal sum:
-    // overflow-free at any corpus size.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    // bi: rebase on the RDD FIRST (constant tiny plan — the caller's edge
-    // subtree is analyzed once, not once per round), THEN hash-partition on
-    // the join key and persist as a Dataset: InMemoryRelation preserves the
-    // partitioning, so the per-round neighbor-min join re-shuffles only the
-    // slim label table while the edge table — the big side at 100 TB —
-    // moves ONCE, at build (the pageRank frac discipline; the former
-    // bare-RDD materialize erased the partitioning metadata and
-    // re-exchanged 2|E| rows every round).
-    val biRaw =
+    val sc = spark.sparkContext
+    // r16: the 3-5 fixpoint rounds run as PLAIN RDD joins. The former
+    // DataFrame loop was correct and shuffle-bounded, but every round paid
+    // Catalyst analysis + AQE stage-by-stage re-planning (each exchange
+    // becomes its own scheduled job under AQE), which made the CC family a
+    // fixed ~4.5-6 s scheduling floor at ANY scale factor (measured equal
+    // at sf0.001 and sf0.1; AQE off was WORSE — r15). RDD rounds keep the
+    // identical algorithm — min-label propagation fused with pointer
+    // jumping, neighbor-min folded into init — with ONE job of 3 slim
+    // shuffles per round and no per-round planning. Labels are a pure
+    // fixpoint of min() operations, so the output is bit-identical
+    // (ConnectedComponentsSpec / PipelineOpsSpec / the q_dedup_cluster
+    // oracle pin it).
+    //
+    // Partitioner width = the pinWidth compute rule (see pinWidth): every
+    // per-round join is partitioner-aligned, so only the per-round label
+    // re-keys shuffle — the edge table (the big side at 100 TB) moves
+    // ONCE, at build.
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(sc.defaultParallelism, math.min(conf, 2 * sc.defaultParallelism)))
+    val biDf =
       edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
-    val bi = spark.createDataFrame(biRaw.rdd, biRaw.schema)
-      .repartition(col("v"))
-      .persist()
+    // (v, u) keyed by the neighbor-lookup side; InternalRow primitives, no
+    // Row allocation. Null endpoints fail loudly — the old DF loop would
+    // have silently labeled a NULL node; no declared caller emits one.
+    val bi = biDf.queryExecution.toRdd.mapPartitions { it =>
+      it.map { ir =>
+        require(!ir.isNullAt(0) && !ir.isNullAt(1),
+          "graft.Dedup.connectedComponents: edge endpoints must be non-null")
+        (ir.getLong(1), ir.getLong(0))
+      }
+    }.partitionBy(p).persist()
+    // overflow-safe Σcomp (the convergence witness — comp ids only ever
+    // DECREASE, so the labels changed iff the sum strictly dropped):
+    // per-partition long accumulation that spills to BigInteger on
+    // overflow, never a per-element boxed add.
+    def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): java.math.BigInteger =
+      rdd.mapPartitions { it =>
+        var acc = 0L
+        var big = java.math.BigInteger.ZERO
+        it.foreach { kv =>
+          val v = kv._2
+          val s = acc + v
+          if (((acc ^ s) & (v ^ s)) < 0L) { // signed-overflow test
+            big = big.add(java.math.BigInteger.valueOf(acc)); acc = v
+          } else acc = s
+        }
+        Iterator.single(big.add(java.math.BigInteger.valueOf(acc)))
+      }.fold(java.math.BigInteger.ZERO)(_.add(_))
     // initial label = min(self, min neighbor): the first neighbor-min round
     // folded into initialization. (An r15 A/B additionally folded one
     // pointer-jump into the init — round counts did not drop on any
     // declared query's graph, so the extra |V| self-join was reverted.)
-    var labels = materialize(
-      bi.groupBy(col("u"))
-        .agg(min(col("v")).as("mv"))
-        .select(col("u").as("node"), least(col("mv"), col("u")).as("comp")))
+    var labels = bi.map { case (v, u) => (u, v) }
+      .reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (u, mv) => (u, math.min(u, mv)) },
+        preservesPartitioning = true)
+      .persist()
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
+    // per-partition label lookup for the partitioner-aligned map joins
+    // below: bounded by |V|/P entries — the same per-task memory a
+    // shuffled-hash build holds — and the PROBE side streams, so a hub key
+    // (one root referenced by millions of edges) never buffers its
+    // adjacency the way an RDD cogroup-join would (the skew case AQE's
+    // skew split absorbed in the old DF loop).
+    def lookup(it: Iterator[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+      val m = new scala.collection.mutable.LongMap[Long]()
+      it.foreach { case (k, v) => m.update(k, v) }
+      m
+    }
     while (!converged && it < maxIter) {
-      // (1) neighbor-min
-      val nbr = bi.join(labels.withColumnRenamed("node", "v"), "v")
-        .select(col("u").as("node"), col("comp"))
-      val stepped = labels.union(nbr)
-        .groupBy("node").agg(min("comp").as("comp"))
+      // (1) neighbor-min: bi and labels share p, so comp(v) attaches by a
+      // streaming partition-local probe (zero shuffle); the reduceByKey
+      // shuffles |E| (u, comp) pairs WITH map-side combine (≤ distinct-u
+      // entries per map partition cross the wire). Every v in bi is also a
+      // u (bi is symmetric), so the label probe is total over bi's keys.
+      val nbrMin = bi.zipPartitions(labels) { (eIt, lIt) =>
+        val m = lookup(lIt)
+        eIt.map { case (v, u) => (u, m(v)) }
+      }.reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+      val stepped = labels.zipPartitions(nbrMin) { (lIt, nIt) =>
+        val m = lookup(nIt)
+        lIt.map { case (u, c) => (u, math.min(c, m.getOrElse(u, c))) }
+      }
       // (2) pointer jumping: comp(u) ← comp(comp(u)); comp ids are always
-      // node ids, so the lookup side is stepped itself. (r15 A/B: a DOUBLE
-      // jump per round cut q_embedding_cluster from 5 rounds to 4 but left
-      // q_dedup_cluster's propagation-bound graph at 5 while taxing every
-      // round with an extra |V| self-join — net loss, reverted.)
-      val jumped = materialize(stepped.as("l")
-        .join(stepped.select(col("node").as("cnode"), col("comp").as("ccomp")).as("r"),
-          col("l.comp") === col("r.cnode"), "left")
-        .select(col("l.node").as("node"),
-          coalesce(col("r.ccomp"), col("l.comp")).as("comp")))
-      val s = labelSum(jumped)
+      // node ids, so the lookup side is stepped itself (comp(x) ≤ x, and
+      // missing comps keep their value — the old left join's coalesce).
+      // (r15 A/B: a DOUBLE jump per round cut q_embedding_cluster from 5
+      // rounds to 4 but left q_dedup_cluster's propagation-bound graph at
+      // 5 while taxing every round with an extra |V| self-join — net
+      // loss, reverted.)
+      val jumped = stepped.map { case (node, comp) => (comp, node) }
+        .partitionBy(p)
+        .zipPartitions(stepped) { (bIt, sIt) =>
+          val m = lookup(sIt)
+          bIt.map { case (comp, node) => (node, m.getOrElse(comp, comp)) }
+        }
+        .partitionBy(p)
+        .persist()
+      val s = labelSum(jumped) // the ONE action per round
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
@@ -201,10 +262,19 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"graft.Dedup.connectedComponents did not converge in $maxIter rounds")
-    // Hand back a pinned copy and release the loop's cache entry: the
+    // Hand back a pinned Dataset and release the loop's cache entry: the
     // checkpoint reads the still-cached labels (cheap), owns its own
     // blocks afterwards, and never registers with the cache manager.
-    val out = labels.lineageCut()
+    // (spark.graft.checkpoint.dir switches this cut to reliable
+    // checkpoint() — executor-loss-safe; see Lineage.)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val labelDf = spark.createDataFrame(
+      labels.map { case (n, c) => org.apache.spark.sql.Row(n, c) }, outSchema)
+    val out = labelDf.lineageCut()
     labels.unpersist()
     out
   }
@@ -317,13 +387,21 @@ object Dedup {
     val shingleExpr =
       if (packedAscii) array_sort(TextAnalysis.shinglesPacked(col(textCol), k))
       else TextAnalysis.shingles(col(textCol), k)
+    // fanOutKernel BEFORE the shingle projection: on an unsplittable scan
+    // the kernel would otherwise run single-threaded (guide §2.5 input
+    // skew; a no-op on real layouts). Projected to (id, text) first so the
+    // round-robin exchange — identical to the one lshSignatures builds
+    // over the same docs — is shared via ReuseExchange in the verified
+    // pipelines instead of fanning the corpus twice.
+    val fanned = graft.Tables.fanOutKernel(
+      docs.select(col(idCol), col(textCol)))
     // ONE pinned exchange on doc feeds both re-attach builds (the
     // minhashLshPairs sigs pattern): alias-aware partitioning propagates
     // hashpartitioning(doc) through the doc1/doc2 renames, so the shingle
     // kernel + sort runs ONCE and the arrays shuffle once — the former
     // per-side projections computed the kernel twice and shuffled the
     // arrays twice (measured as two ~6 s taskSum map stages at sf0.1)
-    val sh = pinWidth(docs
+    val sh = pinWidth(fanned
       .join(pairDocs, col(idCol) === col("__pdoc"), "left_semi")
       .select(col(idCol).as("doc"), shingleExpr.as("sh")), col("doc"))
     // shuffle-HASH builds on the shingle side, not sort-merge: SMJ sorts
@@ -471,8 +549,15 @@ object Dedup {
     // second exchange on top (verified in the executed plan). Empty
     // blockCols (global block) or a type with no default literal here
     // keeps the unpinned shape.
+    // fanOutKernel BEFORE the shingle projection (guide §2.5): the per-doc
+    // shingle+sort kernel is the scaffold's dominant map cost and runs
+    // single-threaded on an unsplittable scan; a no-op on real layouts.
+    // The population-guard aggregate above the projection prunes __sh, so
+    // the kernel never runs for the count.
+    val fanned = graft.Tables.fanOutKernel(
+      docs.select((col(idCol) +: blockCols.map(col)) :+ col(textCol): _*))
     val guarded = guardBlockPopulation(
-      docs.select(
+      fanned.select(
         (col(idCol) +: blockCols.map(col)) :+ shingleExpr.as("__sh"): _*),
       blockCols, maxBlockPopulation, caller)
     import org.apache.spark.sql.types._
@@ -766,8 +851,14 @@ object Dedup {
   private def lshSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, perms: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-      graft.functions.MinHashSig(col(textCol), k, perms).as("sig"))
+    // fanOutKernel: the MinHash kernel is the heaviest per-row projection
+    // in the pipeline and runs single-threaded on an unsplittable scan
+    // (guide §2.5; a no-op on real layouts). Projected to (id, text) first
+    // so the round-robin exchange is shared (ReuseExchange) with the
+    // exactVerifyPairs fan over the same docs in the verified pipelines.
+    graft.Tables.fanOutKernel(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        graft.functions.MinHashSig(col(textCol), k, perms).as("sig"))
 
   /** (doc, band, bh) banded LSH bucket keys — deliberately WITHOUT the
     * signature column, so the band self-join's pair shuffle carries only
