@@ -110,6 +110,80 @@ case class ContainmentAtLeast(left: Expression, right: Expression, minPpm: Long)
     copy(left = newLeft, right = newRight)
 }
 
+/** Early-exit JACCARD threshold over two SORTED long arrays: `true` iff
+  * `floor(|a∩b| * 1e6 / max(|a∪b|, 1)) >= minPpm` — EXACTLY the
+  * `floor-div(intersect/union) >= minPpm` predicate the pair builders
+  * filter on, but the merge aborts the moment the bound
+  * `matched + min(remaining)` can no longer reach the needed count (and
+  * succeeds the moment it is reached). Derivation: with
+  * `union = n + m - inter`, the predicate `inter * 1e6 >= minPpm * union`
+  * rearranges to `inter * (1e6 + minPpm) >= minPpm * (n + m)`, i.e.
+  * `inter >= ceil(minPpm * (n+m) / (1e6 + minPpm))` — a constant
+  * computable BEFORE the merge, unlike the union itself. On the dominant
+  * non-qualifying pairs of a high-threshold join the pass touches a small
+  * fraction of the arrays; the exact count then runs only for the few
+  * survivors (the ContainmentAtLeast two-phase discipline).
+  *
+  * Same caller contract as [[SortedIntersectCount]]: distinct ascending
+  * arrays, no null elements. */
+case class JaccardAtLeast(left: Expression, right: Expression, minPpm: Long)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  require(minPpm >= 0L && minPpm <= 1000000L,
+    s"minPpm must be in [0, 1000000], got $minPpm")
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "jaccard_at_least"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardAtLeast.atLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], minPpm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardAtLeast.atLeast($a, $b, ${minPpm}L)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardAtLeast =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardAtLeast {
+  /** Column wrapper. */
+  def apply(a: Column, b: Column, minPpm: Long): Column =
+    ColumnBridge.column(JaccardAtLeast(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), minPpm))
+
+  /** The merge pass with two-sided early exit. `need` is derived in the
+    * scaladoc above; `inter >= ceil(A/B)` ⟺ `inter * B >= A` for
+    * non-negative integers, so passing `need` is exactly the floor-div
+    * predicate. Empty-both (union clamped to 1 by the callers) yields
+    * jaccard 0, matching `minPpm <= 0`. */
+  def atLeast(x: ArrayData, y: ArrayData, minPpm: Long): Boolean = {
+    val n = x.numElements()
+    val m = y.numElements()
+    val total = n.toLong + m.toLong
+    if (total == 0L) return minPpm <= 0L
+    val b = 1000000L + minPpm
+    val need = (minPpm * total + b - 1L) / b
+    if (need <= 0L) return true
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      if (c >= need) return true
+      if (c + math.min(n - i, m - j) < need) return false
+      val u = x.getLong(i)
+      val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c >= need
+  }
+}
+
 object ContainmentAtLeast {
   /** Column wrapper. */
   def apply(a: Column, b: Column, minPpm: Long): Column =

@@ -457,10 +457,23 @@ object Dedup {
       // TextAnalysis.jaccardPpm situation, where it is load-bearing)
       val union = greatest(
         size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - inter, lit(1L))
-      withSh.filter(sizeGuard)
-        .select(col("doc1"), col("doc2"),
-          floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
-        .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
+      if (packedAscii)
+        // two-phase (r16, the containment discipline): the early-exit
+        // threshold kernel — provably ⟺ the floor-div predicate, see
+        // JaccardAtLeast — rejects the dominant non-qualifying pairs
+        // after touching a fraction of the arrays; the exact count runs
+        // only for the few survivors
+        withSh.filter(sizeGuard)
+          .filter(graft.functions.PushdownBarrier.long(
+            graft.functions.JaccardAtLeast(col("sh1"), col("sh2"), minPpm)
+              .cast("long")) === 1L)
+          .select(col("doc1"), col("doc2"),
+            floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+      else
+        withSh.filter(sizeGuard)
+          .select(col("doc1"), col("doc2"),
+            floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+          .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
     }
   }
 
@@ -683,10 +696,22 @@ object Dedup {
     // the optimizer pushes it into the join condition ahead of the cheap
     // guards and the intersect runs for every candidate pair (see
     // graft.functions.PushdownBarrier).
-    a.join(b, joinCond)
-      .select(col("doc1"), col("doc2"),
-        floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
-      .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
+    if (packedAscii)
+      // two-phase (r16): the early-exit threshold kernel (provably ⟺ the
+      // floor-div predicate — JaccardAtLeast scaladoc) rejects the
+      // dominant non-qualifying pairs after touching a fraction of the
+      // arrays; the exact merge-pass count runs only for survivors.
+      a.join(b, joinCond)
+        .filter(graft.functions.PushdownBarrier.long(
+          graft.functions.JaccardAtLeast(col("sh1"), col("sh2"), minPpm)
+            .cast("long")) === 1L)
+        .select(col("doc1"), col("doc2"),
+          floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+    else
+      a.join(b, joinCond)
+        .select(col("doc1"), col("doc2"),
+          floor(inter * lit(1000000L) / union).cast("long").as("jacc_ppm"))
+        .filter(graft.functions.PushdownBarrier.long(col("jacc_ppm")) >= minPpm)
   }
 
   /** Exact k-shingle CONTAINMENT pairs (Broder 1997's asymmetric measure):

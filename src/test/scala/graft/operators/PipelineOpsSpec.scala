@@ -591,6 +591,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!atLeast(arr(10, 200), arr(1L to 100L: _*), 1000000L)) // one miss → 0.5
   }
 
+  test("Jaccard threshold kernel: exact boundary, early exits, equals the floor-div predicate") {
+    import graft.functions.JaccardAtLeast.atLeast
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    // inter=4, union=6 → jacc = 666666 exactly (floor): >= 666666 passes, >= 666667 fails
+    assert(atLeast(arr(1, 2, 3, 4, 5), arr(1, 2, 3, 4, 6), 666666L))
+    assert(!atLeast(arr(1, 2, 3, 4, 5), arr(1, 2, 3, 4, 6), 666667L))
+    assert(atLeast(arr(1, 2, 3), arr(1, 2, 3), 1000000L))       // identical
+    assert(!atLeast(arr(1, 2, 3), arr(4, 5, 6), 1L))            // disjoint
+    assert(atLeast(arr(1, 2, 3), arr(4, 5, 6), 0L))             // zero threshold
+    assert(!atLeast(arr(), arr(1, 2), 1L) && atLeast(arr(), arr(1, 2), 0L)) // empty side
+    assert(atLeast(arr(), arr(), 0L) && !atLeast(arr(), arr(), 1L)) // both empty: union clamps to 1
+    // property: kernel ⟺ floor(inter*1e6/union) >= minPpm on random sorted-distinct arrays
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.shuffle((0L to 30L).toList).take(rnd.nextInt(12)).sorted
+      val b = rnd.shuffle((0L to 30L).toList).take(rnd.nextInt(12)).sorted
+      val inter = a.toSet.intersect(b.toSet).size.toLong
+      val union = math.max(a.size.toLong + b.size.toLong - inter, 1L)
+      val ppm = inter * 1000000L / union
+      val t = rnd.nextInt(1000001).toLong
+      assert(atLeast(arr(a: _*), arr(b: _*), t) == (ppm >= t),
+        s"a=$a b=$b t=$t ppm=$ppm")
+    }
+  }
+
   test("Containment threshold path equals the plain filter path at a real threshold") {
     import org.apache.spark.sql.functions._
     val base = "the quick brown fox jumps over the lazy dog and then some more words"
