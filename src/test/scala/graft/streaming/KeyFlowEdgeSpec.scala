@@ -223,7 +223,18 @@ class KeyFlowEdgeSpec extends SparkTestBase {
 
   test("spillDirFor honors spark.local.dir over the JVM tmpdir and " +
     "spreads by partition id") {
-    // the suite's session has no spark.local.dir set -> JVM default
+    // Flake hardening (r16; the one red gate in the driver's r15 run was
+    // this suite): the test mutates the SHARED SparkEnv conf, so any
+    // straggler task from an earlier suite that spills while the conf
+    // points at our temp dirs would leave a file behind — and the old
+    // deleteIfExists cleanup then threw DirectoryNotEmptyException and
+    // failed THIS test for someone else's spill. Clear any leaked
+    // spark.local.dir up front (restored after), and clean up
+    // recursively + tolerantly.
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val preexisting = conf.getOption("spark.local.dir")
+    preexisting.foreach(_ => conf.remove("spark.local.dir"))
+    // the session now has no spark.local.dir -> JVM default
     val default = KeyFlow.spillDirFor(0)
     assert(default.toString.startsWith(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")).toString))
@@ -231,7 +242,6 @@ class KeyFlowEdgeSpec extends SparkTestBase {
     // there (comma list, picked by partition id, created if missing)
     val d1 = java.nio.file.Files.createTempDirectory("graft-ld1")
     val d2 = d1.resolveSibling(d1.getFileName.toString + "-b") // not yet created
-    val conf = org.apache.spark.SparkEnv.get.conf
     conf.set("spark.local.dir", s"$d1,$d2")
     try {
       assert(KeyFlow.spillDirFor(0) == d1)
@@ -239,9 +249,16 @@ class KeyFlowEdgeSpec extends SparkTestBase {
       assert(KeyFlow.spillDirFor(2) == d1)
       assert(KeyFlow.spillDirFor(-1) == d2) // floorMod, never negative index
     } finally {
-      conf.remove("spark.local.dir")
-      java.nio.file.Files.deleteIfExists(d2)
-      java.nio.file.Files.deleteIfExists(d1)
+      preexisting match {
+        case Some(v) => conf.set("spark.local.dir", v)
+        case None    => conf.remove("spark.local.dir")
+      }
+      // recursive + tolerant: a stray spill from a concurrent straggler
+      // must not fail the suite (it is not our leak)
+      try { scala.reflect.io.Path(d2.toFile).deleteRecursively(); () }
+      catch { case _: Throwable => () }
+      try { scala.reflect.io.Path(d1.toFile).deleteRecursively(); () }
+      catch { case _: Throwable => () }
     }
   }
 }
