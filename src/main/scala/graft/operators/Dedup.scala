@@ -179,7 +179,11 @@ object Dedup {
           "graft.Dedup.connectedComponents: edge endpoints must be non-null")
         (ir.getLong(1), ir.getLong(0))
       }
-    }.partitionBy(p).persist()
+    }.partitionBy(p)
+      // MEMORY_AND_DISK, matching the old Dataset persist: at scale the
+      // edge table must SPILL when it outgrows storage memory, not drop
+      // partitions and recompute them through the upstream plan each round
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // overflow-safe Σcomp (the convergence witness — comp ids only ever
     // DECREASE, so the labels changed iff the sum strictly dropped):
     // per-partition long accumulation that spills to BigInteger on
@@ -205,7 +209,7 @@ object Dedup {
       .reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
       .mapPartitions(_.map { case (u, mv) => (u, math.min(u, mv)) },
         preservesPartitioning = true)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -248,7 +252,7 @@ object Dedup {
           bIt.map { case (comp, node) => (node, m.getOrElse(comp, comp)) }
         }
         .partitionBy(p)
-        .persist()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s = labelSum(jumped) // the ONE action per round
       converged = s.compareTo(prevSum) == 0
       prevSum = s
