@@ -56,7 +56,11 @@ object Tables {
     * wins that only the kernel paths collect. */
   def fanOutKernel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (splittableUnits(df, target) >= target) df else df.repartition(target)
+    // fire only on a >= 2x parallelism deficit: the fan-out pays a full
+    // exchange, which a 30-units-vs-32-cores layout (the x30 corpus)
+    // cannot amortize — the serial-wall case it exists for is orders of
+    // magnitude under target, not marginally
+    if (2 * splittableUnits(df, target) >= target) df else df.repartition(target)
   }
 
   /** Query-level fan-out seam for an unsplittable relational scan feeding
